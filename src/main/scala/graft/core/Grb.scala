@@ -1,0 +1,685 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Index grammar for extract/assign — reference IndexerResolver,
+  * dask_grblas/expr.py:422-563: int (incl. negative), slice with step,
+  * index list (duplicates allowed), distributed index array, Ellipsis.
+  */
+sealed trait Ix
+object Ix {
+  /** single index; negative normalized against dimension */
+  final case class At(n: Long) extends Ix
+  /** python-style slice [start, stop) with step (stop exclusive) */
+  final case class Range(start: Long, stop: Long, step: Long = 1L) extends Ix
+  /** explicit index list — order- and duplicate-preserving */
+  final case class Seqs(ix: Seq[Long]) extends Ix
+  /** distributed index array: DataFrame[(pos: Long, idx: Long)] —
+    * first-class, matching da.Array indices (expr.py:491-496)
+    */
+  final case class Dist(df: DataFrame) extends Ix
+  /** the full axis (Ellipsis / `:`) */
+  case object All extends Ix
+
+  def normalize(ix: Ix, dim: Long): Ix = ix match {
+    case At(n) if n < 0 => At(n + dim)
+    case Range(a, b, s) =>
+      Range(if (a < 0) a + dim else a, if (b < 0) b + dim else math.min(b, dim), s)
+    case Seqs(xs) => Seqs(xs.map(n => if (n < 0) n + dim else n))
+    case other => other
+  }
+
+  /** materialize an index as DataFrame[(pos, idx)]: pos = position in
+    * the extracted/assigned region, idx = global index. All-Spark; no
+    * driver loops (Range via spark.range).
+    */
+  def toDF(spark: SparkSession, ix: Ix, dim: Long): DataFrame = {
+    import spark.implicits._
+    normalize(ix, dim) match {
+      case At(n)  => Seq((0L, n)).toDF("pos", "idx")
+      case All    => spark.range(dim).select(col("id").as("pos"), col("id").as("idx"))
+      case Range(a, b, s) =>
+        val len = math.max(0L, if (s > 0) (b - a + s - 1) / s else (a - b - s - 1) / (-s))
+        spark.range(len).select(col("id").as("pos"), (lit(a) + col("id") * lit(s)).as("idx"))
+      case Seqs(xs) => xs.zipWithIndex.map { case (n, p) => (p.toLong, n) }.toDF("pos", "idx")
+      case Dist(df) => df.select(col("pos").cast(LongType), col("idx").cast(LongType))
+    }
+  }
+
+  def length(ix: Ix, dim: Long): Option[Long] = normalize(ix, dim) match {
+    case At(_) => Some(1L)
+    case All => Some(dim)
+    case Range(a, b, s) =>
+      Some(math.max(0L, if (s > 0) (b - a + s - 1) / s else (a - b - s - 1) / (-s)))
+    case Seqs(xs) => Some(xs.length.toLong)
+    case Dist(_) => None // unknown without a count; caller may supply
+  }
+}
+
+/** 0-dim possibly-empty scalar (reference dask_grblas/scalar.py:52-231).
+  * Lazy: the DataFrame has 0 or 1 rows, single column `v`; `.value`
+  * materializes once and caches (scalar.py:120-136 — PythonScalar
+  * compute-on-demand; SURVEY §7.4 hard part 8).
+  */
+final class GrbScalar(val df: DataFrame) {
+  lazy val value: Option[Any] = df.limit(1).collect().headOption.map(_.get(0))
+  def isEmpty: Boolean = value.isEmpty
+  def nvals: Long = if (isEmpty) 0L else 1L
+  def dtype: GrbType = GrbType.fromSpark(df.schema("v").dataType)
+  def boolValue: Boolean = value.exists {
+    case b: Boolean => b
+    case n: Number  => n.doubleValue() != 0.0
+  }
+  def dup(dtype: GrbType): GrbScalar =
+    new GrbScalar(df.select(col("v").cast(dtype.spark).as("v")))
+}
+
+object GrbScalar {
+  def fromValue(spark: SparkSession, v: Any, dtype: GrbType): GrbScalar = {
+    val schema = StructType(Seq(StructField("v", dtype.spark, nullable = false)))
+    new GrbScalar(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(v)), schema))
+  }
+  def empty(spark: SparkSession, dtype: GrbType): GrbScalar = {
+    val schema = StructType(Seq(StructField("v", dtype.spark, nullable = false)))
+    new GrbScalar(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+  }
+}
+
+/** 1-dim sparse vector: COO DataFrame[(i: Long, v: T)] + logical size.
+  * Reference: dask_grblas/vector.py:77-200. Absence = missing row,
+  * never NULL (SURVEY §1.4).
+  */
+final class GrbVector(val df: DataFrame, val size: Long) {
+  import GrbVector.KEYS
+
+  def spark: SparkSession = df.sparkSession
+  def dtype: GrbType = GrbType.fromSpark(df.schema("v").dataType)
+  lazy val nvals: Long = df.count()
+
+  /** reference base.py:112-136: deep copy w/ optional cast + mask.
+    * DataFrames are immutable so the copy is free.
+    */
+  def dup(dtype: GrbType = dtype, mask: Option[Mask] = None): GrbVector = {
+    val d0 = mask.fold(df)(_.filter(df, KEYS))
+    new GrbVector(d0.select(col("i"), col("v").cast(dtype.spark).as("v")), size)
+  }
+
+  def clear: GrbVector = GrbVector.empty(spark, dtype, size)
+
+  /** metadata-only when growing; filter when shrinking
+    * (vector.py:236-270)
+    */
+  def resize(newSize: Long): GrbVector =
+    new GrbVector(if (newSize >= size) df else df.filter(col("i") < newSize), newSize)
+
+  // ---- element-wise apply (vector.py:430-442) ----
+  def apply(op: UnaryOp): GrbVector =
+    new GrbVector(df.select(col("i"), op(col("v")).as("v")), size)
+  def applyLeft(op: BinaryOp, left: Column): GrbVector =
+    new GrbVector(df.select(col("i"), op(left, col("v")).as("v")), size)
+  def applyRight(op: BinaryOp, right: Column): GrbVector =
+    new GrbVector(df.select(col("i"), op(col("v"), right).as("v")), size)
+  /** positional op: value = index (unary.positioni etc.) */
+  def applyPositional: GrbVector = new GrbVector(df.select(col("i"), col("i").as("v")), size)
+
+  /** GrB_select-alike extension (reference has none; masks play the
+    * role — SURVEY §2.2): keep entries where predicate on value holds.
+    */
+  def selectOp(pred: Column => Column): GrbVector =
+    new GrbVector(df.filter(pred(col("v"))), size)
+
+  // ---- element-wise joins (SURVEY §2.4) ----
+  /** intersection of structures (vector.py:365-368) */
+  def ewiseMult(other: GrbVector, op: BinaryOp): GrbVector = {
+    require(size == other.size, s"size mismatch $size vs ${other.size}")
+    val b = other.df.select(col("i"), col("v").as("_bv"))
+    new GrbVector(df.join(b, KEYS).select(col("i"), op(col("v"), col("_bv")).as("v")), size)
+  }
+
+  /** union of structures; op where both present (vector.py:360-363) */
+  def ewiseAdd(other: GrbVector, op: BinaryOp): GrbVector = {
+    require(size == other.size, s"size mismatch $size vs ${other.size}")
+    val a = df.select(col("i"), col("v").as("_av"))
+    val b = other.df.select(col("i"), col("v").as("_bv"))
+    new GrbVector(
+      a.join(b, KEYS, "full_outer").select(col("i"),
+        when(col("_av").isNotNull && col("_bv").isNotNull, op(col("_av"), col("_bv")))
+          .otherwise(coalesce(col("_av"), col("_bv"))).as("v")), size)
+  }
+
+  // ---- products (SURVEY §2.5) ----
+  /** row-vector × matrix (vector.py:423-428): join on this.i == A.i,
+    * group by A.j. Semiring add monoid folds the contracted axis —
+    * Spark's two-phase hash agg is the reference's block-tree reduction.
+    */
+  def vxm(a: GrbMatrix, sr: Semiring, broadcastSelf: Boolean = false): GrbVector = {
+    require(size == a.nrows, s"dim mismatch: vxm size=$size nrows=${a.nrows}")
+    val self0 = df.select(col("i"), col("v").as("_xv"))
+    val self = if (broadcastSelf) broadcast(self0) else self0
+    val prod = a.df.join(self, KEYS)
+      .select(col("j").as("i"), sr.mult(col("_xv"), col("v")).as("_p"))
+    new GrbVector(prod.groupBy("i").agg(sr.add.agg(col("_p")).as("v")), a.ncols)
+  }
+
+  /** dot product (vector.py:371-392 declares `inner` as a stub; cheap
+    * for us: intersection join + global fold)
+    */
+  def inner(other: GrbVector, sr: Semiring): GrbScalar = {
+    val m = ewiseMult(other, sr.mult)
+    new GrbScalar(m.df.agg(sr.add.agg(col("v")).as("v")).filter(col("v").isNotNull))
+  }
+
+  /** outer product (vector.py:394-421 stub) */
+  def outer(other: GrbVector, op: BinaryOp): GrbMatrix = {
+    val b = other.df.select(col("i").as("j"), col("v").as("_bv"))
+    new GrbMatrix(df.crossJoin(b).select(col("i"), col("j"), op(col("v"), col("_bv")).as("v")),
+      size, other.size)
+  }
+
+  // ---- reductions (SURVEY §2.6) ----
+  /** fold over present values; EMPTY input → EMPTY scalar, not the
+    * monoid identity (expr.py:196-206; SURVEY §7.4 hard part 4) —
+    * the isNotNull filter implements that guard.
+    */
+  def reduce(m: Monoid): GrbScalar =
+    new GrbScalar(df.agg(m.agg(col("v")).as("v")).filter(col("v").isNotNull))
+
+  def count: Long = nvals
+
+  // ---- extract (SURVEY §2.3) ----
+  def extractScalar(n: Long): GrbScalar = {
+    val nn = if (n < 0) n + size else n
+    new GrbScalar(df.filter(col("i") === nn).select(col("v")))
+  }
+
+  /** `w << v[index]`: order- and duplicate-preserving gather via join
+    * against the (pos, idx) mapping — replaces the reference's
+    * data×index chunk meshpoint machinery (expr.py:1108-1245).
+    */
+  def extract(ix: Ix, inputMask: Option[Mask] = None): GrbVector = {
+    val idx = Ix.toDF(spark, ix, size)
+    val src = inputMask.fold(df)(_.filter(df, KEYS))
+    val newSize = Ix.length(ix, size).getOrElse(idx.count())
+    val joined = src.join(idx.withColumnRenamed("idx", "i"), KEYS)
+      .select(col("pos").as("i"), col("v"))
+    new GrbVector(joined, newSize)
+  }
+
+  // ---- assign (SURVEY §2.7) ----
+  /** C(mask, accum, replace)[idx] << obj  (GrB_assign) and
+    * C[idx](mask, accum, replace) << obj  (GxB_subassign, mask scoped
+    * to the region). One recipe (expr.py:1506-1785 collapsed):
+    *   1. Z_region = region-merge of newVals into C's region (accum)
+    *   2. Z        = outside ∪ Z_region
+    *   3. C'       = mask-merge(C, Z) — full-frame for assign,
+    *                 region-scoped for subassign.
+    * Duplicate indices: LAST wins (expr.py:1463-1499 _uniquify).
+    */
+  def assign(ix: Ix, value: Either[Column, GrbVector], desc: Desc = Desc.plain,
+      subassign: Boolean = false): GrbVector = {
+    val idx = Ix.toDF(spark, ix, size)
+    // last-duplicate-wins on the global index: keep value at max pos
+    val idxU = idx.groupBy("idx").agg(max(col("pos")).as("pos"))
+    val newVals: DataFrame = value match {
+      case Left(s) => idxU.select(col("idx").as("i"), s.as("v"))
+      case Right(vec) =>
+        vec.df.join(idxU.withColumnRenamed("pos", "i"), KEYS)
+          .select(col("idx").as("i"), col("v"))
+    }
+    val regionKeys = idxU.select(col("idx").as("i"))
+    val inside = df.join(regionKeys, KEYS, "left_semi")
+    val outside = df.join(regionKeys, KEYS, "left_anti")
+    if (subassign) {
+      // mask/replace confined to the region (expr.py:1446-1452)
+      val zRegion = Merge(inside, newVals, KEYS, desc)
+      new GrbVector(outside.unionByName(zRegion), size)
+    } else {
+      val zRegion = desc.accum match {
+        case None      => newVals
+        case Some(acc) => Merge.outerAccum(inside, newVals, KEYS, acc)
+      }
+      val z = outside.unionByName(zRegion)
+      // full-frame mask merge; accum already applied in step 1
+      // (replace deletes uncovered entries even OUTSIDE the region —
+      //  expr.py:1041-1057)
+      val out = Merge(df, z, KEYS, Desc(desc.mask, None, desc.replace))
+      new GrbVector(out, size)
+    }
+  }
+
+  /** scatter-with-combine `lhs[indices] << rhs` where duplicate target
+    * indices are REDUCED by dupOp (reference reduce_assign,
+    * expr.py:697-776 — implemented there via a CSC selection-matrix
+    * trick because Dask lacks shuffles; Spark's groupBy IS the shuffle).
+    * first/last = min/max over (pos, v) structs.
+    */
+  def reduceAssign(indices: GrbVector, rhs: GrbVector, dupAgg: Column => Column,
+      desc: Desc = Desc.plain): GrbVector = {
+    val tgt = indices.df.select(col("i").as("pos"), col("v").cast(LongType).as("i"))
+    val scattered = rhs.df.withColumnRenamed("i", "pos").join(tgt, Seq("pos"))
+      .groupBy("i").agg(dupAgg(col("v")).as("v"))
+    // indexed-assign semantics: region = target indices; outside kept
+    val regionKeys = tgt.select("i").distinct()
+    val inside = df.join(regionKeys, KEYS, "left_semi")
+    val outside = df.join(regionKeys, KEYS, "left_anti")
+    val zRegion = desc.accum match {
+      case None      => scattered
+      case Some(acc) => Merge.outerAccum(inside, scattered, KEYS, acc)
+    }
+    val z = outside.unionByName(zRegion)
+    new GrbVector(Merge(df, z, KEYS, Desc(desc.mask, None, desc.replace)), size)
+  }
+
+  def del(n: Long): GrbVector = {
+    val nn = if (n < 0) n + size else n
+    new GrbVector(df.filter(col("i") =!= nn), size)
+  }
+
+  def contains(n: Long): Boolean = !df.filter(col("i") === n).isEmpty
+
+  // ---- equality (base.py:35-92) ----
+  def isequal(other: GrbVector, checkDtype: Boolean = false): Boolean = {
+    if (size != other.size) return false
+    if (checkDtype && dtype != other.dtype) return false
+    val a = df.select(col("i"), col("v").as("_av"))
+    val b = other.df.select(col("i"), col("v").as("_bv"))
+    a.join(b, KEYS, "full_outer")
+      .filter(col("_av").isNull || col("_bv").isNull || col("_av") =!= col("_bv"))
+      .isEmpty
+  }
+
+  def isclose(other: GrbVector, relTol: Double = 1e-7, absTol: Double = 0.0): Boolean = {
+    if (size != other.size) return false
+    val a = df.select(col("i"), col("v").cast(DoubleType).as("_av"))
+    val b = other.df.select(col("i"), col("v").cast(DoubleType).as("_bv"))
+    a.join(b, KEYS, "full_outer")
+      .filter(col("_av").isNull || col("_bv").isNull ||
+        abs(col("_av") - col("_bv")) > lit(absTol) + lit(relTol) * abs(col("_bv")))
+      .isEmpty
+  }
+
+  /** merge an operation result into this collection under a descriptor —
+    * the `C(mask, accum, replace) << expr` write path.
+    */
+  def accept(result: GrbVector, desc: Desc): GrbVector =
+    new GrbVector(Merge(df, result.df, KEYS, desc), size)
+
+  /** globally ordered COO extraction (vector.py:506-548) */
+  def toValues: Seq[(Long, Any)] =
+    df.orderBy("i").collect().toSeq.map(r => (r.getLong(0), r.get(1)))
+
+  /** lineage checkpoint for iterative algorithms (base.py:345-346
+    * persist; SURVEY §3.4) — cache + localCheckpoint truncates the plan.
+    */
+  def persist(): GrbVector = new GrbVector(df.localCheckpoint(true), size)
+
+  def repartitionByIndex(n: Int): GrbVector =
+    new GrbVector(df.repartitionByRange(n, col("i")), size)
+}
+
+object GrbVector {
+  val KEYS: Seq[String] = Seq("i")
+
+  def empty(spark: SparkSession, dtype: GrbType, size: Long): GrbVector = {
+    val schema = StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("v", dtype.spark, nullable = false)))
+    new GrbVector(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), size)
+  }
+
+  /** build from (index, value) pairs with optional dup-resolution
+    * (vector.py:100-160): dupAgg combines duplicate indices; absent →
+    * duplicates are an error. size: explicit, or 1+max(i).
+    */
+  def fromValues(spark: SparkSession, pairs: Seq[(Long, Any)], dtype: GrbType,
+      size: Long = -1L, dupAgg: Option[Column => Column] = None): GrbVector = {
+    val schema = StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("v", dtype.spark, nullable = false)))
+    val rows = pairs.map { case (i, v) => org.apache.spark.sql.Row(i, v) }
+    val df0 = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    fromDF(df0, size, dupAgg)
+  }
+
+  /** distributed construction from an existing COO DataFrame */
+  def fromDF(df0: DataFrame, size: Long = -1L,
+      dupAgg: Option[Column => Column] = None): GrbVector = {
+    val df = dupAgg match {
+      case Some(agg) => df0.groupBy("i").agg(agg(col("v")).as("v"))
+      case None      => df0.select(col("i"), col("v"))
+    }
+    val sz = if (size >= 0) size
+      else df.agg(max(col("i"))).collect().headOption
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long] + 1L)).getOrElse(0L)
+    new GrbVector(df, sz)
+  }
+
+  /** populate an existing, must-be-empty vector (vector.py:448-504):
+    * OutputNotEmpty / IndexOutOfBound checks.
+    */
+  def build(target: GrbVector, pairs: Seq[(Long, Any)],
+      dupAgg: Option[Column => Column] = None): GrbVector = {
+    require(target.nvals == 0L, "OutputNotEmpty: build requires an empty vector")
+    require(pairs.forall(p => p._1 >= 0 && p._1 < target.size),
+      s"IndexOutOfBound: max index must be < ${target.size}")
+    fromValues(target.spark, pairs, target.dtype, target.size, dupAgg)
+  }
+}
+
+/** 2-dim sparse matrix: COO DataFrame[(i, j, v)] + (nrows, ncols).
+  * Reference: dask_grblas/matrix.py:43-248. Transpose is a zero-shuffle
+  * lazy projection (matrix.py:682-753 TransposedMatrix).
+  */
+final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
+  import GrbMatrix.KEYS
+
+  def spark: SparkSession = df.sparkSession
+  def dtype: GrbType = GrbType.fromSpark(df.schema("v").dataType)
+  lazy val nvals: Long = df.count()
+  def shape: (Long, Long) = (nrows, ncols)
+
+  def dup(dtype: GrbType = dtype, mask: Option[Mask] = None): GrbMatrix = {
+    val d0 = mask.fold(df)(_.filter(df, KEYS))
+    new GrbMatrix(d0.select(col("i"), col("j"), col("v").cast(dtype.spark).as("v")),
+      nrows, ncols)
+  }
+
+  def clear: GrbMatrix = GrbMatrix.empty(spark, dtype, nrows, ncols)
+
+  def resize(newRows: Long, newCols: Long): GrbMatrix = {
+    val d = if (newRows >= nrows && newCols >= ncols) df
+      else df.filter(col("i") < newRows && col("j") < newCols)
+    new GrbMatrix(d, newRows, newCols)
+  }
+
+  /** zero-cost transposed view: a projection, no shuffle
+    * (matrix.py:682-753)
+    */
+  def transpose: GrbMatrix =
+    new GrbMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")), ncols, nrows)
+
+  // ---- apply ----
+  def apply(op: UnaryOp): GrbMatrix =
+    new GrbMatrix(df.select(col("i"), col("j"), op(col("v")).as("v")), nrows, ncols)
+  def applyLeft(op: BinaryOp, left: Column): GrbMatrix =
+    new GrbMatrix(df.select(col("i"), col("j"), op(left, col("v")).as("v")), nrows, ncols)
+  def applyRight(op: BinaryOp, right: Column): GrbMatrix =
+    new GrbMatrix(df.select(col("i"), col("j"), op(col("v"), right).as("v")), nrows, ncols)
+  /** positional: value = row index (positioni) or col index (positionj) */
+  def applyPositional(rowIndex: Boolean): GrbMatrix =
+    new GrbMatrix(df.select(col("i"), col("j"),
+      (if (rowIndex) col("i") else col("j")).as("v")), nrows, ncols)
+
+  def selectOp(pred: Column => Column): GrbMatrix =
+    new GrbMatrix(df.filter(pred(col("v"))), nrows, ncols)
+
+  // ---- ewise ----
+  def ewiseMult(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
+    require(shape == other.shape, s"shape mismatch $shape vs ${other.shape}")
+    val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
+    new GrbMatrix(df.join(b, KEYS)
+      .select(col("i"), col("j"), op(col("v"), col("_bv")).as("v")), nrows, ncols)
+  }
+
+  def ewiseAdd(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
+    require(shape == other.shape, s"shape mismatch $shape vs ${other.shape}")
+    val a = df.select(col("i"), col("j"), col("v").as("_av"))
+    val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
+    new GrbMatrix(
+      a.join(b, KEYS, "full_outer").select(col("i"), col("j"),
+        when(col("_av").isNotNull && col("_bv").isNotNull, op(col("_av"), col("_bv")))
+          .otherwise(coalesce(col("_av"), col("_bv"))).as("v")), nrows, ncols)
+  }
+
+  // ---- products (SURVEY §2.5: the heart of the engine) ----
+  /** C(i,k) = ⊕_j A(i,j) ⊗ B(j,k). One equi-join on the contracted
+    * dimension + hash aggregate; Catalyst/AQE picks broadcast vs
+    * shuffle (the reference's two hand-rolled matmul strategies,
+    * expr.py:43-164, are exactly this choice).
+    * Masked variant: the mask's key set is semi-joined against the
+    * products BEFORE aggregation, shrinking the shuffle — matches
+    * `_matmul2_masked` pushing the mask into block products
+    * (expr.py:147-160,1967-1971).
+    */
+  def mxm(other: GrbMatrix, sr: Semiring, mask: Option[Mask] = None): GrbMatrix = {
+    require(ncols == other.nrows, s"dim mismatch mxm: $ncols vs ${other.nrows}")
+    val a = df.select(col("i"), col("j").as("_k"), col("v").as("_av"))
+    val b = other.df.select(col("i").as("_k"), col("j"), col("v").as("_bv"))
+    val prod0 = a.join(b, Seq("_k"))
+      .select(col("i"), col("j"), sr.mult(col("_av"), col("_bv")).as("_p"))
+    val prod = mask.fold(prod0)(m => m.filter(prod0, KEYS))
+    new GrbMatrix(prod.groupBy("i", "j").agg(sr.add.agg(col("_p")).as("v")),
+      nrows, other.ncols)
+  }
+
+  /** matrix × column vector (matrix.py:449-454). broadcastVec hints the
+    * planner to replicate the (typically small) vector to every
+    * partition — no shuffle of the matrix side.
+    */
+  def mxv(vec: GrbVector, sr: Semiring, mask: Option[Mask] = None,
+      broadcastVec: Boolean = true): GrbVector = {
+    require(ncols == vec.size, s"dim mismatch mxv: $ncols vs ${vec.size}")
+    val v0 = vec.df.select(col("i").as("j"), col("v").as("_xv"))
+    val v = if (broadcastVec) broadcast(v0) else v0
+    val prod0 = df.join(v, Seq("j")).select(col("i"), sr.mult(col("v"), col("_xv")).as("_p"))
+    val prod = mask.fold(prod0)(m => m.filter(prod0, GrbVector.KEYS))
+    new GrbVector(prod.groupBy("i").agg(sr.add.agg(col("_p")).as("v")), nrows)
+  }
+
+  /** Kronecker product — declared-but-unimplemented in the reference
+    * (matrix.py:461-464 builds meta; expr.py:255-279 has no branch →
+    * ValueError). Implemented here for GraphBLAS-spec parity.
+    */
+  def kronecker(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
+    val b = other.df.select(col("i").as("_bi"), col("j").as("_bj"), col("v").as("_bv"))
+    new GrbMatrix(
+      df.crossJoin(b).select(
+        (col("i") * other.nrows + col("_bi")).as("i"),
+        (col("j") * other.ncols + col("_bj")).as("j"),
+        op(col("v"), col("_bv")).as("v")),
+      nrows * other.nrows, ncols * other.ncols)
+  }
+
+  // ---- reductions (SURVEY §2.6) ----
+  /** per-row fold (matrix.py:480-482): partial+final hash agg is the
+    * reference's per-chunk reduce + ewise_add-of-partials combine
+    * (expr.py:1844-1869).
+    */
+  def reduceRowwise(m: Monoid): GrbVector =
+    new GrbVector(df.groupBy("i").agg(m.agg(col("v")).as("v")), nrows)
+  def reduceColumnwise(m: Monoid): GrbVector =
+    new GrbVector(df.groupBy("j").agg(m.agg(col("v")).as("v"))
+      .withColumnRenamed("j", "i"), ncols)
+  def reduceScalar(m: Monoid): GrbScalar =
+    new GrbScalar(df.agg(m.agg(col("v")).as("v")).filter(col("v").isNotNull))
+
+  // ---- extract (SURVEY §2.3) ----
+  def extractScalar(i0: Long, j0: Long): GrbScalar = {
+    val ii = if (i0 < 0) i0 + nrows else i0
+    val jj = if (j0 < 0) j0 + ncols else j0
+    new GrbScalar(df.filter(col("i") === ii && col("j") === jj).select(col("v")))
+  }
+
+  /** row extract → Vector (matrix row i0, columns by colIx) */
+  def extractRow(i0: Long, colIx: Ix = Ix.All): GrbVector = {
+    val ii = if (i0 < 0) i0 + nrows else i0
+    val row = df.filter(col("i") === ii).select(col("j").as("i"), col("v"))
+    new GrbVector(row, ncols).extract(colIx)
+  }
+
+  def extractCol(j0: Long, rowIx: Ix = Ix.All): GrbVector = {
+    val jj = if (j0 < 0) j0 + ncols else j0
+    val colV = df.filter(col("j") === jj).select(col("i"), col("v"))
+    new GrbVector(colV, nrows).extract(rowIx)
+  }
+
+  /** submatrix extract C << A[rows, cols] — the double gather is two
+    * joins (replaces expr.py:1108-1245's meshpoint/defrag machinery).
+    */
+  def extract(rowIx: Ix, colIx: Ix, inputMask: Option[Mask] = None): GrbMatrix = {
+    val rIdx = Ix.toDF(spark, rowIx, nrows)
+      .select(col("pos").as("_rpos"), col("idx").as("i"))
+    val cIdx = Ix.toDF(spark, colIx, ncols)
+      .select(col("pos").as("_cpos"), col("idx").as("j"))
+    val src = inputMask.fold(df)(_.filter(df, KEYS))
+    val out = src.join(rIdx, Seq("i")).join(cIdx, Seq("j"))
+      .select(col("_rpos").as("i"), col("_cpos").as("j"), col("v"))
+    val nr = Ix.length(rowIx, nrows).getOrElse(rIdx.count())
+    val nc = Ix.length(colIx, ncols).getOrElse(cIdx.count())
+    new GrbMatrix(out, nr, nc)
+  }
+
+  // ---- assign (SURVEY §2.7) ----
+  /** submatrix assign; same staged recipe as GrbVector.assign.
+    * value: scalar Column (broadcast to the region), or GrbMatrix
+    * (region-shaped), or a GrbVector for row/col band assign via
+    * assignRow/assignCol.
+    */
+  def assign(rowIx: Ix, colIx: Ix, value: Either[Column, GrbMatrix],
+      desc: Desc = Desc.plain, subassign: Boolean = false): GrbMatrix = {
+    // scalar broadcast to full unmasked matrix would densify → error
+    // (base.py:242-252)
+    value match {
+      case Left(_) if rowIx == Ix.All && colIx == Ix.All && desc.mask.isEmpty =>
+        throw new IllegalArgumentException(
+          "scalar assign to entire Matrix without a mask would densify")
+      case _ =>
+    }
+    val rIdx = Ix.toDF(spark, rowIx, nrows).groupBy("idx").agg(max("pos").as("pos"))
+      .select(col("pos").as("_rpos"), col("idx").as("_ri"))
+    val cIdx = Ix.toDF(spark, colIx, ncols).groupBy("idx").agg(max("pos").as("pos"))
+      .select(col("pos").as("_cpos"), col("idx").as("_cj"))
+    val newVals: DataFrame = value match {
+      case Left(s) =>
+        rIdx.crossJoin(cIdx).select(col("_ri").as("i"), col("_cj").as("j"), s.as("v"))
+      case Right(m) =>
+        m.df.join(rIdx.withColumnRenamed("_rpos", "i"), Seq("i"))
+          .join(cIdx.withColumnRenamed("_cpos", "j"), Seq("j"))
+          .select(col("_ri").as("i"), col("_cj").as("j"), col("v"))
+    }
+    val regionKeys = rIdx.select(col("_ri").as("i")).crossJoin(cIdx.select(col("_cj").as("j")))
+    val inside = df.join(regionKeys, KEYS, "left_semi")
+    val outside = df.join(regionKeys, KEYS, "left_anti")
+    if (subassign) {
+      val zRegion = Merge(inside, newVals, KEYS, desc)
+      new GrbMatrix(outside.unionByName(zRegion), nrows, ncols)
+    } else {
+      val zRegion = desc.accum match {
+        case None      => newVals
+        case Some(acc) => Merge.outerAccum(inside, newVals, KEYS, acc)
+      }
+      val z = outside.unionByName(zRegion)
+      new GrbMatrix(Merge(df, z, KEYS, Desc(desc.mask, None, desc.replace)), nrows, ncols)
+    }
+  }
+
+  /** band assign: vector into row i0 (GrB_Row_assign,
+    * expr.py:1756-1765)
+    */
+  def assignRow(i0: Long, vec: GrbVector, colIx: Ix = Ix.All,
+      desc: Desc = Desc.plain): GrbMatrix = {
+    val asMatrix = new GrbMatrix(
+      vec.df.select(lit(0L).as("i"), col("i").as("j"), col("v")), 1L, vec.size)
+    assign(Ix.Seqs(Seq(i0)), colIx, Right(asMatrix), desc)
+  }
+
+  def assignCol(j0: Long, vec: GrbVector, rowIx: Ix = Ix.All,
+      desc: Desc = Desc.plain): GrbMatrix = {
+    val asMatrix = new GrbMatrix(
+      vec.df.select(col("i"), lit(0L).as("j"), col("v")), vec.size, 1L)
+    assign(rowIx, Ix.Seqs(Seq(j0)), Right(asMatrix), desc)
+  }
+
+  def del(i0: Long, j0: Long): GrbMatrix =
+    new GrbMatrix(df.filter(!(col("i") === i0 && col("j") === j0)), nrows, ncols)
+
+  def isequal(other: GrbMatrix, checkDtype: Boolean = false): Boolean = {
+    if (shape != other.shape) return false
+    if (checkDtype && dtype != other.dtype) return false
+    val a = df.select(col("i"), col("j"), col("v").as("_av"))
+    val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
+    a.join(b, KEYS, "full_outer")
+      .filter(col("_av").isNull || col("_bv").isNull || col("_av") =!= col("_bv"))
+      .isEmpty
+  }
+
+  def isclose(other: GrbMatrix, relTol: Double = 1e-7, absTol: Double = 0.0): Boolean = {
+    if (shape != other.shape) return false
+    val a = df.select(col("i"), col("j"), col("v").cast(DoubleType).as("_av"))
+    val b = other.df.select(col("i"), col("j"), col("v").cast(DoubleType).as("_bv"))
+    a.join(b, KEYS, "full_outer")
+      .filter(col("_av").isNull || col("_bv").isNull ||
+        abs(col("_av") - col("_bv")) > lit(absTol) + lit(relTol) * abs(col("_bv")))
+      .isEmpty
+  }
+
+  def accept(result: GrbMatrix, desc: Desc): GrbMatrix =
+    new GrbMatrix(Merge(df, result.df, KEYS, desc), nrows, ncols)
+
+  def toValues: Seq[(Long, Long, Any)] =
+    df.orderBy("i", "j").collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+
+  def persist(): GrbMatrix = new GrbMatrix(df.localCheckpoint(true), nrows, ncols)
+
+  /** co-partition by row key — lets downstream joins/aggregations on i
+    * reuse the exchange (rechunk analogue, matrix.py:637-642)
+    */
+  def repartitionByRow(n: Int): GrbMatrix =
+    new GrbMatrix(df.repartitionByRange(n, col("i")), nrows, ncols)
+}
+
+object GrbMatrix {
+  val KEYS: Seq[String] = Seq("i", "j")
+
+  def empty(spark: SparkSession, dtype: GrbType, nrows: Long, ncols: Long): GrbMatrix = {
+    val schema = StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("v", dtype.spark, nullable = false)))
+    new GrbMatrix(spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), nrows, ncols)
+  }
+
+  def fromValues(spark: SparkSession, triples: Seq[(Long, Long, Any)], dtype: GrbType,
+      nrows: Long = -1L, ncols: Long = -1L,
+      dupAgg: Option[Column => Column] = None): GrbMatrix = {
+    val schema = StructType(Seq(
+      StructField("i", LongType, nullable = false),
+      StructField("j", LongType, nullable = false),
+      StructField("v", dtype.spark, nullable = false)))
+    val rows = triples.map { case (i, j, v) => org.apache.spark.sql.Row(i, j, v) }
+    val df0 = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+    fromDF(df0, nrows, ncols, dupAgg)
+  }
+
+  def fromDF(df0: DataFrame, nrows: Long = -1L, ncols: Long = -1L,
+      dupAgg: Option[Column => Column] = None): GrbMatrix = {
+    val df = dupAgg match {
+      case Some(agg) => df0.groupBy("i", "j").agg(agg(col("v")).as("v"))
+      case None      => df0.select(col("i"), col("j"), col("v"))
+    }
+    val (nr, nc) =
+      if (nrows >= 0 && ncols >= 0) (nrows, ncols)
+      else {
+        val r = df.agg(max(col("i")).as("mi"), max(col("j")).as("mj")).collect().head
+        (if (nrows >= 0) nrows else Option(r.get(0)).map(_.asInstanceOf[Long] + 1).getOrElse(0L),
+         if (ncols >= 0) ncols else Option(r.get(1)).map(_.asInstanceOf[Long] + 1).getOrElse(0L))
+      }
+    new GrbMatrix(df, nr, nc)
+  }
+
+  def build(target: GrbMatrix, triples: Seq[(Long, Long, Any)],
+      dupAgg: Option[Column => Column] = None): GrbMatrix = {
+    require(target.nvals == 0L, "OutputNotEmpty: build requires an empty matrix")
+    require(triples.forall(t => t._1 >= 0 && t._1 < target.nrows &&
+      t._2 >= 0 && t._2 < target.ncols), "IndexOutOfBound")
+    fromValues(target.spark, triples, target.dtype, target.nrows, target.ncols, dupAgg)
+  }
+}

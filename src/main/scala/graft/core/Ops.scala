@@ -1,0 +1,121 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Operator algebra: UnaryOp / BinaryOp / Monoid / Semiring.
+  *
+  * Mirrors the reference's operator namespaces (grblas `unary.*`,
+  * `binary.*`, `monoid.*`, `semiring.*`; used throughout
+  * dask_grblas/base.py, dask_grblas/expr.py). Ops here are pure
+  * `Column => Column` builders so every application stays inside
+  * Catalyst whole-stage codegen — no UDFs on the hot path.
+  */
+final case class UnaryOp(name: String)(val f: Column => Column) {
+  def apply(c: Column): Column = f(c)
+}
+
+final case class BinaryOp(name: String)(val f: (Column, Column) => Column) {
+  def apply(a: Column, b: Column): Column = f(a, b)
+}
+
+/** A commutative associative reduction with identity.
+  *
+  * `agg` is the Spark aggregate expression used for distributed folds —
+  * partial (map-side) + final aggregation is Spark's native two-phase
+  * hash aggregate, matching the reference's per-chunk reduce + combine
+  * tree (dask_grblas/expr.py:1974-2008 sum_by_monoid).
+  */
+final case class Monoid(name: String, op: BinaryOp)(val agg: Column => Column) {
+  def apply(a: Column, b: Column): Column = op(a, b)
+}
+
+final case class Semiring(name: String, add: Monoid, mult: BinaryOp)
+
+object Ops {
+  import GrbType._
+
+  // ---- unary ops (grblas unary.* namespace) ----
+  val identity: UnaryOp = UnaryOp("identity")(c => c)
+  val ainv: UnaryOp = UnaryOp("ainv")(c => -c)
+  val minv: UnaryOp = UnaryOp("minv")(c => lit(1.0) / c)
+  val lnot: UnaryOp = UnaryOp("lnot")(c => !c.cast("boolean"))
+  val one: UnaryOp = UnaryOp("one")(c => lit(1))
+  val abs: UnaryOp = UnaryOp("abs")(c => org.apache.spark.sql.functions.abs(c))
+  val sqrt: UnaryOp = UnaryOp("sqrt")(c => org.apache.spark.sql.functions.sqrt(c))
+  val exp: UnaryOp = UnaryOp("exp")(c => org.apache.spark.sql.functions.exp(c))
+  val log: UnaryOp = UnaryOp("log")(c => org.apache.spark.sql.functions.log(c))
+  val log2: UnaryOp = UnaryOp("log2")(c => org.apache.spark.sql.functions.log2(c))
+  val log10: UnaryOp = UnaryOp("log10")(c => org.apache.spark.sql.functions.log10(c))
+  val sin: UnaryOp = UnaryOp("sin")(c => org.apache.spark.sql.functions.sin(c))
+  val cos: UnaryOp = UnaryOp("cos")(c => org.apache.spark.sql.functions.cos(c))
+  val tan: UnaryOp = UnaryOp("tan")(c => org.apache.spark.sql.functions.tan(c))
+  val floor: UnaryOp = UnaryOp("floor")(c => org.apache.spark.sql.functions.floor(c))
+  val ceil: UnaryOp = UnaryOp("ceil")(c => org.apache.spark.sql.functions.ceil(c))
+
+  // ---- binary ops (grblas binary.*) ----
+  val plus: BinaryOp = BinaryOp("plus")(_ + _)
+  val minus: BinaryOp = BinaryOp("minus")(_ - _)
+  val times: BinaryOp = BinaryOp("times")(_ * _)
+  val div: BinaryOp = BinaryOp("div")(_ / _)
+  val min: BinaryOp = BinaryOp("min")(least(_, _))
+  val max: BinaryOp = BinaryOp("max")(greatest(_, _))
+  val first: BinaryOp = BinaryOp("first")((a, _) => a)
+  val second: BinaryOp = BinaryOp("second")((_, b) => b)
+  val pair: BinaryOp = BinaryOp("pair")((_, _) => lit(1))
+  val any: BinaryOp = BinaryOp("any")((a, _) => a) // "any" picks an arbitrary present value
+  val land: BinaryOp = BinaryOp("land")((a, b) => a.cast("boolean") && b.cast("boolean"))
+  val lor: BinaryOp = BinaryOp("lor")((a, b) => a.cast("boolean") || b.cast("boolean"))
+  val lxor: BinaryOp = BinaryOp("lxor")((a, b) => a.cast("boolean") =!= b.cast("boolean"))
+  val eq: BinaryOp = BinaryOp("eq")(_ === _)
+  val ne: BinaryOp = BinaryOp("ne")(_ =!= _)
+  val gt: BinaryOp = BinaryOp("gt")(_ > _)
+  val lt: BinaryOp = BinaryOp("lt")(_ < _)
+  val ge: BinaryOp = BinaryOp("ge")(_ >= _)
+  val le: BinaryOp = BinaryOp("le")(_ <= _)
+  val pow: BinaryOp = BinaryOp("pow")(org.apache.spark.sql.functions.pow(_, _))
+
+  // ---- monoids (grblas monoid.*) ----
+  val plusMonoid: Monoid = Monoid("plus", plus)(sum)
+  val timesMonoid: Monoid = Monoid("times", times)(product)
+  val minMonoid: Monoid = Monoid("min", min)(org.apache.spark.sql.functions.min)
+  val maxMonoid: Monoid = Monoid("max", max)(org.apache.spark.sql.functions.max)
+  val landMonoid: Monoid = Monoid("land", land)(c => bool_and(c.cast("boolean")))
+  val lorMonoid: Monoid = Monoid("lor", lor)(c => bool_or(c.cast("boolean")))
+  val lxorMonoid: Monoid =
+    Monoid("lxor", lxor)(c => (sum(c.cast("boolean").cast("long")) % 2) === 1)
+  val anyMonoid: Monoid = Monoid("any", any)(first_value)
+
+  // ---- semirings (grblas semiring.*) ----
+  val plusTimes: Semiring = Semiring("plus_times", plusMonoid, times)
+  val minPlus: Semiring = Semiring("min_plus", minMonoid, plus)
+  val maxPlus: Semiring = Semiring("max_plus", maxMonoid, plus)
+  val minTimes: Semiring = Semiring("min_times", minMonoid, times)
+  val minSecond: Semiring = Semiring("min_second", minMonoid, second)
+  val minFirst: Semiring = Semiring("min_first", minMonoid, first)
+  val maxSecond: Semiring = Semiring("max_second", maxMonoid, second)
+  val plusFirst: Semiring = Semiring("plus_first", plusMonoid, first)
+  val plusSecond: Semiring = Semiring("plus_second", plusMonoid, second)
+  val plusPair: Semiring = Semiring("plus_pair", plusMonoid, pair)
+  val lorLand: Semiring = Semiring("lor_land", lorMonoid, land)
+  val anyPair: Semiring = Semiring("any_pair", anyMonoid, pair)
+  val anySecond: Semiring = Semiring("any_second", anyMonoid, second)
+
+  /** registry by name — mirrors grblas's attribute namespaces; also the
+    * extension point for user-defined ops (SURVEY §2.8: user ops are
+    * plain Scala lambdas registered here).
+    */
+  val unaryOps: Map[String, UnaryOp] = Seq(
+    identity, ainv, minv, lnot, one, abs, sqrt, exp, log, log2, log10,
+    sin, cos, tan, floor, ceil).map(o => o.name -> o).toMap
+  val binaryOps: Map[String, BinaryOp] = Seq(
+    plus, minus, times, div, min, max, first, second, pair, any, land,
+    lor, lxor, eq, ne, gt, lt, ge, le, pow).map(o => o.name -> o).toMap
+  val monoids: Map[String, Monoid] = Seq(
+    plusMonoid, timesMonoid, minMonoid, maxMonoid, landMonoid, lorMonoid,
+    lxorMonoid, anyMonoid).map(o => o.name -> o).toMap
+  val semirings: Map[String, Semiring] = Seq(
+    plusTimes, minPlus, maxPlus, minTimes, minSecond, minFirst, maxSecond,
+    plusFirst, plusSecond, plusPair, lorLand, anyPair, anySecond)
+    .map(o => o.name -> o).toMap
+}

@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** GraphBLAS dtype ↔ Spark SQL type mapping.
+  *
+  * Reference semantics: fixed numeric+bool type system, see
+  * dask_grblas/utils.py:10-11 (np_dtype) and the dtype usage survey in
+  * SURVEY.md §1.2. Spark has no unsigned integral types; unsigned dtypes
+  * are widened to the next signed type (documented deviation).
+  */
+sealed abstract class GrbType(val name: String, val spark: DataType, val rank: Int) {
+  override def toString: String = name
+}
+
+object GrbType {
+  case object BOOL extends GrbType("BOOL", BooleanType, 0)
+  case object INT8 extends GrbType("INT8", ByteType, 1)
+  case object INT16 extends GrbType("INT16", ShortType, 2)
+  case object INT32 extends GrbType("INT32", IntegerType, 3)
+  case object INT64 extends GrbType("INT64", LongType, 4)
+  // unsigned: widened signed representation (Spark has no unsigned types)
+  case object UINT8 extends GrbType("UINT8", ShortType, 2)
+  case object UINT16 extends GrbType("UINT16", IntegerType, 3)
+  case object UINT32 extends GrbType("UINT32", LongType, 4)
+  case object UINT64 extends GrbType("UINT64", LongType, 4)
+  case object FP32 extends GrbType("FP32", FloatType, 5)
+  case object FP64 extends GrbType("FP64", DoubleType, 6)
+
+  val all: Seq[GrbType] =
+    Seq(BOOL, INT8, INT16, INT32, INT64, UINT8, UINT16, UINT32, UINT64, FP32, FP64)
+
+  def fromSpark(dt: DataType): GrbType = dt match {
+    case BooleanType => BOOL
+    case ByteType    => INT8
+    case ShortType   => INT16
+    case IntegerType => INT32
+    case LongType    => INT64
+    case FloatType   => FP32
+    case DoubleType  => FP64
+    case other => throw new IllegalArgumentException(s"unsupported value type: $other")
+  }
+
+  /** numpy-style promotion for mixed-dtype binary ops
+    * (reference: get_typed_op via grblas, dask_grblas/base.py:174).
+    */
+  def promote(a: GrbType, b: GrbType): GrbType = if (a.rank >= b.rank) a else b
+}
