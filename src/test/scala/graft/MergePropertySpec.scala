@@ -1,15 +1,19 @@
 package graft
 
 import graft.core._
-import org.scalacheck.{Gen, Prop}
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** Property test: the DataFrame merge recipe (Merge) vs an in-memory
   * oracle implementing the GraphBLAS (mask, accum, replace) truth table
   * directly over Map[Long, Long] (SURVEY §5 — replaces the reference's
   * grblas single-node oracle, tests/utils.py:8-59).
+  *
+  * Plain ScalaCheck generators sampled under deterministic seeds inside
+  * funsuite bodies (the org.scalatestplus bridge is not resolvable in
+  * this offline build).
   */
-class MergePropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
+class MergePropertySpec extends SparkSpec {
 
   val SIZE = 8L
 
@@ -51,8 +55,18 @@ class MergePropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
 
   val genMaskKeys: Gen[Set[Long]] = Gen.containerOf[Set, Long](Gen.choose(0L, SIZE - 1))
 
+  /** deterministic sampler: N samples of `gen` from a fixed seed chain */
+  def samples[A](gen: Gen[A], n: Int, seed0: Long): Seq[A] = {
+    var seed = Seed(seed0)
+    (1 to n).flatMap { _ =>
+      val r = gen.doPureApply(Gen.Parameters.default, seed)
+      seed = r.seed
+      r.retrieve
+    }
+  }
+
   test("Merge == oracle for random target/result/mask/accum/replace") {
-    val cases = for {
+    val genCase = for {
       t <- genMap; r <- genMap
       maskOpt <- Gen.option(for {
         keys <- genMaskKeys; comp <- Gen.oneOf(true, false)
@@ -61,7 +75,7 @@ class MergePropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
       replace <- Gen.oneOf(true, false)
     } yield (t, r, maskOpt, useAccum, replace)
 
-    forAll(cases, minSuccessful(40)) { case (t, r, maskOpt, useAccum, replace) =>
+    samples(genCase, 40, 42L).foreach { case (t, r, maskOpt, useAccum, replace) =>
       val expected = oracle(t, r, maskOpt,
         if (useAccum) Some(_ + _) else None, replace)
       val maskVec = maskOpt.map { case (keys, comp) =>
@@ -76,10 +90,10 @@ class MergePropertySpec extends SparkSpec with ScalaCheckPropertyChecks {
   }
 
   test("ewise add/mult == oracle union/intersection semantics") {
-    forAll(genMap, genMap, minSuccessful(20)) { (a, b) =>
+    val genPair = for { a <- genMap; b <- genMap } yield (a, b)
+    samples(genPair, 20, 7L).foreach { case (a, b) =>
       val expAdd = (a.keySet ++ b.keySet).map { k =>
-        k -> (a.get(k), b.get(k) match { case bv => bv }) }.map { case (k, (av, bv)) =>
-        k -> ((av, bv) match {
+        k -> ((a.get(k), b.get(k)) match {
           case (Some(x), Some(y)) => x + y
           case (Some(x), None)    => x
           case (None, Some(y))    => y
