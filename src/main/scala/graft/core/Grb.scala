@@ -56,6 +56,33 @@ object Ix {
     case Seqs(xs) => Some(xs.length.toLong)
     case Dist(_) => None // unknown without a count; caller may supply
   }
+
+  /** region-membership predicate on an index column, when expressible
+    * as a pure filter — All/At/Range/modest Seqs. Lets extract/assign
+    * skip the (pos, idx) join entirely: at 10^11-dim collections a
+    * `spark.range(dim)` build side for a no-op region is a scale
+    * killer (round-1 verdict items 3-4).
+    */
+  def predicate(ix: Ix, c: Column, dim: Long): Option[Column] = normalize(ix, dim) match {
+    case All    => Some(lit(true))
+    case At(n)  => Some(c === n)
+    case Range(a, b, s) =>
+      if (s > 0) Some(c >= a && c < b && (c - a) % s === 0)
+      else Some(c <= a && c > b && (c - a) % s === 0)
+    case Seqs(xs) if xs.length <= 10000 => Some(c.isin(xs: _*))
+    case _ => None
+  }
+
+  /** map a global index column to its position within the region —
+    * inverse of the (pos → idx) mapping, valid for rows that satisfy
+    * `predicate`. Defined for All/At/Range only.
+    */
+  def position(ix: Ix, c: Column, dim: Long): Option[Column] = normalize(ix, dim) match {
+    case All => Some(c)
+    case At(_) => Some(lit(0L))
+    case Range(a, _, s) => Some(((c - lit(a)) / lit(s)).cast(org.apache.spark.sql.types.LongType))
+    case _ => None
+  }
 }
 
 /** 0-dim possibly-empty scalar (reference dask_grblas/scalar.py:52-231).
@@ -74,6 +101,32 @@ final class GrbScalar(val df: DataFrame) {
   }
   def dup(dtype: GrbType): GrbScalar =
     new GrbScalar(df.select(col("v").cast(dtype.spark).as("v")))
+
+  /** `-s` (reference scalar.py:138-142) — empty stays empty */
+  def neg: GrbScalar =
+    new GrbScalar(df.select((-col("v")).cast(df.schema("v").dataType).as("v")))
+
+  /** `~s` boolean-not (reference scalar.py:143-146) */
+  def invert: GrbScalar =
+    new GrbScalar(df.select((!col("v").cast(BooleanType)).as("v")))
+
+  /** merge a result scalar into this one with an accumulator — the
+    * scalar arm of the §2.9 truth table (reference _reduce_accum,
+    * dask_grblas/expr.py:1901-1915): both present → accum(t, r), one
+    * present → it, neither → empty. Output domain = this scalar's dtype.
+    */
+  def merge(r: GrbScalar, accum: Option[BinaryOp]): GrbScalar = accum match {
+    case None => r.dup(dtype)
+    case Some(acc) =>
+      val outType = df.schema("v").dataType
+      val t = df.select(lit(1).as("_k"), col("v").as("_tv"))
+      val rr = r.df.select(lit(1).as("_k"), col("v").as("_rv"))
+      new GrbScalar(t.join(rr, Seq("_k"), "full_outer")
+        .select(when(col("_tv").isNotNull && col("_rv").isNotNull,
+          acc(col("_tv"), col("_rv")).cast(outType))
+          .otherwise(coalesce(col("_rv"), col("_tv")).cast(outType)).as("v"))
+        .filter(col("v").isNotNull))
+  }
 }
 
 object GrbScalar {
@@ -117,12 +170,25 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     new GrbVector(if (newSize >= size) df else df.filter(col("i") < newSize), newSize)
 
   // ---- element-wise apply (vector.py:430-442) ----
+  private def keepType(preserve: Boolean, c: Column): Column =
+    if (preserve) c.cast(dtype.spark) else c
+
   def apply(op: UnaryOp): GrbVector =
-    new GrbVector(df.select(col("i"), op(col("v")).as("v")), size)
+    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"))).as("v")), size)
   def applyLeft(op: BinaryOp, left: Column): GrbVector =
-    new GrbVector(df.select(col("i"), op(left, col("v")).as("v")), size)
+    new GrbVector(df.select(col("i"), keepType(op.preserve, op(left, col("v"))).as("v")), size)
   def applyRight(op: BinaryOp, right: Column): GrbVector =
-    new GrbVector(df.select(col("i"), op(col("v"), right).as("v")), size)
+    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"), right)).as("v")), size)
+  /** bind a LAZY scalar as the right operand (reference: lazy Scalar in
+    * apply, tests/test_vector.py:269-369) — broadcast crossJoin with the
+    * ≤1-row scalar frame, no driver materialization.
+    */
+  def applyRightScalar(op: BinaryOp, s: GrbScalar): GrbVector =
+    new GrbVector(df.crossJoin(broadcast(s.df.select(col("v").as("_sv"))))
+      .select(col("i"), keepType(op.preserve, op(col("v"), col("_sv"))).as("v")), size)
+  def applyLeftScalar(op: BinaryOp, s: GrbScalar): GrbVector =
+    new GrbVector(df.crossJoin(broadcast(s.df.select(col("v").as("_sv"))))
+      .select(col("i"), keepType(op.preserve, op(col("_sv"), col("v"))).as("v")), size)
   /** positional op: value = index (unary.positioni etc.) */
   def applyPositional: GrbVector = new GrbVector(df.select(col("i"), col("i").as("v")), size)
 
@@ -133,22 +199,37 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     new GrbVector(df.filter(pred(col("v"))), size)
 
   // ---- element-wise joins (SURVEY §2.4) ----
+  private def promotedSpark(other: GrbVector): DataType =
+    GrbType.promote(dtype, other.dtype).spark
+
   /** intersection of structures (vector.py:365-368) */
   def ewiseMult(other: GrbVector, op: BinaryOp): GrbVector = {
     require(size == other.size, s"size mismatch $size vs ${other.size}")
     val b = other.df.select(col("i"), col("v").as("_bv"))
-    new GrbVector(df.join(b, KEYS).select(col("i"), op(col("v"), col("_bv")).as("v")), size)
+    val out = op(col("v"), col("_bv"))
+    val outC = if (op.preserve) out.cast(promotedSpark(other)) else out
+    new GrbVector(df.join(b, KEYS).select(col("i"), outC.as("v")), size)
   }
 
-  /** union of structures; op where both present (vector.py:360-363) */
+  /** union of structures; op where both present (vector.py:360-363).
+    * Pass-through values are cast to the op's output dtype — grblas
+    * supports comparison ops in ewise_add by casting the one-sided
+    * values to BOOL, and Spark's when/otherwise needs type-compatible
+    * branches.
+    */
   def ewiseAdd(other: GrbVector, op: BinaryOp): GrbVector = {
     require(size == other.size, s"size mismatch $size vs ${other.size}")
     val a = df.select(col("i"), col("v").as("_av"))
     val b = other.df.select(col("i"), col("v").as("_bv"))
+    val joined = a.join(b, KEYS, "full_outer")
+    val out = op(col("_av"), col("_bv"))
+    val outC = if (op.preserve) out.cast(promotedSpark(other)) else out
+    // analysis-only probe for the op's output type (no job is run)
+    val outType = joined.select(outC.as("_t")).schema("_t").dataType
     new GrbVector(
-      a.join(b, KEYS, "full_outer").select(col("i"),
-        when(col("_av").isNotNull && col("_bv").isNotNull, op(col("_av"), col("_bv")))
-          .otherwise(coalesce(col("_av"), col("_bv"))).as("v")), size)
+      joined.select(col("i"),
+        when(col("_av").isNotNull && col("_bv").isNotNull, outC)
+          .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v")), size)
   }
 
   // ---- products (SURVEY §2.5) ----
@@ -160,9 +241,18 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     require(size == a.nrows, s"dim mismatch: vxm size=$size nrows=${a.nrows}")
     val self0 = df.select(col("i"), col("v").as("_xv"))
     val self = if (broadcastSelf) broadcast(self0) else self0
-    val prod = a.df.join(self, KEYS)
-      .select(col("j").as("i"), sr.mult(col("_xv"), col("v")).as("_p"))
-    new GrbVector(prod.groupBy("i").agg(sr.add.agg(col("_p")).as("v")), a.ncols)
+    // positional mult: the row vector is 1×n, so firsti ≡ 0, firstj ≡
+    // the contracted index (this vector's i)
+    val mult = sr.positional match {
+      case Some(pf) => pf(lit(0L), col("i"), col("j"))
+      case None =>
+        val p = sr.mult(col("_xv"), col("v"))
+        if (sr.mult.preserve) p.cast(GrbType.promote(dtype, a.dtype).spark) else p
+    }
+    val prod = a.df.join(self, KEYS).select(col("j").as("i"), mult.as("_p"))
+    val agged = sr.add.agg(col("_p"))
+    val aggC = if (sr.add.preserve) agged.cast(prod.schema("_p").dataType) else agged
+    new GrbVector(prod.groupBy("i").agg(aggC.as("v")), a.ncols)
   }
 
   /** dot product (vector.py:371-392 declares `inner` as a stub; cheap
@@ -185,8 +275,17 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     * monoid identity (expr.py:196-206; SURVEY §7.4 hard part 4) —
     * the isNotNull filter implements that guard.
     */
-  def reduce(m: Monoid): GrbScalar =
-    new GrbScalar(df.agg(m.agg(col("v")).as("v")).filter(col("v").isNotNull))
+  def reduce(m: Monoid): GrbScalar = {
+    val agged = m.agg(col("v"))
+    val aggC = if (m.preserve) agged.cast(dtype.spark) else agged
+    new GrbScalar(df.agg(aggC.as("v")).filter(col("v").isNotNull))
+  }
+
+  /** reduce with accum into an existing target Scalar (reference
+    * expr.py:293-339 + _reduce_accum expr.py:1901-1915)
+    */
+  def reduceInto(target: GrbScalar, m: Monoid, accum: Option[BinaryOp]): GrbScalar =
+    target.merge(reduce(m), accum)
 
   def count: Long = nvals
 
@@ -196,17 +295,40 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     new GrbScalar(df.filter(col("i") === nn).select(col("v")))
   }
 
-  /** `w << v[index]`: order- and duplicate-preserving gather via join
-    * against the (pos, idx) mapping — replaces the reference's
-    * data×index chunk meshpoint machinery (expr.py:1108-1245).
+  /** extract with a LAZY Scalar as the index (reference
+    * expr.py:498-504) — the index value never touches the driver.
     */
-  def extract(ix: Ix, inputMask: Option[Mask] = None): GrbVector = {
-    val idx = Ix.toDF(spark, ix, size)
+  def extractAt(s: GrbScalar): GrbScalar = {
+    val ix0 = s.df.select(col("v").cast(LongType).as("_ix"))
+    val ix = ix0.select(when(col("_ix") < 0, col("_ix") + size).otherwise(col("_ix")).as("_ix"))
+    new GrbScalar(df.join(broadcast(ix), col("i") === col("_ix")).select(col("v")))
+  }
+
+  /** `w << v[index]`: order- and duplicate-preserving gather.
+    * All → identity; Range → filter + arithmetic reindex (no join; a
+    * `spark.range(10^11)` build side for a no-op was round-1's top
+    * scale hazard); At/Seqs/Dist → join against the (pos, idx) mapping
+    * (replaces the reference's data×index chunk meshpoint machinery,
+    * expr.py:1108-1245). `sizeHint` supplies the Dist index length so
+    * callers in loops (FastSV) skip a count() action per call.
+    */
+  def extract(ix: Ix, inputMask: Option[Mask] = None, sizeHint: Long = -1L): GrbVector = {
     val src = inputMask.fold(df)(_.filter(df, KEYS))
-    val newSize = Ix.length(ix, size).getOrElse(idx.count())
-    val joined = src.join(idx.withColumnRenamed("idx", "i"), KEYS)
-      .select(col("pos").as("i"), col("v"))
-    new GrbVector(joined, newSize)
+    Ix.normalize(ix, size) match {
+      case Ix.All => new GrbVector(src, size)
+      case r @ Ix.Range(_, _, _) =>
+        val pred = Ix.predicate(r, col("i"), size).get
+        val pos = Ix.position(r, col("i"), size).get
+        new GrbVector(src.filter(pred).select(pos.as("i"), col("v")),
+          Ix.length(r, size).get)
+      case norm =>
+        val idx = Ix.toDF(spark, norm, size)
+        val newSize = Ix.length(norm, size)
+          .getOrElse(if (sizeHint >= 0) sizeHint else idx.count())
+        val joined = src.join(idx.withColumnRenamed("idx", "i"), KEYS)
+          .select(col("pos").as("i"), col("v"))
+        new GrbVector(joined, newSize)
+    }
   }
 
   // ---- assign (SURVEY §2.7) ----
@@ -221,18 +343,37 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     */
   def assign(ix: Ix, value: Either[Column, GrbVector], desc: Desc = Desc.plain,
       subassign: Boolean = false): GrbVector = {
-    val idx = Ix.toDF(spark, ix, size)
+    val norm = Ix.normalize(ix, size)
+    val pred = Ix.predicate(norm, col("i"), size)
     // last-duplicate-wins on the global index: keep value at max pos
-    val idxU = idx.groupBy("idx").agg(max(col("pos")).as("pos"))
+    // (expr.py:1463-1499 _uniquify); only the join path can see dups
+    lazy val idxU = Ix.toDF(spark, norm, size).groupBy("idx").agg(max(col("pos")).as("pos"))
+    lazy val regionKeys = idxU.select(col("idx").as("i"))
     val newVals: DataFrame = value match {
-      case Left(s) => idxU.select(col("idx").as("i"), s.as("v"))
-      case Right(vec) =>
-        vec.df.join(idxU.withColumnRenamed("pos", "i"), KEYS)
-          .select(col("idx").as("i"), col("v"))
+      case Left(s) =>
+        // a scalar fill of a region is dense by definition; when a
+        // non-complemented mask is present only mask-covered keys can
+        // survive the merge, so enumerate those instead of the region
+        val keysDF = desc.mask match {
+          case Some(m) if !m.complement =>
+            val mk = m.coveredKeys(KEYS)
+            pred.map(p => mk.filter(p))
+              .getOrElse(mk.join(regionKeys, KEYS, "left_semi"))
+          case _ => regionKeys
+        }
+        keysDF.select(col("i"), s.as("v"))
+      case Right(vec) => norm match {
+        // All/Range: arithmetic reindex, no join
+        case Ix.All => vec.df
+        case Ix.Range(a, _, s) =>
+          vec.df.select((lit(a) + col("i") * lit(s)).as("i"), col("v"))
+        case _ =>
+          vec.df.join(idxU.withColumnRenamed("pos", "i"), KEYS)
+            .select(col("idx").as("i"), col("v"))
+      }
     }
-    val regionKeys = idxU.select(col("idx").as("i"))
-    val inside = df.join(regionKeys, KEYS, "left_semi")
-    val outside = df.join(regionKeys, KEYS, "left_anti")
+    val inside = pred.map(df.filter).getOrElse(df.join(regionKeys, KEYS, "left_semi"))
+    val outside = pred.map(p => df.filter(!p)).getOrElse(df.join(regionKeys, KEYS, "left_anti"))
     if (subassign) {
       // mask/replace confined to the region (expr.py:1446-1452)
       val zRegion = Merge(inside, newVals, KEYS, desc)
@@ -405,12 +546,18 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     new GrbMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")), ncols, nrows)
 
   // ---- apply ----
+  private def keepType(preserve: Boolean, c: Column): Column =
+    if (preserve) c.cast(dtype.spark) else c
+
   def apply(op: UnaryOp): GrbMatrix =
-    new GrbMatrix(df.select(col("i"), col("j"), op(col("v")).as("v")), nrows, ncols)
+    new GrbMatrix(df.select(col("i"), col("j"),
+      keepType(op.preserve, op(col("v"))).as("v")), nrows, ncols)
   def applyLeft(op: BinaryOp, left: Column): GrbMatrix =
-    new GrbMatrix(df.select(col("i"), col("j"), op(left, col("v")).as("v")), nrows, ncols)
+    new GrbMatrix(df.select(col("i"), col("j"),
+      keepType(op.preserve, op(left, col("v"))).as("v")), nrows, ncols)
   def applyRight(op: BinaryOp, right: Column): GrbMatrix =
-    new GrbMatrix(df.select(col("i"), col("j"), op(col("v"), right).as("v")), nrows, ncols)
+    new GrbMatrix(df.select(col("i"), col("j"),
+      keepType(op.preserve, op(col("v"), right)).as("v")), nrows, ncols)
   /** positional: value = row index (positioni) or col index (positionj) */
   def applyPositional(rowIndex: Boolean): GrbMatrix =
     new GrbMatrix(df.select(col("i"), col("j"),
@@ -423,18 +570,25 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
   def ewiseMult(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
     require(shape == other.shape, s"shape mismatch $shape vs ${other.shape}")
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
+    val out = op(col("v"), col("_bv"))
+    val outC = if (op.preserve) out.cast(GrbType.promote(dtype, other.dtype).spark) else out
     new GrbMatrix(df.join(b, KEYS)
-      .select(col("i"), col("j"), op(col("v"), col("_bv")).as("v")), nrows, ncols)
+      .select(col("i"), col("j"), outC.as("v")), nrows, ncols)
   }
 
   def ewiseAdd(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
     require(shape == other.shape, s"shape mismatch $shape vs ${other.shape}")
     val a = df.select(col("i"), col("j"), col("v").as("_av"))
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
+    val joined = a.join(b, KEYS, "full_outer")
+    val out = op(col("_av"), col("_bv"))
+    val outC = if (op.preserve) out.cast(GrbType.promote(dtype, other.dtype).spark) else out
+    // analysis-only probe: pass-through cast to the op's output dtype
+    val outType = joined.select(outC.as("_t")).schema("_t").dataType
     new GrbMatrix(
-      a.join(b, KEYS, "full_outer").select(col("i"), col("j"),
-        when(col("_av").isNotNull && col("_bv").isNotNull, op(col("_av"), col("_bv")))
-          .otherwise(coalesce(col("_av"), col("_bv"))).as("v")), nrows, ncols)
+      joined.select(col("i"), col("j"),
+        when(col("_av").isNotNull && col("_bv").isNotNull, outC)
+          .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v")), nrows, ncols)
   }
 
   // ---- products (SURVEY §2.5: the heart of the engine) ----
@@ -451,10 +605,17 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     require(ncols == other.nrows, s"dim mismatch mxm: $ncols vs ${other.nrows}")
     val a = df.select(col("i"), col("j").as("_k"), col("v").as("_av"))
     val b = other.df.select(col("i").as("_k"), col("j"), col("v").as("_bv"))
-    val prod0 = a.join(b, Seq("_k"))
-      .select(col("i"), col("j"), sr.mult(col("_av"), col("_bv")).as("_p"))
+    val mult = sr.positional match {
+      case Some(pf) => pf(col("i"), col("_k"), col("j"))
+      case None =>
+        val p = sr.mult(col("_av"), col("_bv"))
+        if (sr.mult.preserve) p.cast(GrbType.promote(dtype, other.dtype).spark) else p
+    }
+    val prod0 = a.join(b, Seq("_k")).select(col("i"), col("j"), mult.as("_p"))
     val prod = mask.fold(prod0)(m => m.filter(prod0, KEYS))
-    new GrbMatrix(prod.groupBy("i", "j").agg(sr.add.agg(col("_p")).as("v")),
+    val agged = sr.add.agg(col("_p"))
+    val aggC = if (sr.add.preserve) agged.cast(prod0.schema("_p").dataType) else agged
+    new GrbMatrix(prod.groupBy("i", "j").agg(aggC.as("v")),
       nrows, other.ncols)
   }
 
@@ -467,9 +628,18 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     require(ncols == vec.size, s"dim mismatch mxv: $ncols vs ${vec.size}")
     val v0 = vec.df.select(col("i").as("j"), col("v").as("_xv"))
     val v = if (broadcastVec) broadcast(v0) else v0
-    val prod0 = df.join(v, Seq("j")).select(col("i"), sr.mult(col("v"), col("_xv")).as("_p"))
+    // positional mult: the column vector is n×1, so secondj ≡ 0
+    val mult = sr.positional match {
+      case Some(pf) => pf(col("i"), col("j"), lit(0L))
+      case None =>
+        val p = sr.mult(col("v"), col("_xv"))
+        if (sr.mult.preserve) p.cast(GrbType.promote(dtype, vec.dtype).spark) else p
+    }
+    val prod0 = df.join(v, Seq("j")).select(col("i"), mult.as("_p"))
     val prod = mask.fold(prod0)(m => m.filter(prod0, GrbVector.KEYS))
-    new GrbVector(prod.groupBy("i").agg(sr.add.agg(col("_p")).as("v")), nrows)
+    val agged = sr.add.agg(col("_p"))
+    val aggC = if (sr.add.preserve) agged.cast(prod0.schema("_p").dataType) else agged
+    new GrbVector(prod.groupBy("i").agg(aggC.as("v")), nrows)
   }
 
   /** Kronecker product — declared-but-unimplemented in the reference
@@ -491,13 +661,19 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     * reference's per-chunk reduce + ewise_add-of-partials combine
     * (expr.py:1844-1869).
     */
+  private def aggPreserve(m: Monoid): Column = {
+    val agged = m.agg(col("v"))
+    if (m.preserve) agged.cast(dtype.spark) else agged
+  }
   def reduceRowwise(m: Monoid): GrbVector =
-    new GrbVector(df.groupBy("i").agg(m.agg(col("v")).as("v")), nrows)
+    new GrbVector(df.groupBy("i").agg(aggPreserve(m).as("v")), nrows)
   def reduceColumnwise(m: Monoid): GrbVector =
-    new GrbVector(df.groupBy("j").agg(m.agg(col("v")).as("v"))
+    new GrbVector(df.groupBy("j").agg(aggPreserve(m).as("v"))
       .withColumnRenamed("j", "i"), ncols)
   def reduceScalar(m: Monoid): GrbScalar =
-    new GrbScalar(df.agg(m.agg(col("v")).as("v")).filter(col("v").isNotNull))
+    new GrbScalar(df.agg(aggPreserve(m).as("v")).filter(col("v").isNotNull))
+  def reduceScalarInto(target: GrbScalar, m: Monoid, accum: Option[BinaryOp]): GrbScalar =
+    target.merge(reduceScalar(m), accum)
 
   // ---- extract (SURVEY §2.3) ----
   def extractScalar(i0: Long, j0: Long): GrbScalar = {
@@ -519,20 +695,30 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     new GrbVector(colV, nrows).extract(rowIx)
   }
 
-  /** submatrix extract C << A[rows, cols] — the double gather is two
-    * joins (replaces expr.py:1108-1245's meshpoint/defrag machinery).
+  /** submatrix extract C << A[rows, cols]. All axes pass through
+    * untouched; Range axes are a filter + arithmetic reindex; only
+    * At/Seqs/Dist axes pay a gather join (replaces expr.py:1108-1245's
+    * meshpoint/defrag machinery).
     */
   def extract(rowIx: Ix, colIx: Ix, inputMask: Option[Mask] = None): GrbMatrix = {
-    val rIdx = Ix.toDF(spark, rowIx, nrows)
-      .select(col("pos").as("_rpos"), col("idx").as("i"))
-    val cIdx = Ix.toDF(spark, colIx, ncols)
-      .select(col("pos").as("_cpos"), col("idx").as("j"))
     val src = inputMask.fold(df)(_.filter(df, KEYS))
-    val out = src.join(rIdx, Seq("i")).join(cIdx, Seq("j"))
-      .select(col("_rpos").as("i"), col("_cpos").as("j"), col("v"))
-    val nr = Ix.length(rowIx, nrows).getOrElse(rIdx.count())
-    val nc = Ix.length(colIx, ncols).getOrElse(cIdx.count())
-    new GrbMatrix(out, nr, nc)
+    def axis(dfIn: DataFrame, ix: Ix, dim: Long, key: String): (DataFrame, Long) =
+      Ix.normalize(ix, dim) match {
+        case Ix.All => (dfIn, dim)
+        case norm @ (Ix.At(_) | Ix.Range(_, _, _)) =>
+          val pred = Ix.predicate(norm, col(key), dim).get
+          val pos = Ix.position(norm, col(key), dim).get
+          (dfIn.filter(pred).withColumn(key, pos), Ix.length(norm, dim).get)
+        case norm =>
+          val idx = Ix.toDF(spark, norm, dim)
+            .select(col("pos").as("_pos"), col("idx").as(key))
+          val joined = dfIn.join(idx, Seq(key))
+            .withColumn(key, col("_pos")).drop("_pos")
+          (joined, Ix.length(norm, dim).getOrElse(idx.count()))
+      }
+    val (d1, nr) = axis(src, rowIx, nrows, "i")
+    val (d2, nc) = axis(d1, colIx, ncols, "j")
+    new GrbMatrix(d2.select(col("i"), col("j"), col("v")), nr, nc)
   }
 
   // ---- assign (SURVEY §2.7) ----
@@ -551,21 +737,59 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
           "scalar assign to entire Matrix without a mask would densify")
       case _ =>
     }
-    val rIdx = Ix.toDF(spark, rowIx, nrows).groupBy("idx").agg(max("pos").as("pos"))
+    val rNorm = Ix.normalize(rowIx, nrows)
+    val cNorm = Ix.normalize(colIx, ncols)
+    val rPred = Ix.predicate(rNorm, col("i"), nrows)
+    val cPred = Ix.predicate(cNorm, col("j"), ncols)
+    lazy val rIdx = Ix.toDF(spark, rNorm, nrows).groupBy("idx").agg(max("pos").as("pos"))
       .select(col("pos").as("_rpos"), col("idx").as("_ri"))
-    val cIdx = Ix.toDF(spark, colIx, ncols).groupBy("idx").agg(max("pos").as("pos"))
+    lazy val cIdx = Ix.toDF(spark, cNorm, ncols).groupBy("idx").agg(max("pos").as("pos"))
       .select(col("pos").as("_cpos"), col("idx").as("_cj"))
     val newVals: DataFrame = value match {
       case Left(s) =>
-        rIdx.crossJoin(cIdx).select(col("_ri").as("i"), col("_cj").as("j"), s.as("v"))
+        // scalar fill is dense over the region by definition; with a
+        // non-complemented mask only mask-covered keys survive the
+        // merge, so enumerate those instead of region × region
+        desc.mask match {
+          case Some(mk) if !mk.complement =>
+            val keys0 = mk.coveredKeys(KEYS)
+            val keys1 = rPred.map(p => keys0.filter(p))
+              .getOrElse(keys0.join(rIdx.select(col("_ri").as("i")), Seq("i"), "left_semi"))
+            val keys2 = cPred.map(p => keys1.filter(p))
+              .getOrElse(keys1.join(cIdx.select(col("_cj").as("j")), Seq("j"), "left_semi"))
+            keys2.select(col("i"), col("j"), s.as("v"))
+          case _ =>
+            rIdx.crossJoin(cIdx).select(col("_ri").as("i"), col("_cj").as("j"), s.as("v"))
+        }
       case Right(m) =>
-        m.df.join(rIdx.withColumnRenamed("_rpos", "i"), Seq("i"))
-          .join(cIdx.withColumnRenamed("_cpos", "j"), Seq("j"))
-          .select(col("_ri").as("i"), col("_cj").as("j"), col("v"))
+        // per-axis: All = identity, Range = arithmetic reindex, else join
+        def mapAxis(dfIn: DataFrame, norm: Ix, key: String,
+            idxDF: => DataFrame, posName: String, idxName: String): DataFrame = norm match {
+          case Ix.All => dfIn
+          case Ix.Range(a, _, s) =>
+            dfIn.withColumn(key, lit(a) + col(key) * lit(s))
+          case _ =>
+            dfIn.join(idxDF.withColumnRenamed(posName, key), Seq(key))
+              .withColumn(key, col(idxName)).drop(idxName)
+        }
+        val d1 = mapAxis(m.df, rNorm, "i", rIdx, "_rpos", "_ri")
+        mapAxis(d1, cNorm, "j", cIdx, "_cpos", "_cj").select(col("i"), col("j"), col("v"))
     }
-    val regionKeys = rIdx.select(col("_ri").as("i")).crossJoin(cIdx.select(col("_cj").as("j")))
-    val inside = df.join(regionKeys, KEYS, "left_semi")
-    val outside = df.join(regionKeys, KEYS, "left_anti")
+    // region membership without a dense keys crossJoin: filter when the
+    // axis is predicate-expressible, left-join flags otherwise
+    var flagged = df
+    val rIn: Column = rPred.getOrElse {
+      flagged = flagged.join(
+        rIdx.select(col("_ri").as("i"), lit(true).as("_rin")), Seq("i"), "left")
+      col("_rin").isNotNull
+    }
+    val cIn: Column = cPred.getOrElse {
+      flagged = flagged.join(
+        cIdx.select(col("_cj").as("j"), lit(true).as("_cin")), Seq("j"), "left")
+      col("_cin").isNotNull
+    }
+    val inside = flagged.filter(rIn && cIn).select(col("i"), col("j"), col("v"))
+    val outside = flagged.filter(!(rIn && cIn)).select(col("i"), col("j"), col("v"))
     if (subassign) {
       val zRegion = Merge(inside, newVals, KEYS, desc)
       new GrbMatrix(outside.unionByName(zRegion), nrows, ncols)

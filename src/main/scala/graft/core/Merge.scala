@@ -83,31 +83,41 @@ object Merge {
     */
   def outerAccum(target: DataFrame, result: DataFrame, keys: Seq[String],
       accum: BinaryOp): DataFrame = {
+    // output domain = the target's dtype (GraphBLAS: accum results are
+    // cast into C's domain) — also keeps the when/otherwise branches
+    // type-compatible for boolean-returning accum ops.
+    val outType = target.schema("v").dataType
     val t = target.select(keys.map(col) :+ col("v").as("_tv"): _*)
     val r = result.select(keys.map(col) :+ col("v").as("_rv"): _*)
     t.join(r, keys, "full_outer")
       .select(keys.map(col) :+
-        when(col("_tv").isNotNull && col("_rv").isNotNull, accum(col("_tv"), col("_rv")))
-          .otherwise(coalesce(col("_rv"), col("_tv"))).as("v"): _*)
+        when(col("_tv").isNotNull && col("_rv").isNotNull,
+          accum(col("_tv"), col("_rv")).cast(outType))
+          .otherwise(coalesce(col("_rv"), col("_tv")).cast(outType)).as("v"): _*)
   }
 
   /** merge `result` into `target` under the descriptor. `keys` is
-    * Seq("i") for vectors, Seq("i","j") for matrices.
+    * Seq("i") for vectors, Seq("i","j") for matrices. Result values are
+    * cast into the target's dtype (C's domain fixes the output domain).
     */
   def apply(target: DataFrame, result: DataFrame, keys: Seq[String],
-      desc: Desc): DataFrame = desc.mask match {
-    case None =>
-      desc.accum match {
-        case None      => result
-        case Some(acc) => outerAccum(target, result, keys, acc)
-      }
-    case Some(m) =>
-      val resCovered = m.filter(result, keys)
-      val covered = desc.accum match {
-        case None      => resCovered
-        case Some(acc) => outerAccum(m.filter(target, keys), resCovered, keys, acc)
-      }
-      if (desc.replace) covered
-      else covered.unionByName(m.filterOut(target, keys))
+      desc: Desc): DataFrame = {
+    val outType = target.schema("v").dataType
+    val resultC = result.select(keys.map(col) :+ col("v").cast(outType).as("v"): _*)
+    desc.mask match {
+      case None =>
+        desc.accum match {
+          case None      => resultC
+          case Some(acc) => outerAccum(target, resultC, keys, acc)
+        }
+      case Some(m) =>
+        val resCovered = m.filter(resultC, keys)
+        val covered = desc.accum match {
+          case None      => resCovered
+          case Some(acc) => outerAccum(m.filter(target, keys), resCovered, keys, acc)
+        }
+        if (desc.replace) covered
+        else covered.unionByName(m.filterOut(target, keys))
+    }
   }
 }

@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * `Column => Column` builders so every application stays inside
   * Catalyst whole-stage codegen — no UDFs on the hot path.
   */
-final case class UnaryOp(name: String)(val f: Column => Column) {
+/** `preserve = true` marks ops whose GraphBLAS result dtype is the
+  * operand dtype even though the naive Spark expression would change it
+  * (e.g. `one` emits an int literal); application sites cast back.
+  */
+final case class UnaryOp(name: String, preserve: Boolean = false)(val f: Column => Column) {
   def apply(c: Column): Column = f(c)
 }
 
-final case class BinaryOp(name: String)(val f: (Column, Column) => Column) {
+final case class BinaryOp(name: String, preserve: Boolean = false)(
+    val f: (Column, Column) => Column) {
   def apply(a: Column, b: Column): Column = f(a, b)
 }
 
@@ -26,11 +31,18 @@ final case class BinaryOp(name: String)(val f: (Column, Column) => Column) {
   * hash aggregate, matching the reference's per-chunk reduce + combine
   * tree (dask_grblas/expr.py:1974-2008 sum_by_monoid).
   */
-final case class Monoid(name: String, op: BinaryOp)(val agg: Column => Column) {
+final case class Monoid(name: String, op: BinaryOp, preserve: Boolean = false)(
+    val agg: Column => Column) {
   def apply(a: Column, b: Column): Column = op(a, b)
 }
 
-final case class Semiring(name: String, add: Monoid, mult: BinaryOp)
+/** `positional`: GraphBLAS positional multiply (firsti/secondj, …) —
+  * the product value is an index, not a function of the stored values.
+  * Arguments are (i, k, j): output row, contracted index, output col
+  * (exercised in reference tests/from_grblas2/test_op.py:31-55).
+  */
+final case class Semiring(name: String, add: Monoid, mult: BinaryOp,
+    positional: Option[(Column, Column, Column) => Column] = None)
 
 object Ops {
   import GrbType._
@@ -40,7 +52,7 @@ object Ops {
   val ainv: UnaryOp = UnaryOp("ainv")(c => -c)
   val minv: UnaryOp = UnaryOp("minv")(c => lit(1.0) / c)
   val lnot: UnaryOp = UnaryOp("lnot")(c => !c.cast("boolean"))
-  val one: UnaryOp = UnaryOp("one")(c => lit(1))
+  val one: UnaryOp = UnaryOp("one", preserve = true)(c => lit(1))
   val abs: UnaryOp = UnaryOp("abs")(c => org.apache.spark.sql.functions.abs(c))
   val sqrt: UnaryOp = UnaryOp("sqrt")(c => org.apache.spark.sql.functions.sqrt(c))
   val exp: UnaryOp = UnaryOp("exp")(c => org.apache.spark.sql.functions.exp(c))
@@ -62,7 +74,7 @@ object Ops {
   val max: BinaryOp = BinaryOp("max")(greatest(_, _))
   val first: BinaryOp = BinaryOp("first")((a, _) => a)
   val second: BinaryOp = BinaryOp("second")((_, b) => b)
-  val pair: BinaryOp = BinaryOp("pair")((_, _) => lit(1))
+  val pair: BinaryOp = BinaryOp("pair", preserve = true)((_, _) => lit(1))
   val any: BinaryOp = BinaryOp("any")((a, _) => a) // "any" picks an arbitrary present value
   val land: BinaryOp = BinaryOp("land")((a, b) => a.cast("boolean") && b.cast("boolean"))
   val lor: BinaryOp = BinaryOp("lor")((a, b) => a.cast("boolean") || b.cast("boolean"))
@@ -83,7 +95,7 @@ object Ops {
   val landMonoid: Monoid = Monoid("land", land)(c => bool_and(c.cast("boolean")))
   val lorMonoid: Monoid = Monoid("lor", lor)(c => bool_or(c.cast("boolean")))
   val lxorMonoid: Monoid =
-    Monoid("lxor", lxor)(c => (sum(c.cast("boolean").cast("long")) % 2) === 1)
+    Monoid("lxor", lxor, preserve = true)(c => (sum(c.cast("boolean").cast("long")) % 2) === 1)
   val anyMonoid: Monoid = Monoid("any", any)(first_value)
 
   // ---- semirings (grblas semiring.*) ----
@@ -101,6 +113,23 @@ object Ops {
   val anyPair: Semiring = Semiring("any_pair", anyMonoid, pair)
   val anySecond: Semiring = Semiring("any_second", anyMonoid, second)
 
+  // ---- positional semirings (INT64 results; product value = an index:
+  // firsti = A's row, firstj = contracted index, secondi = contracted
+  // index, secondj = B's col) ----
+  private def posSr(nm: String, m: Monoid)(
+      f: (Column, Column, Column) => Column): Semiring =
+    Semiring(nm, m, second, Some(f))
+  val minFirsti: Semiring = posSr("min_firsti", minMonoid)((i, _, _) => i)
+  val minFirstj: Semiring = posSr("min_firstj", minMonoid)((_, k, _) => k)
+  val minSecondi: Semiring = posSr("min_secondi", minMonoid)((_, k, _) => k)
+  val minSecondj: Semiring = posSr("min_secondj", minMonoid)((_, _, j) => j)
+  val maxFirsti: Semiring = posSr("max_firsti", maxMonoid)((i, _, _) => i)
+  val maxSecondj: Semiring = posSr("max_secondj", maxMonoid)((_, _, j) => j)
+  val plusFirsti: Semiring = posSr("plus_firsti", plusMonoid)((i, _, _) => i)
+  val plusSecondj: Semiring = posSr("plus_secondj", plusMonoid)((_, _, j) => j)
+  val anyFirsti: Semiring = posSr("any_firsti", anyMonoid)((i, _, _) => i)
+  val anySecondj: Semiring = posSr("any_secondj", anyMonoid)((_, _, j) => j)
+
   /** registry by name — mirrors grblas's attribute namespaces; also the
     * extension point for user-defined ops (SURVEY §2.8: user ops are
     * plain Scala lambdas registered here).
@@ -116,6 +145,8 @@ object Ops {
     lxorMonoid, anyMonoid).map(o => o.name -> o).toMap
   val semirings: Map[String, Semiring] = Seq(
     plusTimes, minPlus, maxPlus, minTimes, minSecond, minFirst, maxSecond,
-    plusFirst, plusSecond, plusPair, lorLand, anyPair, anySecond)
+    plusFirst, plusSecond, plusPair, lorLand, anyPair, anySecond,
+    minFirsti, minFirstj, minSecondi, minSecondj, maxFirsti, maxSecondj,
+    plusFirsti, plusSecondj, anyFirsti, anySecondj)
     .map(o => o.name -> o).toMap
 }

@@ -41,8 +41,35 @@ object GrbType {
     case other => throw new IllegalArgumentException(s"unsupported value type: $other")
   }
 
-  /** numpy-style promotion for mixed-dtype binary ops
-    * (reference: get_typed_op via grblas, dask_grblas/base.py:174).
+  /** value bits an integral dtype needs (sign bit excluded) — drives
+    * the int×float promotion rule below.
     */
-  def promote(a: GrbType, b: GrbType): GrbType = if (a.rank >= b.rank) a else b
+  private def intBits(t: GrbType): Int = t match {
+    case BOOL => 1
+    case INT8 => 7;  case UINT8 => 8
+    case INT16 => 15; case UINT16 => 16
+    case INT32 => 31; case UINT32 => 32
+    case INT64 => 63; case UINT64 => 64
+    case _ => 0
+  }
+
+  private def isFloat(t: GrbType): Boolean = t == FP32 || t == FP64
+
+  /** numpy promote_types semantics for mixed-dtype binary ops
+    * (reference: get_typed_op via grblas, dask_grblas/base.py:174).
+    * int × FP32 widens to FP64 when the int's values don't fit in
+    * FP32's 24-bit mantissa (so int64+float32 → float64, matching
+    * numpy), else FP32.
+    */
+  def promote(a: GrbType, b: GrbType): GrbType = (isFloat(a), isFloat(b)) match {
+    case (true, true)  => if (a.rank >= b.rank) a else b
+    case (true, false) => promoteIntFloat(b, a)
+    case (false, true) => promoteIntFloat(a, b)
+    case (false, false) => if (a.rank >= b.rank) a else b
+  }
+
+  private def promoteIntFloat(i: GrbType, f: GrbType): GrbType =
+    if (f == FP64) FP64
+    else if (intBits(i) <= 24) FP32
+    else FP64
 }

@@ -22,10 +22,13 @@ object MatrixMarket {
       nrows: Long, ncols: Long, nnz: Long)
 
   /** read the header lines (comment block + size line) driver-side —
-    * tiny — then scan the body distributed.
+    * tiny — then scan the body distributed. Opened through the Hadoop
+    * FileSystem so non-local paths (hdfs://, s3a://…) work.
     */
   def readHeader(spark: SparkSession, path: String): Header = {
-    val src = scala.io.Source.fromFile(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
     try {
       val lines = src.getLines()
       val banner = lines.next().trim.split("\\s+")
