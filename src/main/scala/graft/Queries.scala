@@ -1,0 +1,461 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core._
+import graft.ops.Structure
+import graft.algo.FastSV
+import graft.pipeline.{TextDedup, TextStats, Similarity, Events}
+
+/** The driver-verified query catalog: one entry per SURVEY §2 operator
+  * family plus the LLM-data-pipeline operators, each expressed through
+  * the graft engine over the testdata parquet tables, with a
+  * value-equivalent DuckDB oracle in `oracle`.
+  *
+  * Cross-engine determinism rules (the driver hash-compares values):
+  *   - money → integer cents: CAST(ROUND(x*100) AS BIGINT) (2-decimal
+  *     inputs never land on .5 ties);
+  *   - arbitrary doubles → FLOOR (no tie ambiguity across engines);
+  *   - aggregates in SQL wrapped in CAST(... AS BIGINT) (DuckDB SUM of
+  *     BIGINT widens to HUGEINT, Spark does not);
+  *   - float similarity thresholds → integer cross-multiplication or
+  *     IEEE-deterministic expressions (exact-int operands, same op order);
+  *   - timestamps → epoch seconds after date_trunc('second') (the
+  *     parquet files carry nanosecond precision; engines truncate
+  *     differently below the second).
+  */
+object Queries {
+
+  private def pq(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  // ---- shared COO builders ----------------------------------------
+  /** lineitem as a sparse matrix: order × part → total quantity */
+  private def liMat(s: SparkSession, dir: String): GrbMatrix =
+    GrbMatrix.fromDF(
+      pq(s, dir, "lineitem").select(col("l_orderkey").as("i"),
+        col("l_partkey").as("j"), col("l_quantity").cast(LongType).as("v")),
+      dupAgg = Some(c => sum(c)))
+
+  private val liMatSql =
+    "m AS (SELECT l_orderkey AS i, l_partkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2)"
+
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** customer account balances as a vector (integer cents) */
+  private def custVec(s: SparkSession, dir: String): GrbVector =
+    GrbVector.fromDF(pq(s, dir, "customer")
+      .select(col("c_custkey").as("i"), cents(col("c_acctbal")).as("v")))
+
+  /** per-customer order totals (integer cents) */
+  private def ordByCustVec(s: SparkSession, dir: String): GrbVector =
+    GrbVector.fromDF(pq(s, dir, "orders")
+      .select(col("o_custkey").as("i"), cents(col("o_totalprice")).as("v")),
+      dupAgg = Some(c => sum(c)))
+
+  /** customer nationkey as a vector */
+  private def custNationVec(s: SparkSession, dir: String): GrbVector =
+    GrbVector.fromDF(pq(s, dir, "customer")
+      .select(col("c_custkey").as("i"), col("c_nationkey").cast(LongType).as("v")))
+
+  // =================================================================
+  // Core GraphBLAS operator families
+  // =================================================================
+
+  val core: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // from_values with dup-op resolution (§2.1)
+    "q_matrix_build" -> ((s, dir) => liMat(s, dir).df),
+
+    // ewise_mult = structural intersection (§2.4)
+    "q_ewise_mult" -> ((s, dir) => {
+      val a = GrbVector.fromDF(pq(s, dir, "orders")
+        .select(col("o_orderkey").as("i"), cents(col("o_totalprice")).as("v")))
+      val b = GrbVector.fromDF(pq(s, dir, "lineitem")
+        .select(col("l_orderkey").as("i"), cents(col("l_extendedprice")).as("v")),
+        dupAgg = Some(c => sum(c)))
+      val bAligned = if (b.size < a.size) b.resize(a.size) else b
+      a.resize(bAligned.size).ewiseMult(bAligned, Ops.plus).df
+    }),
+
+    // ewise_add = structural union with pass-through (§2.4)
+    "q_ewise_add" -> ((s, dir) => {
+      val a = custVec(s, dir)
+      val b = ordByCustVec(s, dir)
+      val n = math.max(a.size, b.size)
+      a.resize(n).ewiseAdd(b.resize(n), Ops.plus).df
+    }),
+
+    // apply(unary) + select-alike value filtering (§2.2)
+    "q_apply_select" -> ((s, dir) => {
+      val v = GrbVector.fromDF(pq(s, dir, "lineitem")
+        .select(col("l_orderkey").as("i"), col("l_quantity").cast(LongType).as("v")),
+        dupAgg = Some(c => sum(c)))
+      v.apply(Ops.sqrt).selectOp(_ > 5.0).df
+    }),
+
+    // mxv over plus_times (§2.5)
+    "q_mxv" -> ((s, dir) => {
+      val m = liMat(s, dir)
+      val p = GrbVector.fromDF(pq(s, dir, "part")
+        .select(col("p_partkey").as("i"), cents(col("p_retailprice")).as("v")))
+      val n = math.max(m.ncols, p.size) // grow-only alignment (metadata)
+      m.resize(m.nrows, n).mxv(p.resize(n), Ops.plusTimes).df
+    }),
+
+    // vxm (§2.5)
+    "q_vxm" -> ((s, dir) => {
+      val m = liMat(s, dir)
+      val o = GrbVector.fromDF(pq(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("i"), lit(1L).as("v")))
+      val n = math.max(o.size, m.nrows)
+      o.resize(n).vxm(m.resize(n, m.ncols), Ops.plusTimes, broadcastSelf = false).df
+    }),
+
+    // mxm over plus_times (§2.5)
+    "q_mxm" -> ((s, dir) => {
+      val m = liMat(s, dir)
+      val m2 = GrbMatrix.fromDF(
+        pq(s, dir, "lineitem").select(col("l_partkey").as("i"),
+          col("l_suppkey").as("j"), col("l_quantity").cast(LongType).as("v")),
+        nrows = m.ncols, dupAgg = Some(c => sum(c)))
+      m.mxm(m2, Ops.plusTimes).df
+    }),
+
+    // reduce_rowwise over the max monoid (§2.6)
+    "q_reduce_rowwise" -> ((s, dir) => liMat(s, dir).reduceRowwise(Ops.maxMonoid).df),
+
+    // whole-collection reduce → scalar (§2.6)
+    "q_reduce_scalar" -> ((s, dir) => liMat(s, dir).reduceScalar(Ops.plusMonoid).df),
+
+    // extract: stepped slice with arithmetic reindex (§2.3)
+    "q_extract_slice" -> ((s, dir) =>
+      custNationVec(s, dir).extract(Ix.Range(10L, 1000L, 3L)).df),
+
+    // extract: index list, order/duplicate-preserving gather (§2.3)
+    "q_extract_list" -> ((s, dir) =>
+      custNationVec(s, dir).extract(Ix.Seqs(Seq(7L, 3L, 7L, 21L, 42L, 101L))).df),
+
+    // 2-D extract: row range × column list (§2.3)
+    "q_extract_submatrix" -> ((s, dir) =>
+      liMat(s, dir).extract(Ix.Range(0L, 500L, 1L),
+        Ix.Seqs(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L))).df),
+
+    // the §2.9 merge truth table: mask + accum + replace
+    "q_assign_merge" -> ((s, dir) => {
+      val t = custVec(s, dir)
+      val r = ordByCustVec(s, dir)
+      val n = math.max(t.size, r.size)
+      val maskVec = pq(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("i"), lit(1L).as("v"))
+      t.resize(n).accept(r.resize(n),
+        Desc(Some(Mask.structural(maskVec)), Some(Ops.plus), replace = true)).df
+    }),
+
+    // reduce_assign: scatter events into a user vector with dup=plus (§2.6)
+    "q_reduce_assign" -> ((s, dir) => {
+      val ev = pq(s, dir, "events")
+      val idx = GrbVector.fromDF(ev.select(col("event_id").as("i"), col("user_id").as("v")))
+      val rhs = GrbVector.fromDF(ev.select(col("event_id").as("i"),
+        floor(col("value") * 100).cast(LongType).as("v")), size = idx.size)
+      val nUsers = ev.agg(max(col("user_id"))).collect()(0).getLong(0) + 1L
+      GrbVector.empty(s, GrbType.INT64, nUsers)
+        .reduceAssign(idx, rhs, c => sum(c)).df
+    }),
+
+    // aggregators: per-row argmax (§2.6)
+    "q_agg_argmax" -> ((s, dir) => Aggs.reduceRowwise(liMat(s, dir), Aggs.argmax).df),
+
+    // lazy transpose (§2.1)
+    "q_transpose" -> ((s, dir) => liMat(s, dir).transpose.df),
+
+    // diag: vector → k-th diagonal matrix (§2.1)
+    "q_diag" -> ((s, dir) => Structure.diagMatrix(custVec(s, dir), 2L).df),
+
+    // kronecker (§2.5; declared-but-unimplemented in the reference)
+    "q_kron" -> ((s, dir) => {
+      val a = GrbMatrix.fromDF(pq(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType).as("i"),
+          col("r_regionkey").cast(LongType).as("j"), lit(1L).as("v")), 5L, 5L)
+      val b = GrbMatrix.fromDF(pq(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("i"),
+          col("n_regionkey").cast(LongType).as("j"), lit(1L).as("v")), 25L, 5L)
+      a.kronecker(b, Ops.times).df
+    }),
+
+    // FastSV connected components on a bounded bipartite subgraph —
+    // oracle = recursive min-label propagation in SQL (§3.4)
+    "q_cc_small" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 60)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      val labels = FastSV.connectedComponents(A)
+      val nodes = edges.select(col("a").as("i")).distinct()
+      labels.df.join(nodes, Seq("i"), "left_semi")
+    }),
+
+    // FastSV on the full order-part bipartite graph — component-size
+    // histogram (rows-only check; the BENCH headline for iteration)
+    "q_cc_events" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem")
+      val offset = 1L << 20
+      val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      val labels = FastSV.connectedComponents(A)
+      val nodes = edges.select(col("a").as("i")).distinct()
+      labels.df.join(nodes, Seq("i"), "left_semi")
+        .groupBy(col("v")).agg(count(lit(1)).as("n_nodes"))
+    }))
+
+  val coreOracle: Map[String, String] = Map(
+    "q_matrix_build" ->
+      "SELECT l_orderkey AS i, l_partkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2",
+    "q_ewise_mult" ->
+      """WITH a AS (SELECT o_orderkey AS i, CAST(ROUND(o_totalprice*100) AS BIGINT) AS v FROM orders),
+         b AS (SELECT l_orderkey AS i, CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1)
+         SELECT a.i AS i, a.v + b.v AS v FROM a JOIN b ON a.i = b.i""",
+    "q_ewise_add" ->
+      """WITH a AS (SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer),
+         b AS (SELECT o_custkey AS i, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v FROM orders GROUP BY 1)
+         SELECT COALESCE(a.i, b.i) AS i,
+                CASE WHEN a.v IS NOT NULL AND b.v IS NOT NULL THEN a.v + b.v ELSE COALESCE(a.v, b.v) END AS v
+         FROM a FULL OUTER JOIN b ON a.i = b.i""",
+    "q_apply_select" ->
+      """SELECT i, SQRT(v) AS v FROM (
+           SELECT l_orderkey AS i, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1)
+         WHERE SQRT(v) > 5""",
+    "q_mxv" ->
+      s"""WITH $liMatSql,
+         p AS (SELECT p_partkey AS i, CAST(ROUND(p_retailprice*100) AS BIGINT) AS v FROM part)
+         SELECT m.i AS i, CAST(SUM(m.v * p.v) AS BIGINT) AS v FROM m JOIN p ON m.j = p.i GROUP BY 1""",
+    "q_vxm" ->
+      s"""WITH $liMatSql,
+         o AS (SELECT o_orderkey AS i, CAST(1 AS BIGINT) AS v FROM orders WHERE o_orderstatus = 'F')
+         SELECT m.j AS i, CAST(SUM(o.v * m.v) AS BIGINT) AS v FROM o JOIN m ON o.i = m.i GROUP BY 1""",
+    "q_mxm" ->
+      s"""WITH $liMatSql,
+         m2 AS (SELECT l_partkey AS i, l_suppkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2)
+         SELECT m.i AS i, m2.j AS j, CAST(SUM(m.v * m2.v) AS BIGINT) AS v FROM m JOIN m2 ON m.j = m2.i GROUP BY 1, 2""",
+    "q_reduce_rowwise" ->
+      s"WITH $liMatSql SELECT i, CAST(MAX(v) AS BIGINT) AS v FROM m GROUP BY 1",
+    "q_reduce_scalar" ->
+      s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
+    "q_extract_slice" ->
+      """SELECT CAST((c_custkey - 10) / 3 AS BIGINT) AS i, CAST(c_nationkey AS BIGINT) AS v
+         FROM customer WHERE c_custkey >= 10 AND c_custkey < 1000 AND (c_custkey - 10) % 3 = 0""",
+    "q_extract_list" ->
+      """SELECT ix.pos AS i, CAST(c.c_nationkey AS BIGINT) AS v
+         FROM (VALUES (CAST(0 AS BIGINT), CAST(7 AS BIGINT)), (1, 3), (2, 7), (3, 21), (4, 42), (5, 101)) AS ix(pos, ky)
+         JOIN customer c ON c.c_custkey = ix.ky""",
+    "q_extract_submatrix" ->
+      s"""WITH $liMatSql
+         SELECT m.i AS i, cx.pos AS j, m.v AS v FROM m
+         JOIN (VALUES (CAST(0 AS BIGINT), CAST(1 AS BIGINT)), (1, 2), (2, 3), (3, 5), (4, 8), (5, 13), (6, 21), (7, 34)) AS cx(pos, ky)
+           ON m.j = cx.ky
+         WHERE m.i < 500""",
+    "q_assign_merge" ->
+      """WITH t AS (SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer),
+         r AS (SELECT o_custkey AS i, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v FROM orders GROUP BY 1),
+         m AS (SELECT c_custkey AS i FROM customer WHERE c_mktsegment = 'BUILDING'),
+         tm AS (SELECT * FROM t WHERE i IN (SELECT i FROM m)),
+         rm AS (SELECT * FROM r WHERE i IN (SELECT i FROM m))
+         SELECT COALESCE(tm.i, rm.i) AS i,
+                CASE WHEN tm.v IS NOT NULL AND rm.v IS NOT NULL THEN tm.v + rm.v ELSE COALESCE(tm.v, rm.v) END AS v
+         FROM tm FULL OUTER JOIN rm ON tm.i = rm.i""",
+    "q_reduce_assign" ->
+      "SELECT user_id AS i, CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v FROM events GROUP BY 1",
+    "q_agg_argmax" ->
+      s"""WITH $liMatSql
+         SELECT i, CAST(j AS BIGINT) AS v FROM (
+           SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY v DESC, j DESC) AS rn FROM m)
+         WHERE rn = 1""",
+    "q_transpose" ->
+      s"WITH $liMatSql SELECT m.j AS i, m.i AS j, m.v AS v FROM m",
+    "q_diag" ->
+      """SELECT c_custkey AS i, c_custkey + 2 AS j, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer""",
+    "q_kron" ->
+      """SELECT CAST(r.r_regionkey * 25 + n.n_nationkey AS BIGINT) AS i,
+                CAST(r.r_regionkey * 5 + n.n_regionkey AS BIGINT) AS j,
+                CAST(1 AS BIGINT) AS v
+         FROM region r CROSS JOIN nation n""",
+    "q_cc_small" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 60),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT a AS n FROM edges),
+         cc(n, l) AS (SELECT n, n FROM nodes UNION SELECT e.b, c.l FROM cc c JOIN edges e ON e.a = c.n),
+         lab AS (SELECT n AS i, CAST(MIN(l) AS BIGINT) AS v FROM cc GROUP BY 1)
+         SELECT i, v FROM lab""")
+
+  // =================================================================
+  // LLM-data-pipeline operators
+  // =================================================================
+
+  val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p_dedup_exact" -> ((s, dir) => TextDedup.exact(pq(s, dir, "documents"))),
+    "p_dedup_minhash" -> ((s, dir) => TextDedup.nearDuplicates(pq(s, dir, "documents"))),
+    "p_dedup_simhash" -> ((s, dir) => TextDedup.simhashNearDuplicates(pq(s, dir, "documents"))),
+    "p_fingerprint" -> ((s, dir) => TextDedup.fingerprint(pq(s, dir, "documents"))),
+    "p_text_stats" -> ((s, dir) => TextStats.stats(pq(s, dir, "documents"))),
+    "p_lang_id" -> ((s, dir) => TextStats.langId(pq(s, dir, "documents"))),
+    "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
+    "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
+    "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
+    "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
+    "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
+    "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))))
+
+  // ---- pipeline oracles (generated to share constants with the
+  //      Scala operators) --------------------------------------------
+
+  private val shinglesSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       shd AS (SELECT DISTINCT doc_id, sh FROM (
+         SELECT doc_id, unnest(list_transform(range(len(toks) - 2), x -> toks[x+1] || ' ' || toks[x+2] || ' ' || toks[x+3])) AS sh FROM t)),
+       hs AS (SELECT doc_id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shd)"""
+
+  private def minhashSql: String = {
+    val mins = TextDedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
+      s"CAST(MIN(($a * h + $b) % ${TextDedup.P}) AS BIGINT) AS mh_$k"
+    }.mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val parts = (0 until 3).map(r => s"mh_${b * 3 + r}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""mh AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
+       bands AS ($bands),
+       cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                 FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)"""
+  }
+
+  private val simhashBitsSql: String = {
+    val sums = (0 until 32).map(b =>
+      s"CAST(SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_$b").mkString(", ")
+    val value = (0 until 32).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM tok),
+       bs AS (SELECT doc_id, $sums FROM th GROUP BY 1),
+       sh AS (SELECT doc_id, $value AS simhash FROM bs)"""
+  }
+
+  private def annCommonSql: String =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings),
+       en AS (SELECT vec_id, q, CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * q[i+1])) AS BIGINT) AS n2 FROM e)"""
+
+  private def lshWeightsSql: String = {
+    val ws = Similarity.hyperplaneWeights(16, 64)
+    val rows = ws.zipWithIndex.map { case (w, p) =>
+      s"($p, [${w.mkString(", ")}])"
+    }.mkString(", ")
+    s"w(p, wv) AS (SELECT * FROM (VALUES $rows))"
+  }
+
+  val pipelineOracle: Map[String, String] = Map(
+    "p_dedup_exact" ->
+      "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
+    "p_dedup_minhash" ->
+      s"""WITH $shinglesSql, $minhashSql,
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         inter AS (SELECT c.a, c.b, COUNT(*) AS inter FROM cands c
+                   JOIN shd sa ON sa.doc_id = c.a
+                   JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+                   GROUP BY 1, 2)
+         SELECT i.a AS a, i.b AS b, CAST(i.inter AS BIGINT) AS inter,
+                CAST(za.n + zb.n - i.inter AS BIGINT) AS uni
+         FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+         WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 7""",
+    "p_dedup_simhash" ->
+      s"""WITH $simhashBitsSql,
+         banded AS (SELECT doc_id, simhash, b.band AS band, (simhash >> (b.band * 8)) % 256 AS key
+                    FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+         pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                          CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+                   FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+         SELECT a, b, hamming FROM pairs WHERE hamming <= 3""",
+    "p_fingerprint" ->
+      s"WITH $shinglesSql SELECT DISTINCT doc_id, h AS fp FROM hs WHERE h % 8 = 0",
+    "p_text_stats" -> {
+      val stops = TextStats.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                CAST(list_max(list_transform(toks, x -> len(x))) AS BIGINT) AS max_tok_len,
+                CAST(FLOOR(100.0 * len(list_filter(toks, x -> x IN ($stops))) / len(toks)) AS BIGINT) AS stop_pct
+         FROM t"""
+    },
+    "p_lang_id" -> {
+      val votes = TextStats.stopwordLists.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, x -> x IN ($list))) AS BIGINT) AS v_$lang"
+      }.mkString(", ")
+      val langs = TextStats.stopwordLists.map(_._1)
+      val maxExpr = s"GREATEST(${langs.map(l => s"v_$l").mkString(", ")})"
+      val caseExpr = langs.map(l => s"WHEN v_$l = mx AND mx > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         v AS (SELECT doc_id, $votes FROM t),
+         vm AS (SELECT *, $maxExpr AS mx FROM v)
+         SELECT doc_id, $caseExpr AS lang_pred, ${langs.map(l => s"v_$l").mkString(", ")} FROM vm"""
+    },
+    "p_bpe_tokens" ->
+      s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextStats.bpePattern}')) AS BIGINT) AS n_bpe FROM documents",
+    "p_ann_topk" ->
+      s"""WITH $annCommonSql,
+         qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM en WHERE vec_id < 20),
+         scored AS (SELECT qs.qid, en.vec_id,
+                           CAST(list_sum(list_transform(range(len(qq)), i -> qq[i+1] * en.q[i+1])) AS BIGINT) AS dot,
+                           qs.qn2 AS qn2, en.n2 AS nn2
+                    FROM qs CROSS JOIN en WHERE en.vec_id != qs.qid),
+         ranked AS (SELECT qid, vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY dot / sqrt(CAST(qn2 AS DOUBLE)) / sqrt(CAST(nn2 AS DOUBLE)) DESC, vec_id ASC) AS rank
+                    FROM scored)
+         SELECT qid AS q, vec_id AS n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""",
+    "p_ann_lsh" ->
+      s"""WITH $annCommonSql,
+         $lshWeightsSql,
+         bits AS (SELECT en.vec_id, w.p,
+                         CASE WHEN CAST(list_sum(list_transform(range(64), i -> q[i+1] * wv[i+1])) AS BIGINT) > 0
+                              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                  FROM en CROSS JOIN w),
+         sigs AS (SELECT vec_id, CAST(FLOOR(p / 4) AS BIGINT) AS band,
+                         CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) AS sig
+                  FROM bits GROUP BY 1, 2),
+         cands AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                   FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
+         simv AS (SELECT c.a, c.b,
+                         CAST(list_sum(list_transform(range(64), i -> ea.q[i+1] * eb.q[i+1])) AS BIGINT)
+                           / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
+                  FROM cands c JOIN en ea ON ea.vec_id = c.a JOIN en eb ON eb.vec_id = c.b)
+         SELECT a, b, CAST(FLOOR(sim * 1000) AS BIGINT) AS promille FROM simv WHERE sim >= 0.4""",
+    "p_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+         lagged AS (SELECT user_id, es, LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC) AS prev FROM e),
+         flagged AS (SELECT user_id, CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS ns FROM lagged)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(ns) AS BIGINT) AS n_sessions
+         FROM flagged GROUP BY 1""",
+    "p_event_window" ->
+      """WITH e AS (SELECT CAST(FLOOR(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 3600) AS BIGINT) AS h,
+                           event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT h, event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM e GROUP BY 1, 2""",
+    "p_user_profile" -> {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val counts = types.map(t =>
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
+      s"SELECT user_id, $counts, CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
+    })
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = core ++ pipeline
+  val oracle: Map[String, String] = coreOracle ++ pipelineOracle
+}

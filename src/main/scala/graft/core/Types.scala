@@ -26,6 +26,16 @@ object GrbType {
   case object UINT64 extends GrbType("UINT64", LongType, 4)
   case object FP32 extends GrbType("FP32", FloatType, 5)
   case object FP64 extends GrbType("FP64", DoubleType, 6)
+  // --- engine extensions beyond the GraphBLAS numeric core ---
+  // Multimodal/vector columns as first-class opaque values: embeddings
+  // (array<float>) and binary assets (image/audio bytes). They carry no
+  // algebra (rank -1, excluded from promotion); structural operators
+  // (ewise structure ops with first/second/pair, extract, assign, masks,
+  // dedup/similarity pipelines) work on them unchanged.
+  case object VEC_FP32 extends GrbType("VEC_FP32", ArrayType(FloatType), -1)
+  case object VEC_FP64 extends GrbType("VEC_FP64", ArrayType(DoubleType), -1)
+  case object BINARY extends GrbType("BINARY", BinaryType, -1)
+  case object STRING extends GrbType("STRING", StringType, -1)
 
   val all: Seq[GrbType] =
     Seq(BOOL, INT8, INT16, INT32, INT64, UINT8, UINT16, UINT32, UINT64, FP32, FP64)
@@ -38,6 +48,10 @@ object GrbType {
     case LongType    => INT64
     case FloatType   => FP32
     case DoubleType  => FP64
+    case ArrayType(FloatType, _)  => VEC_FP32
+    case ArrayType(DoubleType, _) => VEC_FP64
+    case BinaryType  => BINARY
+    case StringType  => STRING
     case other => throw new IllegalArgumentException(s"unsupported value type: $other")
   }
 
@@ -61,7 +75,10 @@ object GrbType {
     * FP32's 24-bit mantissa (so int64+float32 → float64, matching
     * numpy), else FP32.
     */
-  def promote(a: GrbType, b: GrbType): GrbType = (isFloat(a), isFloat(b)) match {
+  def promote(a: GrbType, b: GrbType): GrbType = if (a.rank < 0 || b.rank < 0) {
+    require(a == b, s"no promotion between opaque types $a and $b")
+    a
+  } else (isFloat(a), isFloat(b)) match {
     case (true, true)  => if (a.rank >= b.rank) a else b
     case (true, false) => promoteIntFloat(b, a)
     case (false, true) => promoteIntFloat(a, b)

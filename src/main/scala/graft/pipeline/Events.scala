@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over the `events` table
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Timestamps are normalized to epoch seconds (ns-precision parquet
+  * timestamps truncate differently across engines below the second).
+  * All outputs are integers for oracle-exact comparison.
+  */
+object Events {
+
+  /** epoch seconds of the `ts` column — second truncation first so
+    * sub-second precision differences can't leak through engines.
+    *
+    * The events parquet carries NANOSECOND timestamps, which Spark 4
+    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (ts arrives as raw epoch-ns LongType); `DIV` keeps the division
+    * exact (ns values exceed 2^53, double math would corrupt them).
+    * A true timestamp column is handled via the UTC-session cast.
+    */
+  private def epochS(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts DIV 1000000000")
+    case _ => unix_timestamp(date_trunc("second", col("ts")).cast("timestamp"))
+  }
+
+  /** gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds `gapSeconds`.
+    * Output (user_id, n_events, n_sessions). One shuffle on user_id.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("es").asc, col("event_id").asc)
+    events.select(col("user_id"), col("event_id"), epochS(events).as("es"))
+      .withColumn("prev", lag(col("es"), 1).over(w))
+      .withColumn("newSession",
+        when(col("prev").isNull || col("es") - col("prev") > gapSeconds, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("newSession")).as("n_sessions"))
+  }
+
+  /** tumbling-window aggregation: events per (hour-bucket, type) with
+    * the value total in integer cents. Partial aggregation map-side;
+    * single shuffle on the composite key.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events.select(epochS(events).as("es"), col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      .select(floor(col("es") / 3600).cast(LongType).as("h"),
+        col("event_type"), col("cents"))
+      .groupBy("h", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+
+  /** per-user behavioural profile: event counts by type (pivot-free —
+    * conditional aggregation keeps the plan a single hash aggregate).
+    */
+  def userProfile(events: DataFrame, types: Seq[String] =
+      Seq("click", "view", "purchase", "signup", "error")): DataFrame = {
+    val typeCounts = types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val aggs = typeCounts :+ count(lit(1)).as("n_total")
+    events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+  }
+}

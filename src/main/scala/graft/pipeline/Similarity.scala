@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the brute-force path is the correctness baseline
+  * (queries broadcast against the corpus — linear in corpus size, only
+  * viable for small query sets); the LSH path buckets vectors by
+  * random-hyperplane signs so candidate generation is an equi-join on
+  * the bucket key — sum(bucket²) work, the 100 TB path.
+  *
+  * Determinism: embeddings are quantized to integer milli-units
+  * (floor(x*1000)) so dot products are exact 64-bit integers; cosine
+  * values then come out bit-identical in any IEEE engine, making the
+  * results oracle-checkable in DuckDB.
+  */
+object Similarity {
+
+  /** integer milli-unit quantization of a float vector */
+  def quantize(e: Column): Column =
+    transform(e, x => floor(x.cast("double") * 1000).cast(LongType))
+
+  /** exact integer dot product of two quantized vectors */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cosine from quantized vectors — IEEE-deterministic:
+    * dot / sqrt(na) / sqrt(nb), all operands exact integers.
+    */
+  def cosineQ(dot: Column, na: Column, nb: Column): Column =
+    dot / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
+
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+
+  /** brute-force top-k cosine neighbours for the query set
+    * `vec_id < nQueries`. Queries are broadcast; the corpus streams.
+    * Output (q, n, rank) — integers only.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Long = 20L, k: Int = 5): DataFrame = {
+    val base = quantized(emb)
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2"))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("dot", dotQ(col("qq"), col("q")))
+      .withColumn("sim", cosineQ(col("dot"), col("qn2"), col("n2")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("q"), col("vec_id").as("n"), col("rank").cast(LongType))
+  }
+
+  /** deterministic pseudo-random hyperplanes: integer weight
+    * w(p, d) = (md5int(p_d) mod 1001) - 500 in [-500, 500], derived
+    * from md5 so any engine can regenerate them. Computed driver-side
+    * once (planes × dims small constants) and shipped as literals.
+    */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  def hyperplaneWeights(planes: Int, dims: Int): Seq[Seq[Long]] =
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        (java.lang.Long.parseLong(md5Hex(s"${p}_$d").substring(0, 6), 16) % 1001L) - 500L
+      }
+    }
+
+  /** LSH bucket signature: `bands` bands, each of `rowsPerBand`
+    * hyperplane sign bits. Returns (vec_id, band, sig) — one row per
+    * band, ready for the candidate equi-join.
+    */
+  def lshBandSignatures(emb: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val ws = hyperplaneWeights(bands * rowsPerBand, dims)
+    val base = quantized(emb)
+    val bandCols = (0 until bands).map { b =>
+      val sig = (0 until rowsPerBand).map { r =>
+        val w = ws(b * rowsPerBand + r)
+        val wlit = array(w.map(lit): _*)
+        when(dotQ(col("q"), wlit) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    base.select(col("vec_id"), col("q"), col("n2"),
+      explode(array(bandCols: _*)).as("bs"))
+      .select(col("vec_id"), col("q"), col("n2"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** approximate near-neighbour pairs: candidates = pairs sharing any
+    * LSH band signature (equi-join on (band, sig)); verified with the
+    * exact integer cosine >= threshold (milli-units).
+    * Output (a, b, promille) — promille = floor(cosine * 1000).
+    */
+  def annPairs(emb: DataFrame, simMilli: Int = 400, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val bs = lshBandSignatures(emb, bands, rowsPerBand)
+    val l = bs.select(col("band"), col("sig"), col("vec_id").as("a"),
+      col("q").as("qa"), col("n2").as("na"))
+    val r = bs.select(col("band"), col("sig"), col("vec_id").as("b"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val cand = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b", "qa", "na", "qb", "nb")
+      .dropDuplicates("a", "b")
+    cand.withColumn("sim", cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("sim") >= simMilli / 1000.0)
+      .select(col("a"), col("b"), floor(col("sim") * 1000).cast(LongType).as("promille"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Everything here is pure Column algebra (whole-stage-codegen
+  * friendly, no UDFs) and every join is an equi-join on a hash key —
+  * bucketed by construction, never an all-pairs crossJoin, so each
+  * operator survives a 100 TB corpus: work is proportional to
+  * sum(bucket²) not n².
+  *
+  * Determinism discipline: every hash is derived from md5 (identical
+  * across engines) and every similarity threshold is evaluated as an
+  * integer cross-multiplication, so a SQL oracle (DuckDB) reproduces
+  * results bit-for-bit.
+  */
+object TextDedup {
+
+  /** whitespace tokens */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** distinct word k-shingles of a document */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - k),
+        x => concat_ws(" ", (0 until k).map(o => element_at(toks, x + o + 1)): _*)))
+  }
+
+  /** 32-bit shingle hash: first 8 hex chars of md5 — reproducible in
+    * any engine with a standard md5 (DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT).
+    */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** MinHash universe: permutation k is h -> (a_k*h + b_k) mod P.
+    * P = 2^31-1 (Mersenne prime); a_k*h stays under 2^63.
+    * Constants are fixed so an external oracle can reproduce them.
+    */
+  val P = 2147483647L
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (1000000007L, 12345L), (998244353L, 54321L), (825262553L, 13579L),
+    (741103597L, 97531L), (655360001L, 24680L), (572667073L, 86420L),
+    (486187739L, 11111L), (402653189L, 22222L), (334214467L, 33333L),
+    (268435459L, 44444L), (201326611L, 55555L), (134217757L, 66666L))
+  def numHashes: Int = minhashParams.length
+
+  /** exact dedup: md5-hash the full text, group, keep the smallest id.
+    * (hash-groupBy: one shuffle on the digest, no skew beyond true
+    * duplicate clusters.)
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** (doc_id, mh_0 .. mh_{K-1}) minhash signature matrix.
+    * explode(shingles) -> one shuffle groupBy(doc_id) with K mins
+    * computed map-side (partial aggregation).
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .withColumn("h", hash32(col("sh")))
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), k) =>
+      min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"mh_$k")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** banded LSH: signature split into `bands` bands of rows each;
+    * band key = md5 of the concatenated minhashes. Docs sharing any
+    * band key become candidates. Returns (doc_id, band, sig).
+    */
+  def lshBandSignatures(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** candidate pairs (a < b) sharing at least one LSH band — an
+    * equi-join on (band, sig), never all-pairs.
+    */
+  def lshCandidates(docs: DataFrame, bands: Int = 4): DataFrame = {
+    val bs = lshBandSignatures(docs, bands)
+    val l = bs.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = bs.select(col("band"), col("sig"), col("doc_id").as("b"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** near-duplicate pairs: LSH candidates verified by exact shingle
+    * Jaccard >= num/den (integer cross-multiplied — no float compare).
+    * Output: (a, b, inter, uni).
+    */
+  def nearDuplicates(docs: DataFrame, bands: Int = 4,
+      num: Int = 7, den: Int = 10): DataFrame = {
+    val cands = lshCandidates(docs, bands)
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
+  }
+
+  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
+    * is set when sum over tokens of ±1 (by bit b of the token hash)
+    * is positive.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", hash32(col("t")))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s_$b")
+    }
+    val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val value = (0 until 32).map { b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), value.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit simhash into 4 bytes; a
+    * pair matching on any byte is a candidate (Hamming <= 3 guarantees
+    * at least one of 4 bands is clean); verify bit_count(xor) <= maxHamming.
+    * Output (a, b, hamming).
+    */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val shd = simhash(docs)
+    val banded = shd.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), (shiftright(col("simhash"), b * 8) % 256).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** mod-p document fingerprint: the shingle hashes ≡ 0 (mod `p`) —
+    * a fixed-rate sampled signature of the document (winnowing-lite).
+    * Output (doc_id, fp) distinct.
+    */
+  def fingerprint(docs: DataFrame, p: Int = 8): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), hash32(col("sh")).as("fp"))
+      .filter(col("fp") % p === 0)
+      .distinct()
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text analysis for training-data curation: token statistics, quality
+  * scoring, n-gram-heuristic language ID, BPE-ish token counting.
+  * Pure Column algebra; single narrow pass over the corpus (no
+  * shuffle at all for the per-document stats — embarrassing
+  * parallelism that scales linearly with input splits).
+  */
+object TextStats {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** per-document statistics:
+    * n_tokens, n_uniq (distinct tokens), max_tok_len, stop_pct
+    * (percent of tokens that are English stopwords, floored).
+    */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stats(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast(LongType)
+    val stops = array(stopwordsEn.map(lit): _*)
+    val nStop = size(filter(t, x => array_contains(stops, x))).cast(LongType)
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      size(array_distinct(t)).cast(LongType).as("n_uniq"),
+      array_max(transform(t, x => length(x))).cast(LongType).as("max_tok_len"),
+      floor(lit(100.0) * nStop / nTok).cast(LongType).as("stop_pct"))
+  }
+
+  /** quality score in [0, 100]: penalize very short docs, low token
+    * diversity and absurd token lengths. Deterministic integer output.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val s = stats(docs)
+    val lenScore = least(col("n_tokens"), lit(50L)) * 2 // 0..100
+    val divScore = floor(lit(100.0) * col("n_uniq") / col("n_tokens")).cast(LongType)
+    val score = floor((lenScore + divScore) / 2).cast(LongType)
+    s.select(col("doc_id"), score.as("quality"))
+  }
+
+  /** stopword-vote language ID. Votes are counted per language list;
+    * the winner is the first language (alphabetical) achieving the
+    * max — deterministic. The reference corpus is synthetic
+    * English-ish prose so most docs vote 'en'; what matters is that
+    * the heuristic is a single narrow pass reproducible by an oracle.
+    */
+  val stopwordLists: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val votes = stopwordLists.map { case (lang, words) =>
+      lang -> size(filter(t, x => array_contains(array(words.map(lit): _*), x))).cast(LongType)
+    }
+    val voteCols = votes.map { case (lang, v) => v.as(s"v_$lang") }
+    val withVotes = docs.select((col("doc_id") +: voteCols): _*)
+    val maxVote = greatest(votes.map { case (l, _) => col(s"v_$l") }: _*)
+    // first (alphabetical) language reaching the max
+    val pred = votes.foldRight(lit("und")) { case ((lang, _), rest) =>
+      when(col(s"v_$lang") === maxVote && maxVote > 0, lit(lang)).otherwise(rest)
+    }
+    val outCols = Seq(col("doc_id"), pred.as("lang_pred")) ++
+      votes.map { case (l, _) => col(s"v_$l") }
+    withVotes.select(outCols: _*)
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation —
+    * the standard cheap proxy for subword token counts.
+    */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast(LongType)
+        .as("n_bpe"))
+}
