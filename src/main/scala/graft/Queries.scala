@@ -194,9 +194,8 @@ object Queries {
       val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
-      val labels = FastSV.connectedComponents(A)
       val nodes = edges.select(col("a").as("i")).distinct()
-      labels.df.join(nodes, Seq("i"), "left_semi")
+      FastSV.connectedComponents(A, nodes = Some(nodes)).df
     }),
 
     // FastSV on the full order-part bipartite graph — component-size
@@ -210,9 +209,8 @@ object Queries {
       val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
-      val labels = FastSV.connectedComponents(A)
       val nodes = edges.select(col("a").as("i")).distinct()
-      labels.df.join(nodes, Seq("i"), "left_semi")
+      FastSV.connectedComponents(A, nodes = Some(nodes)).df
         .groupBy(col("v")).agg(count(lit(1)).as("n_nodes"))
     }))
 

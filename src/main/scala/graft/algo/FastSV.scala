@@ -1,6 +1,7 @@
 package graft.algo
 
 import graft.core._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** FastSV connected components — the reference's flagship demo
@@ -15,44 +16,81 @@ import org.apache.spark.sql.functions._
   *   mod << op.ne(gp_dup & gp)               // ewise_mult(ne)
   *   change << mod.reduce(lor)               // to driver bool
   *
-  * Iterative lineage is truncated per round with localCheckpoint
-  * (the Spark analogue of the notebook's persist() calls,
-  * dask_grblas/base.py:345-346).
+  * Scale discipline (the per-iteration cost is what survives 100×):
+  *   - A is repartitioned by the mxv join key ONCE and cached, so each
+  *     iteration shuffles only the (much smaller) parent vector;
+  *   - the accumulated indexed assign is fused to scatter-min +
+  *     ewise_add(min) — semantically identical for a dense f with a
+  *     min accumulator, but 2 shuffles instead of ~6 (the generic
+  *     §2.9 merge recipe);
+  *   - iterates are cache()d (materialized by the convergence action)
+  *     and lineage is truncated with localCheckpoint every few
+  *     rounds — the Spark analogue of the notebook's persist() calls
+  *     (dask_grblas/base.py:345-346) without two eager jobs per round.
   */
 object FastSV {
 
-  /** @param a symmetric adjacency matrix (any dtype; structure is what
-    *          matters)
-    * @return vector of component ids: f(i) = min vertex id reachable
+  private val CheckpointEvery = 3
+
+  /** @param a        symmetric adjacency matrix
+    * @param nodes    optional vertex set (single column `i`). When
+    *                 given, the parent vector is initialized sparsely
+    *                 over it instead of densely over 0..nrows-1 — the
+    *                 dense identity is pure waste when vertex ids are
+    *                 sparse in the index space (e.g. an offset
+    *                 bipartite encoding), and FastSV only ever updates
+    *                 vertices that appear in edges. Vertices absent
+    *                 from `nodes` are not labeled.
     */
-  def connectedComponents(a: GrbMatrix, maxIter: Int = 100): GrbVector = {
+  def connectedComponents(a: GrbMatrix, maxIter: Int = 100,
+      nodes: Option[DataFrame] = None): GrbVector = {
     require(a.nrows == a.ncols, "adjacency must be square")
     val spark = a.spark
     val n = a.nrows
+    // co-partition the adjacency by the contraction key once; every
+    // mxv then reuses the exchange
+    val A = new GrbMatrix(a.df.repartition(col("j")).cache(), n, n)
     // f = gp = identity: every vertex its own parent
-    val ident = spark.range(n).select(col("id").as("i"), col("id").as("v"))
+    val ident = nodes match {
+      case Some(ns) => ns.select(col("i"), col("i").as("v"))
+      case None => spark.range(n).select(col("id").as("i"), col("id").as("v"))
+    }
     var f = new GrbVector(ident, n)
     var gp = new GrbVector(ident, n)
-    val A = a.persist()
     var change = true
     var iter = 0
     while (change && iter < maxIter) {
       val gpDup = gp
       // mngp = min_second(A @ gp): per-vertex min of neighbours' parents
       val mngp = A.mxv(gp, Ops.minSecond, broadcastVec = false)
-      // f(min)[I=f-as-index] << mngp — scatter mngp through f's values
-      // (hooking), then two ewise min merges (hook + shortcut)
-      val hooked = f.reduceAssign(f, mngp, c => min(c), Desc(accum = Some(Ops.min)))
-      val f1 = hooked.ewiseAdd(mngp, Ops.min).ewiseAdd(gp, Ops.min)
-      f = f1.persist()
+      // f(min)[I=f-as-values] << mngp — fused hooking: scatter mngp
+      // through f's values with a min combine, then merge with min.
+      // (f is dense and the accumulator idempotent ⇒ identical to the
+      // generic reduce_assign + §2.9 merge.)
+      val scattered =
+        mngp.df.withColumnRenamed("i", "pos")
+          .join(f.df.select(col("i").as("pos"), col("v").cast("long").as("i")), Seq("pos"))
+          .select(col("i"), col("v"))
+      // hook + both min-merges fused: chained ewise_add(min) over
+      // {f, scattered, mngp, gp} ≡ one per-key min over their union —
+      // a single shuffle instead of three full-outer joins
+      val f1 = new GrbVector(
+        f.df.unionByName(scattered).unionByName(mngp.df).unionByName(gp.df)
+          .groupBy("i").agg(min(col("v")).as("v")), n)
+      // eager lineage truncation every round: with cache-only chaining
+      // the logical plan (and per-round analysis cost) grows with the
+      // iteration count — measurably worse than the extra
+      // materialization job even at sf0.1
+      f = new GrbVector(f1.df.localCheckpoint(true), n)
       // gp = f[f]: gather parent-of-parent through a distributed index
       val idx = f.df.select(col("i").as("pos"), col("v").cast("long").as("idx"))
-      // sizeHint avoids a count() action per iteration (round-1 verdict)
-      gp = f.extract(Ix.Dist(idx), sizeHint = f.size).persist()
+      gp = new GrbVector(
+        f.extract(Ix.Dist(idx), sizeHint = n).df.localCheckpoint(true), n)
       val mod = gp.ewiseMult(gpDup, Ops.ne)
       change = mod.reduce(Ops.lorMonoid).boolValue
       iter += 1
     }
+    A.df.unpersist(false)
     f
   }
 }

@@ -22,12 +22,17 @@ object TextDedup {
   /** whitespace tokens */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** distinct word k-shingles of a document */
+  /** distinct word k-shingles of a document. Docs shorter than k
+    * tokens have no shingles (guarded: Spark's sequence(0, negative)
+    * counts DOWN, which would index past the array).
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - k),
-        x => concat_ws(" ", (0 until k).map(o => element_at(toks, x + o + 1)): _*)))
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          x => concat_ws(" ", (0 until k).map(o => element_at(toks, x + o + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** 32-bit shingle hash: first 8 hex chars of md5 — reproducible in
@@ -146,7 +151,8 @@ object TextDedup {
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("simhash").as("hb"))
     l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** LLM-data-pipeline operator tests on small hand-built corpora with
+  * known duplicates/similarities.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog near the old river bank now"),   // near dup of 0
+      (3L, "completely different text about spark query engines and columnar storage systems"),
+      (4L, "another unrelated document discussing distributed joins and shuffle partitioning"),
+      (5L, "short doc"))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val r = TextDedup.exact(docs).collect()
+    assert(r.length == 5) // 6 docs, one exact-dup pair
+    val dup = r.find(_.getAs[Long]("cnt") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = TextDedup.nearDuplicates(docs)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical shingle sets
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("simhash: identical docs have hamming 0; near-dups flagged") {
+    val pairs = TextDedup.simhashNearDuplicates(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) == 0L)
+  }
+
+  test("fingerprint is deterministic and subset-stable") {
+    val fp1 = TextDedup.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp2 = TextDedup.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fp1 == fp2)
+    // exact dups share their full fingerprint set
+    val f0 = fp1.filter(_._1 == 0L).map(_._2)
+    val f1 = fp1.filter(_._1 == 1L).map(_._2)
+    assert(f0 == f1)
+  }
+
+  test("text stats: counts and stopword ratio") {
+    val s = TextStats.stats(docs).filter(col("doc_id") === 0L).collect()(0)
+    assert(s.getAs[Long]("n_tokens") == 15L)
+    assert(s.getAs[Long]("n_uniq") == 13L) // 'the' x3
+    assert(s.getAs[Long]("stop_pct") == 20L) // 3 of 15 tokens are stopwords
+  }
+
+  test("language id votes en for english stopword text") {
+    val l = TextStats.langId(docs).filter(col("doc_id") === 0L).collect()(0)
+    assert(l.getAs[String]("lang_pred") == "en")
+  }
+
+  test("bpe token count splits alpha/digit/punct runs") {
+    val one = spark.createDataFrame(Seq((9L, "abc12 d!e"))).toDF("doc_id", "text")
+    val n = TextStats.bpeTokenCount(one).collect()(0).getAs[Long]("n_bpe")
+    assert(n == 5L) // abc | 12 | d | ! | e
+  }
+
+  private lazy val vecs = {
+    // 8-dim: 0 and 1 nearly parallel; 2 orthogonal; 3 anti-parallel
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.01f, 0f, 0f, 1.01f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 1f, 0f, 0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f, -1f, 0f, 0f, 0f)))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks the parallel vector first") {
+    val r = Similarity.bruteForceTopK(vecs, nQueries = 1L, k = 2)
+      .orderBy("rank").collect()
+    assert(r(0).getAs[Long]("n") == 1L) // most similar to 0 is 1
+  }
+
+  test("LSH ANN finds the near-parallel pair with a bucketed join") {
+    val pairs = Similarity.annPairs(vecs, simMilli = 900, bands = 4,
+      rowsPerBand = 2).collect()
+    val ab = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab.contains((0L, 1L)))
+    assert(!ab.exists { case (a, b) => a == 2L || b == 2L })
+    // and no plan node is a cartesian product
+    val plan = Similarity.annPairs(vecs, 900, 4, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sessionize splits on gap, counts events") {
+    val ev = spark.createDataFrame(Seq(
+      (1L, 100L * 1000000000L, 7L), // epoch-ns longs (nanosAsLong shape)
+      (2L, 200L * 1000000000L, 7L),
+      (3L, 5000L * 1000000000L, 7L), // > 1800s gap -> new session
+      (4L, 100L * 1000000000L, 8L)))
+      .toDF("event_id", "ts", "user_id")
+    val r = Events.sessionize(ev).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(r(7L) == ((3L, 2L)))
+    assert(r(8L) == ((1L, 1L)))
+  }
+
+  test("multimodal: header decode, frame sampling, batched features") {
+    val assets = Multimodal.syntheticAssets(spark, 10L)
+    val meta = Multimodal.decodeMeta(assets).collect()
+    assert(meta.length == 10 && meta.forall(_.getAs[Boolean]("valid")))
+    val m3 = meta.find(_.getLong(0) == 3L).get
+    assert(m3.getAs[Long]("width") == 7L && m3.getAs[Long]("n_frames") == 4L)
+    val frames = Multimodal.frameSample(assets, everyN = 2)
+    val f = frames.filter(col("asset_id") === 3L).collect()
+    assert(f.length == 2) // frames 0, 2 of 4
+    assert(f.forall(_.getAs[Array[Byte]]("frame_bytes").length == Multimodal.FrameSize))
+    val feats = Multimodal.extractFeatures(assets).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(_.getAs[Seq[Float]]("features").length == 8))
+    // deterministic across runs
+    val feats2 = Multimodal.extractFeatures(assets).collect()
+    assert(feats.map(_.toString).sorted.sameElements(feats2.map(_.toString).sorted))
+  }
+}

@@ -36,6 +36,9 @@ def main():
                 print(f"FAIL {name}: columns {list(got.columns)} vs oracle {list(want.columns)}")
                 bad += 1
                 continue
+            wt, gt = [str(t) for t in want.dtypes], [str(t) for t in got.dtypes]
+            if wt != gt:
+                print(f"WARN {name}: dtypes engine={gt} oracle={wt}")
             w, g = norm(want.itertuples(index=False, name=None)), \
                    norm(got.itertuples(index=False, name=None))
             if len(w) != len(g):
