@@ -15,15 +15,21 @@ import org.apache.spark.sql.types._
   * what remains is header parsing, 1-based→0-based shift, and
   * symmetric/skew-symmetric expansion (io.py:662-676) via a union of
   * the mirrored projection.
+  *
+  * Line addressing is deterministic: the driver-side header parse
+  * counts the header lines, and the distributed body is indexed with
+  * zipWithIndex (stable file order) — no global Window, no
+  * non-deterministic monotonically_increasing_id.
   */
 object MatrixMarket {
 
   final case class Header(format: String, field: String, symmetry: String,
-      nrows: Long, ncols: Long, nnz: Long)
+      nrows: Long, ncols: Long, nnz: Long, bodyStart: Long)
 
   /** read the header lines (comment block + size line) driver-side —
     * tiny — then scan the body distributed. Opened through the Hadoop
     * FileSystem so non-local paths (hdfs://, s3a://…) work.
+    * `bodyStart` = number of lines before the first data line.
     */
   def readHeader(spark: SparkSession, path: String): Header = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -31,51 +37,78 @@ object MatrixMarket {
     val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
     try {
       val lines = src.getLines()
-      val banner = lines.next().trim.split("\\s+")
+      var consumed = 0L
+      def next(): String = { consumed += 1; lines.next() }
+      val banner = next().trim.split("\\s+")
       require(banner(0) == "%%MatrixMarket" && banner(1) == "matrix",
         s"not a MatrixMarket matrix file: $path")
       val format = banner(2).toLowerCase // coordinate | array
       val field = banner(3).toLowerCase // real | integer | pattern | complex
       val symmetry = banner(4).toLowerCase // general | symmetric | skew-symmetric | hermitian
-      val size = lines.dropWhile(_.startsWith("%")).next().trim.split("\\s+")
+      var line = next()
+      while (line.startsWith("%")) line = next()
+      val size = line.trim.split("\\s+")
       format match {
         case "coordinate" =>
-          Header(format, field, symmetry, size(0).toLong, size(1).toLong, size(2).toLong)
+          Header(format, field, symmetry, size(0).toLong, size(1).toLong,
+            size(2).toLong, consumed)
         case "array" =>
           Header(format, field, symmetry, size(0).toLong, size(1).toLong,
-            size(0).toLong * size(1).toLong)
+            size(0).toLong * size(1).toLong, consumed)
         case other => throw new IllegalArgumentException(s"unknown MM format $other")
       }
     } finally src.close()
   }
 
+  /** body lines with their 0-based position among data lines, in file
+    * order (zipWithIndex is deterministic for a text source).
+    */
+  private def indexedBody(spark: SparkSession, path: String, h: Header): DataFrame = {
+    val rdd = spark.read.text(path).select(col("value")).rdd
+      .map(_.getString(0)).zipWithIndex()
+      .filter { case (_, idx) => idx >= h.bodyStart }
+      .map { case (l, idx) => org.apache.spark.sql.Row(l, idx - h.bodyStart) }
+    spark.createDataFrame(rdd, StructType(Seq(
+        StructField("value", StringType), StructField("_pos", LongType))))
+      .filter(length(trim(col("value"))) > 0)
+  }
+
   def read(spark: SparkSession, path: String, dtype: GrbType = GrbType.FP64): GrbMatrix = {
     val h = readHeader(spark, path)
-    val body = spark.read.text(path)
-      .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
+    val body = indexedBody(spark, path, h)
     h.format match {
       case "coordinate" => readCoordinate(body, h, dtype)
       case "array"      => readArray(body, h, dtype)
     }
   }
 
-  private def parseBody(body: DataFrame): DataFrame = {
-    val toks = split(trim(col("value")), "\\s+")
-    body.select(toks.as("t"))
+  /** windowed read (reference mmread row_begin/row_end/col_begin/
+    * col_end, io.py:102-127,269-300): keep entries inside
+    * [rowBegin, rowEnd) × [colBegin, colEnd), rebase indices to the
+    * window origin; the result's shape is the window's. A filter over
+    * the distributed scan — no extra pass.
+    */
+  def readWindowed(spark: SparkSession, path: String,
+      rowBegin: Long = 0L, rowEnd: Long = -1L,
+      colBegin: Long = 0L, colEnd: Long = -1L,
+      dtype: GrbType = GrbType.FP64): GrbMatrix = {
+    val m = read(spark, path, dtype)
+    val re = if (rowEnd < 0) m.nrows else rowEnd
+    val ce = if (colEnd < 0) m.ncols else colEnd
+    new GrbMatrix(
+      m.df.filter(col("i") >= rowBegin && col("i") < re &&
+          col("j") >= colBegin && col("j") < ce)
+        .select((col("i") - rowBegin).as("i"), (col("j") - colBegin).as("j"), col("v")),
+      re - rowBegin, ce - colBegin)
   }
 
   private def readCoordinate(body: DataFrame, h: Header, dtype: GrbType): GrbMatrix = {
-    // the size line is the first non-comment line; drop it by file order
-    val deduped = parseBody(body)
-      .select(
-        (element_at(col("t"), 1).cast(LongType)).as("r1"),
-        (element_at(col("t"), 2).cast(LongType)).as("c1"),
-        (if (h.field == "pattern") lit(1.0) else element_at(col("t"), 3).cast(DoubleType)).as("dv"),
-        monotonically_increasing_id().as("_rid"))
-    val firstRid = deduped.orderBy("_rid").limit(1).select(col("_rid")).collect().head.getLong(0)
-    val base = deduped.filter(col("_rid") =!= firstRid)
-      .select((col("r1") - 1).as("i"), (col("c1") - 1).as("j"),
-        col("dv").cast(dtype.spark).as("v"))
+    val toks = split(trim(col("value")), "\\s+")
+    val base = body.select(
+        (element_at(toks, 1).cast(LongType) - 1).as("i"),
+        (element_at(toks, 2).cast(LongType) - 1).as("j"),
+        (if (h.field == "pattern") lit(1.0)
+         else element_at(toks, 3).cast(DoubleType)).cast(dtype.spark).as("v"))
     val expanded = h.symmetry match {
       case "general" => base
       case "symmetric" | "hermitian" =>
@@ -94,32 +127,27 @@ object MatrixMarket {
     * (io.py:8-71 triangular index math → closed-form here).
     */
   private def readArray(body: DataFrame, h: Header, dtype: GrbType): GrbMatrix = {
-    val vals = parseBody(body)
-      .select(element_at(col("t"), 1).cast(DoubleType).as("dv"),
-        monotonically_increasing_id().as("_rid"))
-    // global 0-based position among value lines, in file order
-    val w = org.apache.spark.sql.expressions.Window.orderBy("_rid")
-    val pos0 = vals.withColumn("_pos", row_number().over(w).cast(LongType) - 1)
-    val firstPos = 1L // position 0 is the size line
+    val toks = split(trim(col("value")), "\\s+")
+    val vals = body.select(element_at(toks, 1).cast(DoubleType).as("dv"), col("_pos"))
     val n = h.nrows
     val coords = h.symmetry match {
       case "general" =>
-        pos0.filter(col("_pos") >= firstPos)
-          .withColumn("_k", col("_pos") - firstPos)
-          .select(
-            (col("_k") % n).as("i"), (col("_k") / n).as("j"),
-            col("dv").cast(dtype.spark).as("v"))
+        vals.select(
+          (col("_pos") % n).as("i"), expr(s"_pos DIV $n").as("j"),
+          col("dv").cast(dtype.spark).as("v"))
       case "symmetric" | "skew-symmetric" =>
         // lower triangle incl. diagonal, column-major: column j holds
         // (n - j) entries starting at row j; linear index k → column j
         // is the largest j with T(j) <= k where T(j) = j*n - j(j-1)/2.
         // Invert with the quadratic formula (io.py:8-41 equivalent).
-        val k = col("_pos") - firstPos
+        val k = col("_pos")
         val jc = floor((lit(2 * n + 1) - sqrt(lit((2 * n + 1).toDouble * (2 * n + 1)) -
           lit(8.0) * k.cast(DoubleType))) / 2.0).cast(LongType)
-        val tri = pos0.filter(col("_pos") >= firstPos)
+        val tri = vals
           .withColumn("_j", jc)
-          .withColumn("_i", (k - (col("_j") * n - col("_j") * (col("_j") - 1) / 2)) + col("_j"))
+          .withColumn("_i",
+            ((k - (col("_j") * n - col("_j") * (col("_j") - 1) / 2)) + col("_j"))
+              .cast(LongType))
           .select(col("_i").as("i"), col("_j").as("j"), col("dv").cast(dtype.spark).as("v"))
         val mirror = tri.filter(col("i") =!= col("j")).select(col("j").as("i"), col("i").as("j"),
           (if (h.symmetry == "skew-symmetric") -col("v") else col("v")).cast(dtype.spark).as("v"))
