@@ -1,0 +1,48 @@
+package graft.algo
+
+import graft.core.{GrbMatrix, GrbVector}
+import org.apache.spark.graphx.{Edge, Graph, Pregel, EdgeDirection, EdgeTriplet, VertexId}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** GraphX/Pregel bridge: run vertex-program algorithms over a
+  * GraphBLAS adjacency matrix (the COO frame IS an edge list).
+  *
+  * FastSV (the DataFrame loop) is the primary implementation; this
+  * bridge exists because some iterative algorithms are more natural as
+  * vertex programs, and it demonstrates zero-copy interop between the
+  * engine's COO collections and GraphX's RDD world.
+  */
+object PregelCC {
+
+  /** adjacency matrix → GraphX graph (vertex attr = own id) */
+  def toGraph(a: GrbMatrix): Graph[Long, Long] = {
+    val edges = a.df
+      .select(col("i").cast(LongType), col("j").cast(LongType))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
+    Graph.fromEdges(edges, defaultValue = 0L)
+      .mapVertices((id, _) => id)
+  }
+
+  /** connected components by min-label propagation with Pregel —
+    * same labeling contract as FastSV.connectedComponents (label =
+    * min vertex id of the component), restricted to vertices that
+    * appear in edges.
+    */
+  def connectedComponents(a: GrbMatrix): GrbVector = {
+    val g = toGraph(a)
+    val cc = Pregel(g, initialMsg = Long.MaxValue,
+      activeDirection = EdgeDirection.Either)(
+      vprog = (_: VertexId, attr: Long, msg: Long) => math.min(attr, msg),
+      sendMsg = (t: EdgeTriplet[Long, Long]) =>
+        if (t.srcAttr < t.dstAttr) Iterator((t.dstId, t.srcAttr))
+        else if (t.dstAttr < t.srcAttr) Iterator((t.srcId, t.dstAttr))
+        else Iterator.empty,
+      mergeMsg = (a: Long, b: Long) => math.min(a, b))
+    val spark = a.spark
+    import spark.implicits._
+    val df = cc.vertices.map { case (id, label) => (id, label) }
+      .toDF("i", "v")
+    new GrbVector(df, a.nrows)
+  }
+}

@@ -88,12 +88,15 @@ object Ops {
   val pow: BinaryOp = BinaryOp("pow")(org.apache.spark.sql.functions.pow(_, _))
 
   // ---- monoids (grblas monoid.*) ----
-  val plusMonoid: Monoid = Monoid("plus", plus)(sum)
-  val timesMonoid: Monoid = Monoid("times", times)(product)
+  // preserve: Spark's sum/product widen (INT8 -> LONG) and bool_and/or
+  // return BOOL; GraphBLAS monoids stay in the operand domain (with C
+  // wrap-around on overflow, which the narrowing cast reproduces)
+  val plusMonoid: Monoid = Monoid("plus", plus, preserve = true)(sum)
+  val timesMonoid: Monoid = Monoid("times", times, preserve = true)(product)
   val minMonoid: Monoid = Monoid("min", min)(org.apache.spark.sql.functions.min)
   val maxMonoid: Monoid = Monoid("max", max)(org.apache.spark.sql.functions.max)
-  val landMonoid: Monoid = Monoid("land", land)(c => bool_and(c.cast("boolean")))
-  val lorMonoid: Monoid = Monoid("lor", lor)(c => bool_or(c.cast("boolean")))
+  val landMonoid: Monoid = Monoid("land", land, preserve = true)(c => bool_and(c.cast("boolean")))
+  val lorMonoid: Monoid = Monoid("lor", lor, preserve = true)(c => bool_or(c.cast("boolean")))
   val lxorMonoid: Monoid =
     Monoid("lxor", lxor, preserve = true)(c => (sum(c.cast("boolean").cast("long")) % 2) === 1)
   val anyMonoid: Monoid = Monoid("any", any)(first_value)

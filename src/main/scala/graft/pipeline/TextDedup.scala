@@ -105,8 +105,11 @@ object TextDedup {
     */
   def nearDuplicates(docs: DataFrame, bands: Int = 4,
       num: Int = 7, den: Int = 10): DataFrame = {
-    val cands = lshCandidates(docs, bands)
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    // the exploded shingle set feeds signature building AND the
+    // verification joins — cache it instead of re-exploding 3×
+    val docsC = docs.select("doc_id", "text").cache()
+    val cands = lshCandidates(docsC, bands)
+    val sh = docsC.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))

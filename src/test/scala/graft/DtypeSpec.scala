@@ -1,0 +1,68 @@
+package graft
+
+import graft.core._
+
+/** dtype discipline sweep (round-1 verdict item 7): ops and monoids
+  * must stay in the operand domain across every numeric GrbType —
+  * Spark's sum/product/literals silently widen without the preserve
+  * casts.
+  */
+class DtypeSpec extends SparkSpec {
+
+  private def vecOf(t: GrbType): GrbVector = {
+    val vals: Seq[(Long, Any)] = t match {
+      case GrbType.BOOL => Seq((0L, true), (1L, false), (2L, true))
+      case GrbType.INT8 => Seq((0L, 1.toByte), (1L, 2.toByte), (2L, 3.toByte))
+      case GrbType.INT16 => Seq((0L, 1.toShort), (1L, 2.toShort), (2L, 3.toShort))
+      case GrbType.INT32 => Seq((0L, 1), (1L, 2), (2L, 3))
+      case GrbType.INT64 => Seq((0L, 1L), (1L, 2L), (2L, 3L))
+      case GrbType.FP32 => Seq((0L, 1f), (1L, 2f), (2L, 3f))
+      case GrbType.FP64 => Seq((0L, 1.0), (1L, 2.0), (2L, 3.0))
+      case other => fail(s"unexpected $other")
+    }
+    GrbVector.fromValues(spark, vals, t, 4L)
+  }
+
+  private val numeric = Seq(GrbType.INT8, GrbType.INT16, GrbType.INT32,
+    GrbType.INT64, GrbType.FP32, GrbType.FP64)
+
+  test("apply(one) preserves dtype (Ops.one emits an int literal)") {
+    for (t <- numeric :+ GrbType.BOOL) {
+      assert(vecOf(t).apply(Ops.one).dtype == t, s"one on $t")
+    }
+  }
+
+  test("plus/times monoid reductions stay in the operand domain") {
+    for (t <- numeric) {
+      val v = vecOf(t)
+      assert(v.reduce(Ops.plusMonoid).dtype == t, s"reduce plus on $t")
+      assert(v.reduce(Ops.timesMonoid).dtype == t, s"reduce times on $t")
+      assert(v.reduce(Ops.minMonoid).dtype == t, s"reduce min on $t")
+    }
+  }
+
+  test("logical monoids return the operand domain (0/1 for ints)") {
+    for (t <- Seq(GrbType.BOOL, GrbType.INT32)) {
+      val r = vecOf(t).reduce(Ops.lorMonoid)
+      assert(r.dtype == t, s"lor on $t")
+      assert(r.boolValue)
+    }
+  }
+
+  test("ewise pair preserves dtype; promotion follows numpy rules") {
+    for (t <- numeric) {
+      assert(vecOf(t).ewiseMult(vecOf(t), Ops.pair).dtype == t, s"pair on $t")
+    }
+    assert(GrbType.promote(GrbType.INT64, GrbType.FP32) == GrbType.FP64)
+    assert(GrbType.promote(GrbType.INT16, GrbType.FP32) == GrbType.FP32)
+    assert(GrbType.promote(GrbType.INT8, GrbType.INT32) == GrbType.INT32)
+  }
+
+  test("INT8 plus reduction wraps like C on overflow") {
+    val v = GrbVector.fromValues(spark,
+      Seq((0L, 100.toByte), (1L, 100.toByte)), GrbType.INT8, 2L)
+    val r = v.reduce(Ops.plusMonoid)
+    assert(r.dtype == GrbType.INT8)
+    assert(r.value.get == (-56).toByte) // 200 wraps
+  }
+}

@@ -38,6 +38,15 @@ class FastSVSpec extends SparkSpec {
     assert((5L to 8L).forall(l(_) == 5L))
   }
 
+  test("GraphX Pregel bridge agrees with FastSV") {
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L))
+    val a = matFromEdges(edges, 6L)
+    val pregel = labelsOf(graft.algo.PregelCC.connectedComponents(a))
+    val fastsv = labelsOf(FastSV.connectedComponents(a))
+    // Pregel labels only vertices that appear in edges
+    assert(pregel == fastsv.view.filterKeys(k => k != 5L).toMap)
+  }
+
   test("path graph needs shortcutting (worst case for hooking)") {
     val n = 32L
     val a = matFromEdges((0L until n - 1).map(i => (i, i + 1)), n)

@@ -13,6 +13,9 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // C/numpy-style wrap-around + null semantics (GraphBLAS reference
+      // behavior); ANSI mode would throw on narrowing-cast overflow
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
