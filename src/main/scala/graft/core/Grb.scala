@@ -346,8 +346,12 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     val norm = Ix.normalize(ix, size)
     val pred = Ix.predicate(norm, col("i"), size)
     // last-duplicate-wins on the global index: keep value at max pos
-    // (expr.py:1463-1499 _uniquify); only the join path can see dups
-    lazy val idxU = Ix.toDF(spark, norm, size).groupBy("idx").agg(max(col("pos")).as("pos"))
+    // (expr.py:1463-1499 _uniquify); only list/distributed indices can
+    // carry duplicates — All/Range/At skip the dedup aggregate
+    lazy val idxU = norm match {
+      case Ix.All | Ix.Range(_, _, _) | Ix.At(_) => Ix.toDF(spark, norm, size)
+      case _ => Ix.toDF(spark, norm, size).groupBy("idx").agg(max(col("pos")).as("pos"))
+    }
     lazy val regionKeys = idxU.select(col("idx").as("i"))
     val newVals: DataFrame = value match {
       case Left(s) =>
@@ -741,10 +745,13 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     val cNorm = Ix.normalize(colIx, ncols)
     val rPred = Ix.predicate(rNorm, col("i"), nrows)
     val cPred = Ix.predicate(cNorm, col("j"), ncols)
-    lazy val rIdx = Ix.toDF(spark, rNorm, nrows).groupBy("idx").agg(max("pos").as("pos"))
-      .select(col("pos").as("_rpos"), col("idx").as("_ri"))
-    lazy val cIdx = Ix.toDF(spark, cNorm, ncols).groupBy("idx").agg(max("pos").as("pos"))
-      .select(col("pos").as("_cpos"), col("idx").as("_cj"))
+    def uniq(norm: Ix, dim: Long): DataFrame = norm match {
+      // only list/distributed indices can carry duplicates
+      case Ix.All | Ix.Range(_, _, _) | Ix.At(_) => Ix.toDF(spark, norm, dim)
+      case _ => Ix.toDF(spark, norm, dim).groupBy("idx").agg(max("pos").as("pos"))
+    }
+    lazy val rIdx = uniq(rNorm, nrows).select(col("pos").as("_rpos"), col("idx").as("_ri"))
+    lazy val cIdx = uniq(cNorm, ncols).select(col("pos").as("_cpos"), col("idx").as("_cj"))
     val newVals: DataFrame = value match {
       case Left(s) =>
         // scalar fill is dense over the region by definition; with a

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.pipeline._
+
+/** Plan-shape audit: the properties that decide whether an operator
+  * survives a 100× scale-up, asserted on explain() output so a
+  * regression turns the suite red (round-1 verdict items 3-5).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val vec = GrbVector.fromValues(spark,
+    (0L until 100L).map(i => (i, i: Any)), GrbType.INT64, 1000000000000L)
+
+  test("extract(All) is identity — no join, no spark.range build side") {
+    val p = plan(vec.extract(Ix.All).df)
+    assert(!p.toLowerCase.contains("join"))
+    assert(!p.contains("Range (0"))
+  }
+
+  test("extract(Range) is filter + arithmetic reindex — no join") {
+    val p = plan(vec.extract(Ix.Range(10L, 1000000L, 7L)).df)
+    assert(!p.toLowerCase.contains("join"))
+  }
+
+  test("scalar Range fill is a generated range — no join, no dedup agg") {
+    // an unmasked scalar fill of a range is semantically dense (the
+    // result HAS those rows); what must not happen is a join or a
+    // duplicate-elimination aggregate over the generated keys
+    val upd = vec.assign(Ix.Range(0L, 1000000000L, 1L), Left(lit(5L)))
+    val p = plan(upd.df)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.toLowerCase.contains("join"))
+    assert(!p.contains("HashAggregate"), "no dedup over a dup-free index")
+  }
+
+  test("vector assign into a Range region reindexes arithmetically — no join") {
+    val small = GrbVector.fromValues(spark,
+      (0L until 10L).map(i => (i, i: Any)), GrbType.INT64, 10L)
+    val p = plan(vec.assign(Ix.Range(100L, 200L, 10L), Right(small)).df)
+    assert(!p.toLowerCase.contains("join"))
+  }
+
+  test("masked scalar fill enumerates mask keys, not the region") {
+    val mask = Mask.structural(GrbVector.fromValues(spark,
+      Seq((5L, 1L: Any), (7L, 1L: Any)), GrbType.INT64, 1000000000000L).df)
+    val upd = vec.assign(Ix.Range(0L, 1000000000L, 1L), Left(lit(5L)),
+      Desc(mask = Some(mask)))
+    val p = plan(upd.df)
+    assert(!p.contains("Range (0, 1000000000"), "mask keys, not dense region")
+  }
+
+  test("mxv broadcasts the vector side by default") {
+    val m = GrbMatrix.fromValues(spark,
+      (0L until 50L).map(i => (i, (i * 7) % 50L, 1L: Any)), GrbType.INT64, 50L, 50L)
+    val v = GrbVector.fromValues(spark, (0L until 50L).map(i => (i, 1L: Any)),
+      GrbType.INT64, 50L)
+    assert(plan(m.mxv(v, Ops.plusTimes).df).contains("BroadcastHashJoin"))
+  }
+
+  test("matrix COO parquet scan prunes to the selected columns") {
+    val dir = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("i"), col("l_partkey").as("j"),
+        col("l_quantity").cast("long").as("v"))
+    val m = GrbMatrix.fromDF(df, 10000L, 10000L, dupAgg = Some(c => sum(c)))
+    val p = plan(m.df)
+    assert(p.contains("l_orderkey") && p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "scan must prune unused columns")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val dir = "/root/testdata/sf0.001"
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 60)
+      .select(col("l_orderkey"), col("l_partkey"))
+    assert(plan(df).contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,60)]"))
+  }
+
+  test("dedup + similarity candidate generation is bucketed, never all-pairs") {
+    val docs = spark.createDataFrame(Seq(
+      (0L, "a b c d e"), (1L, "a b c d f"))).toDF("doc_id", "text")
+    assert(!plan(TextDedup.lshCandidates(docs)).contains("CartesianProduct"))
+    assert(!plan(TextDedup.simhashNearDuplicates(docs)).contains("CartesianProduct"))
+    val vecs = spark.createDataFrame(Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)))).toDF("vec_id", "embedding")
+    assert(!plan(Similarity.annPairs(vecs)).contains("CartesianProduct"))
+  }
+
+  test("masked mxm pushes the mask before the aggregate") {
+    val m = GrbMatrix.fromValues(spark,
+      Seq((0L, 0L, 1L: Any), (0L, 1L, 1L: Any), (1L, 0L, 1L: Any)),
+      GrbType.INT64, 2L, 2L)
+    val mask = Mask.structural(
+      GrbMatrix.fromValues(spark, Seq((0L, 0L, 1L: Any)), GrbType.INT64, 2L, 2L).df)
+    val planned = m.mxm(m, Ops.plusTimes, Some(mask)).df.queryExecution.optimizedPlan
+    // the semi-join must appear BELOW the final aggregate in the plan tree
+    val s = planned.toString
+    val aggIdx = s.indexOf("Aggregate")
+    val joinIdx = s.indexOf("LeftSemi")
+    assert(aggIdx >= 0 && joinIdx > aggIdx,
+      "mask semi-join should be inside (below) the aggregate")
+  }
+}
