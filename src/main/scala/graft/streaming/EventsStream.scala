@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming versions of the event-analytics operators —
+  * `readStream` → transform → `writeStream` pipelines over the same
+  * events schema the batch operators use (event_id, ts, user_id,
+  * event_type, value). Batch/stream parity: a batch DataFrame of the
+  * same shape runs through the identical transforms.
+  *
+  * Scale design: windowed aggregations carry watermarks so state is
+  * bounded; sessionization keeps one small state row per active user
+  * and expires it by event-time timeout.
+  */
+object EventsStream {
+
+  /** normalize ts (epoch-ns long or timestamp) to a TimestampType col */
+  private def tsCol(df: DataFrame) = df.schema("ts").dataType match {
+    case LongType => expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
+    case _        => col("ts").cast("timestamp")
+  }
+
+  /** tumbling 1-hour windowed counts/totals per event type, 2-hour
+    * watermark: late events beyond that are dropped and window state
+    * is reclaimed — bounded state at any input rate.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events.withColumn("tsc", tsCol(events))
+      .withWatermark("tsc", "2 hours")
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast(LongType)).as("sum_cents"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_cents"))
+
+  final case class SessionEvent(userId: Long, es: Long)
+  final case class SessionState(lastEs: Long, nEvents: Long, nSessions: Long)
+  final case class SessionUpdate(userId: Long, nEvents: Long, nSessions: Long)
+
+  /** stateful gap sessionization: one state row per active user; a gap
+    * over `gapSeconds` starts a new session. Emits the running
+    * per-user totals each batch (update mode).
+    *
+    * `expireIdleState = true` (the production default) registers a
+    * processing-time timeout so idle users' state is reclaimed —
+    * bounded state over an unbounded key space. Note the timeout makes
+    * the no-data trigger keep running maintenance microbatches, so
+    * drain-style tests (processAllAvailable) should pass false.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
+      expireIdleState: Boolean = true): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.withColumn("tsc", tsCol(events))
+      .select(col("user_id").as("userId"),
+        unix_timestamp(col("tsc")).as("es"))
+      .as[SessionEvent]
+    val timeout = if (expireIdleState) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), timeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.es)
+            var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val newSession = s.lastEs == Long.MinValue || e.es - s.lastEs > gapSeconds
+              s = SessionState(e.es, s.nEvents + 1,
+                s.nSessions + (if (newSession) 1 else 0))
+            }
+            state.update(s)
+            if (expireIdleState) state.setTimeoutDuration(gapSeconds * 2 * 1000)
+            Iterator.single(SessionUpdate(userId, s.nEvents, s.nSessions))
+          }
+      }
+  }
+
+  /** convenience: file-source stream over an events parquet directory */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+}

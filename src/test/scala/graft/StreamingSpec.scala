@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+/** Structured Streaming operators driven through MemoryStream — the
+  * same transforms the batch Events operators use, with watermarked
+  * bounded state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import EventsStream.SessionUpdate
+
+  final case class Ev(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+
+  test("streaming hourly windowed aggregation with watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = EventsStream.hourlyByType(input.toDF())
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(1, ns(3600), 7, "click", 1.25),
+        Ev(2, ns(3660), 7, "click", 2.50),
+        Ev(3, ns(7200), 8, "view", 0.75))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("h").getTime / 1000,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("sum_cents")))
+        .toSet
+      assert(rows.contains((3600L, "click", 2L, 375L)))
+      assert(rows.contains((7200L, "view", 1L, 75L)))
+    } finally q.stop()
+  }
+
+  test("streaming stateful sessionization across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[Ev]
+    val sess = EventsStream.sessionize(input.toDF(), expireIdleState = false)
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(Ev(1, ns(100), 7, "click", 0.0), Ev(2, ns(200), 7, "click", 0.0))
+      q.processAllAvailable()
+      // second batch: same user after a >30min gap -> new session
+      input.addData(Ev(3, ns(5000), 7, "click", 0.0), Ev(4, ns(5100), 9, "view", 0.0))
+      q.processAllAvailable()
+      val last = spark.table("sessions").as[SessionUpdate].collect()
+        .groupBy(_.userId).map { case (u, xs) => u -> xs.maxBy(_.nEvents) }
+      assert(last(7L).nEvents == 3 && last(7L).nSessions == 2)
+      assert(last(9L).nEvents == 1 && last(9L).nSessions == 1)
+    } finally q.stop()
+  }
+}
