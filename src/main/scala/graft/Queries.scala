@@ -184,6 +184,58 @@ object Queries {
       a.kronecker(b, Ops.times).df
     }),
 
+    // positional semiring: per output cell, min of the contracted
+    // index (min_secondi; §2.2 positional ops / verdict row 20)
+    "q_positional_mxm" -> ((s, dir) => {
+      val m = liMat(s, dir)
+      val m2 = GrbMatrix.fromDF(
+        pq(s, dir, "lineitem").select(col("l_partkey").as("i"),
+          col("l_suppkey").as("j"), col("l_quantity").cast(LongType).as("v")),
+        nrows = m.ncols, dupAgg = Some(c => sum(c)))
+      m.mxm(m2, Ops.minSecondi).df
+    }),
+
+    // bind a LAZY scalar operand (§2.2; verdict row 26's sibling):
+    // normalize each per-order quantity by the global max
+    "q_scalar_bind" -> ((s, dir) => {
+      val v = GrbVector.fromDF(pq(s, dir, "lineitem")
+        .select(col("l_orderkey").as("i"), col("l_quantity").cast(LongType).as("v")),
+        dupAgg = Some(c => sum(c)))
+      val mx = v.reduce(Ops.maxMonoid)
+      v.applyRightScalar(Ops.div, mx).df
+    }),
+
+    // concat_vectors (§2.1): customer balances ++ supplier balances
+    "q_concat" -> ((s, dir) => {
+      val a = custVec(s, dir)
+      val b = GrbVector.fromDF(pq(s, dir, "supplier")
+        .select(col("s_suppkey").as("i"), cents(col("s_acctbal")).as("v")))
+      Structure.concatVectors(Seq(a, b)).df
+    }),
+
+    // inner (dot) product (§2.5): orders · lineitem totals over orderkey
+    "q_inner" -> ((s, dir) => {
+      val a = GrbVector.fromDF(pq(s, dir, "orders")
+        .select(col("o_orderkey").as("i"), cents(col("o_totalprice")).as("v")))
+      val b = GrbVector.fromDF(pq(s, dir, "lineitem")
+        .select(col("l_orderkey").as("i"), lit(1L).as("v")),
+        size = a.size, dupAgg = Some(c => sum(c)))
+      a.inner(b.resize(a.size), Ops.plusTimes).df
+    }),
+
+    // matrix → k-th diagonal vector (§2.1 diag)
+    "q_diag_vector" -> ((s, dir) =>
+      Structure.diagVector(liMat(s, dir), 3L).df),
+
+    // complemented structural mask via dup (§2.8 set-difference role):
+    // customers OUTSIDE the BUILDING segment
+    "q_mask_complement" -> ((s, dir) => {
+      val t = custVec(s, dir)
+      val bldg = pq(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("i"), lit(1L).as("v"))
+      t.dup(mask = Some(Mask.complementStructural(bldg))).df
+    }),
+
     // FastSV connected components on a bounded bipartite subgraph —
     // oracle = recursive min-label propagation in SQL (§3.4)
     "q_cc_small" -> ((s, dir) => {
@@ -285,6 +337,28 @@ object Queries {
                 CAST(r.r_regionkey * 5 + n.n_regionkey AS BIGINT) AS j,
                 CAST(1 AS BIGINT) AS v
          FROM region r CROSS JOIN nation n""",
+    "q_positional_mxm" ->
+      s"""WITH $liMatSql,
+         m2 AS (SELECT l_partkey AS i, l_suppkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2)
+         SELECT m.i AS i, m2.j AS j, CAST(MIN(m.j) AS BIGINT) AS v FROM m JOIN m2 ON m.j = m2.i GROUP BY 1, 2""",
+    "q_scalar_bind" ->
+      """WITH v AS (SELECT l_orderkey AS i, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1)
+         SELECT i, v / (SELECT MAX(v) FROM v) AS v FROM v""",
+    "q_concat" ->
+      """WITH a AS (SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer),
+         off AS (SELECT MAX(i) + 1 AS o FROM a)
+         SELECT i, v FROM a
+         UNION ALL
+         SELECT s_suppkey + (SELECT o FROM off) AS i, CAST(ROUND(s_acctbal*100) AS BIGINT) AS v FROM supplier""",
+    "q_inner" ->
+      """WITH a AS (SELECT o_orderkey AS i, CAST(ROUND(o_totalprice*100) AS BIGINT) AS v FROM orders),
+         b AS (SELECT l_orderkey AS i, CAST(COUNT(*) AS BIGINT) AS v FROM lineitem GROUP BY 1)
+         SELECT CAST(SUM(a.v * b.v) AS BIGINT) AS v FROM a JOIN b ON a.i = b.i""",
+    "q_diag_vector" ->
+      s"WITH $liMatSql SELECT m.i AS i, m.v AS v FROM m WHERE m.j - m.i = 3",
+    "q_mask_complement" ->
+      """SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer
+         WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
     "q_cc_small" ->
       """WITH RECURSIVE e0 AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 60),
          edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
