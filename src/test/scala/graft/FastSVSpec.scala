@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.core._
 import graft.algo.FastSV
+import graft.io.MatrixMarket
 
 /** FastSV connected components — the acceptance demo (SURVEY §3.4,
   * reference notebooks/Connected Components -- FastSV.ipynb).
@@ -26,16 +27,36 @@ class FastSVSpec extends SparkSpec {
     assert(l(6L) == 6L)
   }
 
+  /** the notebook's 12×12 fixture (FIXTURES.md; notebooks/Connected
+    * Components -- FastSV.ipynb): components {0..5} {6,7,8} {9,10,11}
+    */
+  private val notebookEdges = Seq(
+    (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 4L), (2L, 5L),
+    (3L, 4L), (6L, 7L), (6L, 8L), (9L, 10L), (9L, 11L))
+
   test("notebook 12x12 graph (reference flagship demo)") {
-    // the FastSV notebook's example graph: two components
-    val edges = Seq(
-      (0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
-      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L),
-      (4L, 9L), (9L, 10L), (10L, 11L))
-    val a = matFromEdges(edges, 12L)
+    val a = matFromEdges(notebookEdges, 12L)
     val l = labelsOf(FastSV.connectedComponents(a))
-    assert((0L to 4L).forall(l(_) == 0L) && (9L to 11L).forall(l(_) == 0L))
-    assert((5L to 8L).forall(l(_) == 5L))
+    assert((0L to 5L).forall(l(_) == 0L))
+    assert((6L to 8L).forall(l(_) == 6L))
+    assert((9L to 11L).forall(l(_) == 9L))
+  }
+
+  test("golden path: MatrixMarket symmetric read -> FastSV (notebook coo_matrix_A.mtx shape)") {
+    // recreate the notebook's MM file per FIXTURES.md: coordinate
+    // integer symmetric, 12x12, 11 entries, 1-based, lower-triangle
+    val body = notebookEdges
+      .map { case (a, b) => (math.max(a, b) + 1, math.min(a, b) + 1) }
+      .map { case (r, c) => s"$r $c 1" }.mkString("\n")
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-notebook-A.mtx")
+    java.nio.file.Files.writeString(p,
+      s"%%MatrixMarket matrix coordinate integer symmetric\n12 12 11\n$body\n")
+    val a = MatrixMarket.read(spark, p.toString, GrbType.INT64)
+    assert(a.nvals == 22L) // 11 entries symmetrized (no diagonal)
+    val l = labelsOf(FastSV.connectedComponents(a))
+    assert((0L to 5L).forall(l(_) == 0L))
+    assert((6L to 8L).forall(l(_) == 6L))
+    assert((9L to 11L).forall(l(_) == 9L))
   }
 
   test("GraphX Pregel bridge agrees with FastSV") {
