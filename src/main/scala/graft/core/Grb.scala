@@ -240,7 +240,8 @@ final class GrbVector(val df: DataFrame, val size: Long) {
   def vxm(a: GrbMatrix, sr: Semiring, broadcastSelf: Boolean = false): GrbVector = {
     require(size == a.nrows, s"dim mismatch: vxm size=$size nrows=${a.nrows}")
     val self0 = df.select(col("i"), col("v").as("_xv"))
-    val self = if (broadcastSelf) broadcast(self0) else self0
+    // forced-broadcast guard as in GrbMatrix.mxv
+    val self = if (broadcastSelf && size <= 32L * 1000 * 1000) broadcast(self0) else self0
     // positional mult: the row vector is 1×n, so firsti ≡ 0, firstj ≡
     // the contracted index (this vector's i)
     val mult = sr.positional match {
@@ -625,13 +626,19 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
 
   /** matrix × column vector (matrix.py:449-454). broadcastVec hints the
     * planner to replicate the (typically small) vector to every
-    * partition — no shuffle of the matrix side.
+    * partition — no shuffle of the matrix side. The hint is a FORCED
+    * broadcast, so it is suppressed when the vector's dimension says
+    * it could not possibly fit an executor (nnz ≤ size; beyond the
+    * guard AQE still converts to broadcast at runtime when actual
+    * stats allow).
     */
+  private val BroadcastGuard = 32L * 1000 * 1000
+
   def mxv(vec: GrbVector, sr: Semiring, mask: Option[Mask] = None,
       broadcastVec: Boolean = true): GrbVector = {
     require(ncols == vec.size, s"dim mismatch mxv: $ncols vs ${vec.size}")
     val v0 = vec.df.select(col("i").as("j"), col("v").as("_xv"))
-    val v = if (broadcastVec) broadcast(v0) else v0
+    val v = if (broadcastVec && vec.size <= BroadcastGuard) broadcast(v0) else v0
     // positional mult: the column vector is n×1, so secondj ≡ 0
     val mult = sr.positional match {
       case Some(pf) => pf(col("i"), col("j"), lit(0L))
