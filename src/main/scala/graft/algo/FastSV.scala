@@ -77,11 +77,12 @@ object FastSV {
       val f1 = new GrbVector(
         f.df.unionByName(scattered).unionByName(mngp.df).unionByName(gp.df)
           .groupBy("i").agg(min(col("v")).as("v")), n)
-      // eager lineage truncation every round: with cache-only chaining
-      // the logical plan (and per-round analysis cost) grows with the
-      // iteration count — measurably worse than the extra
-      // materialization job even at sf0.1
-      f = new GrbVector(f1.df.localCheckpoint(true), n)
+      // lineage truncation every round: with cache-only chaining the
+      // logical plan (and per-round analysis cost) grows with the
+      // iteration count. f's checkpoint is lazy — materialized as a
+      // side effect of gp's eager checkpoint job (one fewer job per
+      // round than two eager checkpoints).
+      f = new GrbVector(f1.df.localCheckpoint(false), n)
       // gp = f[f]: gather parent-of-parent through a distributed index
       val idx = f.df.select(col("i").as("pos"), col("v").cast("long").as("idx"))
       gp = new GrbVector(
