@@ -77,9 +77,12 @@ object Similarity {
     * band, ready for the candidate equi-join.
     */
   def lshBandSignatures(emb: DataFrame, bands: Int = 4, rowsPerBand: Int = 4,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    bandSignaturesFromQuantized(quantized(emb), bands, rowsPerBand, dims)
+
+  private def bandSignaturesFromQuantized(base: DataFrame, bands: Int,
+      rowsPerBand: Int, dims: Int): DataFrame = {
     val ws = hyperplaneWeights(bands * rowsPerBand, dims)
-    val base = quantized(emb)
     val bandCols = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand).map { r =>
         val w = ws(b * rowsPerBand + r)
@@ -101,16 +104,21 @@ object Similarity {
     */
   def annPairs(emb: DataFrame, simMilli: Int = 400, bands: Int = 4,
       rowsPerBand: Int = 4): DataFrame = {
-    val bs = lshBandSignatures(emb, bands, rowsPerBand)
-    val l = bs.select(col("band"), col("sig"), col("vec_id").as("a"),
-      col("q").as("qa"), col("n2").as("na"))
-    val r = bs.select(col("band"), col("sig"), col("vec_id").as("b"),
-      col("q").as("qb"), col("n2").as("nb"))
-    val cand = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
-      .select("a", "b", "qa", "na", "qb", "nb")
-      .dropDuplicates("a", "b")
-    cand.withColumn("sim", cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
-      .filter(col("sim") >= simMilli / 1000.0)
+    // signatures are consumed by both sides of the self-join — cache
+    // one computation of (quantize + bands×rows hyperplane dots); the
+    // candidate join shuffles only ids, vectors re-attached afterwards
+    val base = quantized(emb).cache()
+    val bs = bandSignaturesFromQuantized(base, bands, rowsPerBand, 64)
+      .select("band", "sig", "vec_id").cache()
+    val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
+      .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val scored = cand
+      .join(base.select(col("vec_id").as("a"), col("q").as("qa"), col("n2").as("na")), Seq("a"))
+      .join(base.select(col("vec_id").as("b"), col("q").as("qb"), col("n2").as("nb")), Seq("b"))
+      .withColumn("sim", cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+    scored.filter(col("sim") >= simMilli / 1000.0)
       .select(col("a"), col("b"), floor(col("sim") * 1000).cast(LongType).as("promille"))
   }
 }
