@@ -64,22 +64,33 @@ object TextDedup {
     * explode(shingles) -> one shuffle groupBy(doc_id) with K mins
     * computed map-side (partial aggregation).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .withColumn("h", hash32(col("sh")))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(explodedShingles(docs))
+
+  /** exploded distinct shingles (doc_id, sh) — the shared intermediate
+    * of signature building and Jaccard verification
+    */
+  def explodedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
+  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", hash32(col("sh")))
     val mins = minhashParams.zipWithIndex.map { case ((a, b), k) =>
       min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"mh_$k")
     }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** banded LSH: signature split into `bands` bands of rows each;
     * band key = md5 of the concatenated minhashes. Docs sharing any
     * band key become candidates. Returns (doc_id, band, sig).
     */
-  def lshBandSignatures(docs: DataFrame, bands: Int = 4): DataFrame = {
+  def lshBandSignatures(docs: DataFrame, bands: Int = 4): DataFrame =
+    bandsFromShingles(explodedShingles(docs), bands)
+
+  private def bandsFromShingles(sh: DataFrame, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(docs)
+    val sigs = signaturesFromShingles(sh)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as("sig"))
@@ -91,8 +102,11 @@ object TextDedup {
   /** candidate pairs (a < b) sharing at least one LSH band — an
     * equi-join on (band, sig), never all-pairs.
     */
-  def lshCandidates(docs: DataFrame, bands: Int = 4): DataFrame = {
-    val bs = lshBandSignatures(docs, bands)
+  def lshCandidates(docs: DataFrame, bands: Int = 4): DataFrame =
+    candidatesFromShingles(explodedShingles(docs), bands)
+
+  private def candidatesFromShingles(sh: DataFrame, bands: Int): DataFrame = {
+    val bs = bandsFromShingles(sh, bands)
     val l = bs.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = bs.select(col("band"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -106,10 +120,9 @@ object TextDedup {
   def nearDuplicates(docs: DataFrame, bands: Int = 4,
       num: Int = 7, den: Int = 10): DataFrame = {
     // the exploded shingle set feeds signature building AND the
-    // verification joins — cache it instead of re-exploding 3×
-    val docsC = docs.select("doc_id", "text").cache()
-    val cands = lshCandidates(docsC, bands)
-    val sh = docsC.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    // verification joins — one explode, cached
+    val sh = explodedShingles(docs).cache()
+    val cands = candidatesFromShingles(sh, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
