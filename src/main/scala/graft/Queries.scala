@@ -184,6 +184,19 @@ object Queries {
       a.kronecker(b, Ops.times).df
     }),
 
+    // GxB_subassign: mask and replace scoped to the indexed region
+    // (reference expr.py:1446-1452; SURVEY §7.4 hard part 3's sibling)
+    "q_subassign" -> ((s, dir) => {
+      val t = custVec(s, dir)
+      val bldg = pq(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("i"), lit(1L).as("v"))
+      t.assign(Ix.Range(1L, 51L, 1L), Left(lit(7777L).cast(LongType)),
+        Desc(Some(Mask.structural(bldg)), None, replace = true), subassign = true).df
+    }),
+
+    // row extract → Vector (§2.3)
+    "q_extract_row" -> ((s, dir) => liMat(s, dir).extractRow(1L).df),
+
     // positional semiring: per output cell, min of the contracted
     // index (min_secondi; §2.2 positional ops / verdict row 20)
     "q_positional_mxm" -> ((s, dir) => {
@@ -337,6 +350,14 @@ object Queries {
                 CAST(r.r_regionkey * 5 + n.n_regionkey AS BIGINT) AS j,
                 CAST(1 AS BIGINT) AS v
          FROM region r CROSS JOIN nation n""",
+    "q_subassign" ->
+      """WITH t AS (SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer),
+         m AS (SELECT c_custkey AS i FROM customer WHERE c_mktsegment = 'BUILDING')
+         SELECT i, v FROM t WHERE i < 1 OR i >= 51
+         UNION ALL
+         SELECT i, CAST(7777 AS BIGINT) AS v FROM m WHERE i >= 1 AND i < 51""",
+    "q_extract_row" ->
+      s"WITH $liMatSql SELECT m.j AS i, m.v AS v FROM m WHERE m.i = 1",
     "q_positional_mxm" ->
       s"""WITH $liMatSql,
          m2 AS (SELECT l_partkey AS i, l_suppkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2)
