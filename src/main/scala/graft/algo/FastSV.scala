@@ -24,13 +24,10 @@ import org.apache.spark.sql.functions._
   *     min accumulator, but 2 shuffles instead of ~6 (the generic
   *     §2.9 merge recipe);
   *   - iterates are cache()d (materialized by the convergence action)
-  *     and lineage is truncated with localCheckpoint every few
-  *     rounds — the Spark analogue of the notebook's persist() calls
+  *     and lineage is truncated with localCheckpoint every round — the Spark analogue of the notebook's persist() calls
   *     (dask_grblas/base.py:345-346) without two eager jobs per round.
   */
 object FastSV {
-
-  private val CheckpointEvery = 3
 
   /** @param a        symmetric adjacency matrix
     * @param nodes    optional vertex set (single column `i`). When

@@ -182,6 +182,11 @@ final class GrbVector(val df: DataFrame, val size: Long) {
   /** bind a LAZY scalar as the right operand (reference: lazy Scalar in
     * apply, tests/test_vector.py:269-369) — broadcast crossJoin with the
     * ≤1-row scalar frame, no driver materialization.
+    *
+    * Documented deviation: grblas raises eagerly on an EMPTY scalar
+    * operand; a lazy engine cannot without forcing a job, so an empty
+    * scalar yields an empty result instead (the crossJoin with a
+    * 0-row frame).
     */
   def applyRightScalar(op: BinaryOp, s: GrbScalar): GrbVector =
     new GrbVector(df.crossJoin(broadcast(s.df.select(col("v").as("_sv"))))
@@ -240,8 +245,7 @@ final class GrbVector(val df: DataFrame, val size: Long) {
   def vxm(a: GrbMatrix, sr: Semiring, broadcastSelf: Boolean = false): GrbVector = {
     require(size == a.nrows, s"dim mismatch: vxm size=$size nrows=${a.nrows}")
     val self0 = df.select(col("i"), col("v").as("_xv"))
-    // forced-broadcast guard as in GrbMatrix.mxv
-    val self = if (broadcastSelf && size <= 32L * 1000 * 1000) broadcast(self0) else self0
+    val self = if (broadcastSelf && size <= Grb.BroadcastGuard) broadcast(self0) else self0
     // positional mult: the row vector is 1×n, so firsti ≡ 0, firstj ≡
     // the contracted index (this vector's i)
     val mult = sr.positional match {
@@ -367,15 +371,22 @@ final class GrbVector(val df: DataFrame, val size: Long) {
           case _ => regionKeys
         }
         keysDF.select(col("i"), s.as("v"))
-      case Right(vec) => norm match {
-        // All/Range: arithmetic reindex, no join
-        case Ix.All => vec.df
-        case Ix.Range(a, _, s) =>
-          vec.df.select((lit(a) + col("i") * lit(s)).as("i"), col("v"))
-        case _ =>
-          vec.df.join(idxU.withColumnRenamed("pos", "i"), KEYS)
-            .select(col("idx").as("i"), col("v"))
-      }
+      case Right(vec) =>
+        // grblas raises DimensionMismatch when the value's shape is
+        // not the region's shape — also what keeps the arithmetic
+        // reindex below from writing outside the region
+        Ix.length(norm, size).foreach(len =>
+          require(vec.size == len,
+            s"DimensionMismatch: assign value size ${vec.size} vs region $len"))
+        norm match {
+          // All/Range: arithmetic reindex, no join
+          case Ix.All => vec.df
+          case Ix.Range(a, _, s) =>
+            vec.df.select((lit(a) + col("i") * lit(s)).as("i"), col("v"))
+          case _ =>
+            vec.df.join(idxU.withColumnRenamed("pos", "i"), KEYS)
+              .select(col("idx").as("i"), col("v"))
+        }
     }
     val inside = pred.map(df.filter).getOrElse(df.join(regionKeys, KEYS, "left_semi"))
     val outside = pred.map(p => df.filter(!p)).getOrElse(df.join(regionKeys, KEYS, "left_anti"))
@@ -632,13 +643,11 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     * guard AQE still converts to broadcast at runtime when actual
     * stats allow).
     */
-  private val BroadcastGuard = 32L * 1000 * 1000
-
   def mxv(vec: GrbVector, sr: Semiring, mask: Option[Mask] = None,
       broadcastVec: Boolean = true): GrbVector = {
     require(ncols == vec.size, s"dim mismatch mxv: $ncols vs ${vec.size}")
     val v0 = vec.df.select(col("i").as("j"), col("v").as("_xv"))
-    val v = if (broadcastVec && vec.size <= BroadcastGuard) broadcast(v0) else v0
+    val v = if (broadcastVec && vec.size <= Grb.BroadcastGuard) broadcast(v0) else v0
     // positional mult: the column vector is n×1, so secondj ≡ 0
     val mult = sr.positional match {
       case Some(pf) => pf(col("i"), col("j"), lit(0L))
@@ -776,6 +785,14 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
             rIdx.crossJoin(cIdx).select(col("_ri").as("i"), col("_cj").as("j"), s.as("v"))
         }
       case Right(m) =>
+        // grblas DimensionMismatch guard (also keeps the arithmetic
+        // reindex from writing outside the region)
+        Ix.length(rNorm, nrows).foreach(len =>
+          require(m.nrows == len,
+            s"DimensionMismatch: assign value nrows ${m.nrows} vs region $len"))
+        Ix.length(cNorm, ncols).foreach(len =>
+          require(m.ncols == len,
+            s"DimensionMismatch: assign value ncols ${m.ncols} vs region $len"))
         // per-axis: All = identity, Range = arithmetic reindex, else join
         def mapAxis(dfIn: DataFrame, norm: Ix, key: String,
             idxDF: => DataFrame, posName: String, idxName: String): DataFrame = norm match {
@@ -920,4 +937,12 @@ object GrbMatrix {
       t._2 >= 0 && t._2 < target.ncols), "IndexOutOfBound")
     fromValues(target.spark, triples, target.dtype, target.nrows, target.ncols, dupAgg)
   }
+}
+
+/** engine-wide tuning constants */
+object Grb {
+  /** forced-broadcast hints are suppressed above this dimension —
+    * beyond it AQE still broadcasts at runtime when stats allow
+    */
+  val BroadcastGuard: Long = 32L * 1000 * 1000
 }

@@ -60,17 +60,23 @@ object MatrixMarket {
     } finally src.close()
   }
 
-  /** body lines with their 0-based position among data lines, in file
+  /** body lines with their 0-based position among DATA lines, in file
     * order (zipWithIndex is deterministic for a text source).
+    * Comment and blank lines are dropped BEFORE indexing — the banner
+    * and header comments all start with '%', so after the filter the
+    * first remaining line is exactly the size line (index 0), and
+    * mid-body comments (tolerated by scipy) neither parse as data nor
+    * shift array-format positions.
     */
   private def indexedBody(spark: SparkSession, path: String, h: Header): DataFrame = {
     val rdd = spark.read.text(path).select(col("value")).rdd
-      .map(_.getString(0)).zipWithIndex()
-      .filter { case (_, idx) => idx >= h.bodyStart }
-      .map { case (l, idx) => org.apache.spark.sql.Row(l, idx - h.bodyStart) }
+      .map(_.getString(0))
+      .filter { l => val t = l.trim; t.nonEmpty && !t.startsWith("%") }
+      .zipWithIndex()
+      .filter { case (_, idx) => idx >= 1 } // index 0 = the size line
+      .map { case (l, idx) => org.apache.spark.sql.Row(l, idx - 1) }
     spark.createDataFrame(rdd, StructType(Seq(
-        StructField("value", StringType), StructField("_pos", LongType))))
-      .filter(length(trim(col("value"))) > 0)
+      StructField("value", StringType), StructField("_pos", LongType))))
   }
 
   def read(spark: SparkSession, path: String, dtype: GrbType = GrbType.FP64): GrbMatrix = {

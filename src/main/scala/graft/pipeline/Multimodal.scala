@@ -79,6 +79,9 @@ object Multimodal {
     */
   def frameSample(assets: DataFrame, everyN: Int = 2): DataFrame = {
     val meta = assets.select(col("asset_id"), col("bytes"), u16(10).as("n_frames"))
+      // sequence(0, -1, step) is an illegal Spark sequence — zero-frame
+      // assets simply yield no rows
+      .filter(col("n_frames") > 0)
     meta.select(col("asset_id"), col("bytes"),
         posexplode(sequence(lit(0L), col("n_frames") - 1, lit(everyN.toLong))))
       .select(col("asset_id"), col("col").as("frame_no"),

@@ -101,14 +101,18 @@ object Similarity {
     * LSH band signature (equi-join on (band, sig)); verified with the
     * exact integer cosine >= threshold (milli-units).
     * Output (a, b, promille) — promille = floor(cosine * 1000).
+    *
+    * `dims` MUST match the embedding dimensionality: hyperplanes are
+    * length-`dims` literal arrays, and a mismatch nulls the sign dots,
+    * collapsing every vector into one bucket (an n² candidate join).
     */
   def annPairs(emb: DataFrame, simMilli: Int = 400, bands: Int = 4,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
     // signatures are consumed by both sides of the self-join — cache
     // one computation of (quantize + bands×rows hyperplane dots); the
     // candidate join shuffles only ids, vectors re-attached afterwards
     val base = quantized(emb).cache()
-    val bs = bandSignaturesFromQuantized(base, bands, rowsPerBand, 64)
+    val bs = bandSignaturesFromQuantized(base, bands, rowsPerBand, dims)
       .select("band", "sig", "vec_id").cache()
     val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))

@@ -54,6 +54,28 @@ class MatrixMarketSpec extends SparkSpec {
     assert(coo(mk) == Set((1L, 0L, 2.0), (0L, 1L, -2.0), (2L, 1L, 3.0), (1L, 2L, -3.0)))
   }
 
+  test("mid-body comment and blank lines are ignored, positions unshifted") {
+    val path = writeTmp("midc",
+      """%%MatrixMarket matrix coordinate real general
+        |3 3 2
+        |1 1 1.5
+        |% stray comment scipy tolerates
+        |
+        |2 2 2.5
+        |""".stripMargin)
+    val m = MatrixMarket.read(spark, path)
+    assert(coo(m) == Set((0L, 0L, 1.5), (1L, 1L, 2.5)))
+    val arr = writeTmp("midarr",
+      """%%MatrixMarket matrix array real general
+        |2 1
+        |1.0
+        |% comment between values
+        |2.0
+        |""".stripMargin)
+    val a = MatrixMarket.read(spark, arr)
+    assert(coo(a) == Set((0L, 0L, 1.0), (1L, 0L, 2.0)))
+  }
+
   test("coordinate pattern field gets value 1") {
     val path = writeTmp("pat",
       """%%MatrixMarket matrix coordinate pattern general

@@ -85,12 +85,12 @@ class PipelineSpec extends SparkSpec {
 
   test("LSH ANN finds the near-parallel pair with a bucketed join") {
     val pairs = Similarity.annPairs(vecs, simMilli = 900, bands = 4,
-      rowsPerBand = 2).collect()
+      rowsPerBand = 2, dims = 8).collect()
     val ab = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ab.contains((0L, 1L)))
     assert(!ab.exists { case (a, b) => a == 2L || b == 2L })
     // and no plan node is a cartesian product
-    val plan = Similarity.annPairs(vecs, 900, 4, 2).queryExecution.executedPlan.toString
+    val plan = Similarity.annPairs(vecs, 900, 4, 2, dims = 8).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
 
