@@ -24,9 +24,14 @@ object Similarity {
   def quantize(e: Column): Column =
     transform(e, x => floor(x.cast("double") * 1000).cast(LongType))
 
-  /** exact integer dot product of two quantized vectors */
+  /** exact integer dot product of two quantized vectors — a native
+    * codegen Expression (org.apache.spark.sql.graft.QuantizedDot): the
+    * higher-order-function formulation (aggregate∘zip_with) is
+    * CodegenFallback and broke the whole-stage span around the
+    * millions of per-candidate dots.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.QuantizedDot(a, b)
 
   /** cosine from quantized vectors — IEEE-deterministic:
     * dot / sqrt(na) / sqrt(nb), all operands exact integers.

@@ -94,6 +94,22 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("QuantizedDot: values, length mismatch -> null, null input -> null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType), nullable = true),
+      StructField("b", ArrayType(LongType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      Row(Seq(1L, 2L), Seq(1L, 2L, 3L)),
+      Row(null, Seq(1L)))
+    val df = spark.createDataFrame(rows, schema)
+    val out = df.select(org.apache.spark.sql.graft.QuantizedDot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(Some(32L), None, None))
+  }
+
   test("sessionize splits on gap, counts events") {
     val ev = spark.createDataFrame(Seq(
       (1L, 100L * 1000000000L, 7L), // epoch-ns longs (nanosAsLong shape)
