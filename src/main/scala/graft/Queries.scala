@@ -400,6 +400,7 @@ object Queries {
     "p_text_stats" -> ((s, dir) => TextStats.stats(pq(s, dir, "documents"))),
     "p_lang_id" -> ((s, dir) => TextStats.langId(pq(s, dir, "documents"))),
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
+    "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
     "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
@@ -502,6 +503,11 @@ object Queries {
     },
     "p_bpe_tokens" ->
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextStats.bpePattern}')) AS BIGINT) AS n_bpe FROM documents",
+    "p_tfidf_stats" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         dfc AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+         SELECT tf.doc_id, tf.tk, tf.tf, dfc.df FROM tf JOIN dfc ON tf.tk = dfc.tk""",
     "p_ann_topk" ->
       s"""WITH $annCommonSql,
          qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM en WHERE vec_id < 20),

@@ -63,4 +63,13 @@ object Structure {
         .select((if (k >= 0) col("i") else col("j")).as("i"), col("v")),
       len)
   }
+
+  /** lower/upper-triangle selects (GxB_select TRIL/TRIU analogues —
+    * the reference's GraphBLAS spec target; pure filters)
+    */
+  def tril(m: GrbMatrix, k: Long = 0L): GrbMatrix =
+    new GrbMatrix(m.df.filter(col("j") - col("i") <= k), m.nrows, m.ncols)
+
+  def triu(m: GrbMatrix, k: Long = 0L): GrbMatrix =
+    new GrbMatrix(m.df.filter(col("j") - col("i") >= k), m.nrows, m.ncols)
 }

@@ -74,6 +74,20 @@ object TextStats {
     withVotes.select(outCols: _*)
   }
 
+  /** TF/DF term statistics — the exact-integer core of TF-IDF
+    * (the float idf = ln(N/df) weighting is a trivial downstream map;
+    * kept out of the operator so results stay engine-exact):
+    * (doc_id, tk, tf, df) where tf = occurrences in the doc and
+    * df = number of docs containing the token. One explode, two hash
+    * aggregates, one broadcast-size join on the token.
+    */
+  def termFrequencies(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+    val tf = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tk").agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("tk")).select(col("doc_id"), col("tk"), col("tf"), col("df"))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, single punctuation —
     * the standard cheap proxy for subword token counts.
     */

@@ -328,4 +328,14 @@ class CoreSpec extends SparkSpec {
         Ops.minPlus)) == Map(3L -> 3L, 5L -> 2L, 6L -> 6L))
     }
   }
+
+  test("tril/triu selects (GxB_select analogues)") {
+    val m = GrbMatrix.fromValues(spark,
+      Seq((0L, 0L, 1L: Any), (0L, 2L, 2L: Any), (2L, 0L, 3L: Any), (1L, 1L, 4L: Any)),
+      GrbType.INT64, 3L, 3L)
+    val lo = graft.ops.Structure.tril(m).toValues.map(t => (t._1, t._2)).toSet
+    assert(lo == Set((0L, 0L), (2L, 0L), (1L, 1L)))
+    val up = graft.ops.Structure.triu(m, 1L).toValues.map(t => (t._1, t._2)).toSet
+    assert(up == Set((0L, 2L)))
+  }
 }

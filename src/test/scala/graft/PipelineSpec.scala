@@ -61,6 +61,13 @@ class PipelineSpec extends SparkSpec {
     assert(l.getAs[String]("lang_pred") == "en")
   }
 
+  test("term frequencies: tf per doc, df across docs") {
+    val r = TextStats.termFrequencies(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r((0L, "the")) == ((3L, 3L))) // 3x in doc 0; docs 0,1,2 contain it
+    assert(r((5L, "short")) == ((1L, 1L)))
+  }
+
   test("bpe token count splits alpha/digit/punct runs") {
     val one = spark.createDataFrame(Seq((9L, "abc12 d!e"))).toDF("doc_id", "text")
     val n = TextStats.bpeTokenCount(one).collect()(0).getAs[Long]("n_bpe")
