@@ -25,7 +25,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators cache() shared intermediates; don't let 39 queries'
+      // operators cache() shared intermediates; don't let 40 queries'
       // caches accumulate in one session
       spark.catalog.clearCache()
     }

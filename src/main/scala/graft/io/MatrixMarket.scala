@@ -29,7 +29,9 @@ object MatrixMarket {
   /** read the header lines (comment block + size line) driver-side —
     * tiny — then scan the body distributed. Opened through the Hadoop
     * FileSystem so non-local paths (hdfs://, s3a://…) work.
-    * `bodyStart` = number of lines before the first data line.
+    * `bodyStart` = number of lines before the first data line
+    * (informational — the distributed body scan locates data lines by
+    * filtering comments, not by this offset).
     */
   def readHeader(spark: SparkSession, path: String): Header = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -68,7 +70,7 @@ object MatrixMarket {
     * mid-body comments (tolerated by scipy) neither parse as data nor
     * shift array-format positions.
     */
-  private def indexedBody(spark: SparkSession, path: String, h: Header): DataFrame = {
+  private def indexedBody(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.read.text(path).select(col("value")).rdd
       .map(_.getString(0))
       .filter { l => val t = l.trim; t.nonEmpty && !t.startsWith("%") }
@@ -81,7 +83,7 @@ object MatrixMarket {
 
   def read(spark: SparkSession, path: String, dtype: GrbType = GrbType.FP64): GrbMatrix = {
     val h = readHeader(spark, path)
-    val body = indexedBody(spark, path, h)
+    val body = indexedBody(spark, path)
     h.format match {
       case "coordinate" => readCoordinate(body, h, dtype)
       case "array"      => readArray(body, h, dtype)

@@ -107,17 +107,22 @@ object Similarity {
     * exact integer cosine >= threshold (milli-units).
     * Output (a, b, promille) — promille = floor(cosine * 1000).
     *
-    * `dims` MUST match the embedding dimensionality: hyperplanes are
-    * length-`dims` literal arrays, and a mismatch nulls the sign dots,
-    * collapsing every vector into one bucket (an n² candidate join).
+    * `dims` must match the embedding dimensionality — a mismatch nulls
+    * the sign dots and collapses every vector into one bucket (an n²
+    * candidate join). By default it is derived from the data (one
+    * 1-row peek), so only explicit overrides can get it wrong.
     */
   def annPairs(emb: DataFrame, simMilli: Int = 400, bands: Int = 4,
-      rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
+      rowsPerBand: Int = 4, dims: Int = -1): DataFrame = {
+    val d =
+      if (dims > 0) dims
+      else emb.select(size(col("embedding"))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(64)
     // signatures are consumed by both sides of the self-join — cache
     // one computation of (quantize + bands×rows hyperplane dots); the
     // candidate join shuffles only ids, vectors re-attached afterwards
     val base = quantized(emb).cache()
-    val bs = bandSignaturesFromQuantized(base, bands, rowsPerBand, dims)
+    val bs = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
       .select("band", "sig", "vec_id").cache()
     val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))

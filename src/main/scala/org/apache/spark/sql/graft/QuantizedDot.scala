@@ -20,10 +20,8 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * millions of 64-element dots. The generated code is a tight
   * primitive loop.
   *
-  * Null semantics match the HOF formulation it replaces: null input →
-  * null; mismatched lengths → null (zip_with pads with null, which
-  * nulls the aggregate); null elements are impossible for quantized
-  * vectors (floor(double) over non-null floats).
+  * Null semantics match the HOF formulation it replaces: null input,
+  * mismatched lengths, or any null element → null.
   */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -36,12 +34,16 @@ case class QuantizedDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
+    val n = x.numElements()
+    if (n != y.numElements()) null
     else {
       var acc = 0L
       var i = 0
-      val n = x.numElements()
-      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
       acc
     }
   }
@@ -58,9 +60,10 @@ case class QuantizedDot(left: Expression, right: Expression)
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $x.getLong($i) * $y.getLong($i);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
