@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
 import graft.algo.FastSV
-import graft.pipeline.{TextDedup, TextStats, Similarity, Events}
+import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling}
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
   * family plus the LLM-data-pipeline operators, each expressed through
@@ -401,6 +401,10 @@ object Queries {
     "p_lang_id" -> ((s, dir) => TextStats.langId(pq(s, dir, "documents"))),
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
+    "p_sample" -> ((s, dir) =>
+      Sampling.deterministicSample(pq(s, dir, "documents"), col("text"), 10)
+        .select("doc_id", "lang", "source", "n_chars")),
+    "p_source_mix" -> ((s, dir) => Sampling.sourceMix(pq(s, dir, "documents"))),
     "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
@@ -503,6 +507,15 @@ object Queries {
     },
     "p_bpe_tokens" ->
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextStats.bpePattern}')) AS BIGINT) AS n_bpe FROM documents",
+    "p_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 10""",
+    "p_source_mix" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
+         SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                CAST(FLOOR(10000.0 * COUNT(*) / (SELECT total FROM t)) AS BIGINT) AS share_bp
+         FROM documents GROUP BY 1, 2""",
     "p_tfidf_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
          tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
