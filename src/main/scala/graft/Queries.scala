@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
 import graft.algo.FastSV
-import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling}
+import graft.io.MatrixMarket
+import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal}
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
   * family plus the LLM-data-pipeline operators, each expressed through
@@ -58,6 +59,45 @@ object Queries {
   private def custNationVec(s: SparkSession, dir: String): GrbVector =
     GrbVector.fromDF(pq(s, dir, "customer")
       .select(col("c_custkey").as("i"), col("c_nationkey").cast(LongType).as("v")))
+
+  /** write the nation table as a MatrixMarket file (idempotent; the MM
+    * queries are self-contained because the driver runs queries in
+    * arbitrary order). Returns the path.
+    */
+  private def writeNationMM(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_mm_nation_${new java.io.File(dir).getName}.mm"
+    val m = GrbMatrix.fromDF(pq(s, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("i"),
+        col("n_regionkey").cast(LongType).as("j"),
+        (col("n_nationkey") + 1).cast(LongType).as("v")), 25L, 5L)
+    MatrixMarket.write(m, path)
+    path
+  }
+
+  /** q_cc_events oracle: FastSV's own round structure (neighbor-min
+    * hook + pointer-jump shortcut) unrolled to a fixed round count as
+    * plain non-recursive SQL — each round is one join+groupBy over the
+    * edge list plus one self-join, so DuckDB evaluates the FULL graph
+    * (no recursive-CTE frontier blowup). Hook+jump converges in
+    * ~log2(diameter) rounds; `rounds`=12 covers any component this data
+    * could produce with a wide margin.
+    */
+  private def ccFixpointSql(rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs once
+    // per reference, and each round references the previous one ~3
+    // times — un-materialized, the expansion is exponential in rounds.
+    val steps = (1 to rounds).map { k =>
+      val p = s"f${k - 1}"
+      s"""m$k AS MATERIALIZED (SELECT e.b AS n, MIN(f.l) AS l FROM edges e JOIN $p f ON f.n = e.a GROUP BY 1),
+         u$k AS MATERIALIZED (SELECT n, MIN(l) AS l FROM (SELECT * FROM $p UNION ALL SELECT * FROM m$k) GROUP BY 1),
+         f$k AS MATERIALIZED (SELECT u.n AS n, g.l AS l FROM u$k u JOIN u$k g ON g.n = u.l)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 1048576 AS BIGINT) AS b FROM lineitem),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       f0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edges),
+       $steps
+       SELECT l AS v, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM f$rounds GROUP BY 1"""
+  }
 
   // =================================================================
   // Core GraphBLAS operator families
@@ -263,6 +303,122 @@ object Queries {
       FastSV.connectedComponents(A, nodes = Some(nodes)).df
     }),
 
+    // Vector.new: an empty collection is the additive identity of
+    // ewise_add (§2.1 row 1)
+    "q_empty_new" -> ((s, dir) => {
+      val a = custVec(s, dir)
+      GrbVector.empty(s, GrbType.INT64, a.size).ewiseAdd(a, Ops.plus).df
+    }),
+
+    // build: populate a must-be-empty vector from host pairs with the
+    // OutputNotEmpty/IndexOutOfBound checks (§2.1 row 4)
+    "q_build" -> ((s, dir) => {
+      val pairs = pq(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1): Any))
+      GrbVector.build(GrbVector.empty(s, GrbType.INT64, 25L), pairs).df
+    }),
+
+    // MatrixMarket write → read round-trip (§2.1 rows 6+8)
+    "q_mm_roundtrip" -> ((s, dir) => {
+      MatrixMarket.read(s, writeNationMM(s, dir), GrbType.INT64).df
+    }),
+
+    // windowed MM read: row/col begin/end rebased to the window origin
+    // (reference io.py:102-127; §2.1 row 7)
+    "q_mm_window" -> ((s, dir) => {
+      MatrixMarket.readWindowed(s, writeNationMM(s, dir),
+        rowBegin = 5L, rowEnd = 20L, colBegin = 1L, colEnd = 4L,
+        dtype = GrbType.INT64).df
+    }),
+
+    // rechunk → repartitionByRange: values invariant (§2.1 row 14)
+    "q_rechunk" -> ((s, dir) => liMat(s, dir).repartitionByRow(16).df),
+
+    // clear: emptied collection is ewise_add-neutral (§2.1 row 15)
+    "q_clear" -> ((s, dir) => {
+      val a = custVec(s, dir)
+      val b = ordByCustVec(s, dir)
+      val n = math.max(a.size, b.size)
+      a.resize(n).clear.ewiseAdd(b.resize(n), Ops.plus).df
+    }),
+
+    // Scalar neg + invert (reference scalar.py:138-146; §2 row 19)
+    "q_scalar_neg" -> ((s, dir) => {
+      val tot = liMat(s, dir).reduceScalar(Ops.plusMonoid)
+      tot.neg.df.select(col("v").as("neg_v"))
+        .crossJoin(tot.invert.df.select(col("v").as("inv_v")))
+    }),
+
+    // extract int (positive + negative index) → Scalar (§2.3 row 21)
+    "q_extract_int" -> ((s, dir) => {
+      val v = custNationVec(s, dir)
+      v.extractScalar(42L).df.select(col("v").as("pos_v"))
+        .crossJoin(v.extractScalar(-1L).df.select(col("v").as("neg_v")))
+    }),
+
+    // extract All + input_mask (reference expr.py:1296-1352; §2.3 row 25)
+    "q_extract_mask" -> ((s, dir) => {
+      val bldg = pq(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("i"), lit(1L).as("v"))
+      custVec(s, dir).extract(Ix.All, inputMask = Some(Mask.structural(bldg))).df
+    }),
+
+    // LAZY Scalar as extract index (reference expr.py:498-504; §2.3
+    // row 26): the index value never touches the driver
+    "q_extract_at" -> ((s, dir) => {
+      val bldgKeys = GrbVector.fromDF(pq(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("i"), col("c_custkey").cast(LongType).as("v")))
+      custNationVec(s, dir).extractAt(bldgKeys.reduce(Ops.minMonoid)).df
+    }),
+
+    // isequal as a lazy 1-row boolean (base.py:35-92; §2 row 30)
+    "q_isequal" -> ((s, dir) => {
+      val a = custVec(s, dir)
+      a.isequalScalar(a.dup()).df.select(col("v").as("eq_dup"))
+        .crossJoin(a.isequalScalar(a.del(7L)).df.select(col("v").as("eq_del")))
+    }),
+
+    // reduce with accum into an existing Scalar (expr.py:1901-1915;
+    // §2.6 row 38)
+    "q_reduce_accum" -> ((s, dir) => {
+      val target = custVec(s, dir).reduce(Ops.plusMonoid)
+      ordByCustVec(s, dir).reduceInto(target, Ops.plusMonoid, Some(Ops.plus)).df
+    }),
+
+    // nvals as a lazy scalar (§2 row 40)
+    "q_nvals" -> ((s, dir) => liMat(s, dir).nvalsScalar.df),
+
+    // Matrix submatrix assign: scalar fill of a 2-D region with accum
+    // (expr.py:1506-1785; §2.7 row 44)
+    "q_assign_matrix" -> ((s, dir) =>
+      liMat(s, dir).assign(Ix.Range(0L, 100L, 1L), Ix.Range(0L, 50L, 1L),
+        Left(lit(7L).cast(LongType)), Desc(None, Some(Ops.plus))).df),
+
+    // row band assign: vector into row 1 (GrB_Row_assign,
+    // expr.py:1756-1765; §2.7 row 45)
+    "q_assign_band" -> ((s, dir) => {
+      val m = liMat(s, dir)
+      val partVec = GrbVector.fromDF(
+        pq(s, dir, "part").filter(col("p_partkey") < m.ncols)
+          .select(col("p_partkey").as("i"), cents(col("p_retailprice")).as("v")),
+        size = m.ncols)
+      m.assignRow(1L, partVec).df
+    }),
+
+    // single-element delete, positive + negative index (§2 row 47)
+    "q_del" -> ((s, dir) => custVec(s, dir).del(5L).del(-1L).df),
+
+    // user-defined op: register by name, resolve, apply (§2.8 row 49)
+    "q_user_op" -> ((s, dir) => {
+      Ops.registerBinary(BinaryOp("absdiff")((a, b) => abs(a - b)))
+      val a = custVec(s, dir)
+      val b = ordByCustVec(s, dir)
+      val n = math.max(a.size, b.size)
+      a.resize(n).ewiseMult(b.resize(n), Ops.binary("absdiff")).df
+    }),
+
     // FastSV on the full order-part bipartite graph — component-size
     // histogram (rows-only check; the BENCH headline for iteration)
     "q_cc_events" -> ((s, dir) => {
@@ -386,7 +542,59 @@ object Queries {
          nodes AS (SELECT DISTINCT a AS n FROM edges),
          cc(n, l) AS (SELECT n, n FROM nodes UNION SELECT e.b, c.l FROM cc c JOIN edges e ON e.a = c.n),
          lab AS (SELECT n AS i, CAST(MIN(l) AS BIGINT) AS v FROM cc GROUP BY 1)
-         SELECT i, v FROM lab""")
+         SELECT i, v FROM lab""",
+    "q_cc_events" -> ccFixpointSql(12),
+    "q_empty_new" ->
+      "SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer",
+    "q_build" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS i, CAST(n_regionkey AS BIGINT) AS v FROM nation",
+    "q_mm_roundtrip" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS i, CAST(n_regionkey AS BIGINT) AS j, CAST(n_nationkey + 1 AS BIGINT) AS v FROM nation",
+    "q_mm_window" ->
+      """SELECT CAST(n_nationkey - 5 AS BIGINT) AS i, CAST(n_regionkey - 1 AS BIGINT) AS j, CAST(n_nationkey + 1 AS BIGINT) AS v FROM nation
+         WHERE n_nationkey >= 5 AND n_nationkey < 20 AND n_regionkey >= 1 AND n_regionkey < 4""",
+    "q_rechunk" ->
+      s"WITH $liMatSql SELECT i, j, v FROM m",
+    "q_clear" ->
+      "SELECT o_custkey AS i, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v FROM orders GROUP BY 1",
+    "q_scalar_neg" ->
+      s"""WITH $liMatSql, s AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM m)
+         SELECT -t AS neg_v, NOT (t <> 0) AS inv_v FROM s""",
+    "q_extract_int" ->
+      """SELECT (SELECT CAST(c_nationkey AS BIGINT) FROM customer WHERE c_custkey = 42) AS pos_v,
+                (SELECT CAST(c_nationkey AS BIGINT) FROM customer WHERE c_custkey = (SELECT MAX(c_custkey) FROM customer)) AS neg_v""",
+    "q_extract_mask" ->
+      "SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "q_extract_at" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS v FROM customer
+         WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer WHERE c_mktsegment = 'BUILDING')""",
+    "q_isequal" ->
+      "SELECT TRUE AS eq_dup, (SELECT COUNT(*) FROM customer WHERE c_custkey = 7) = 0 AS eq_del",
+    "q_reduce_accum" ->
+      """SELECT (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) FROM customer)
+              + (SELECT CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) FROM orders) AS v""",
+    "q_nvals" ->
+      "SELECT CAST(COUNT(*) AS BIGINT) AS v FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+    "q_assign_matrix" ->
+      s"""WITH $liMatSql,
+         region AS (SELECT r.range AS i, c.range AS j FROM range(0, 100) r CROSS JOIN range(0, 50) c)
+         SELECT i, j, v FROM m WHERE NOT (i >= 0 AND i < 100 AND j >= 0 AND j < 50)
+         UNION ALL
+         SELECT rg.i, rg.j, CAST(COALESCE(m.v, 0) + 7 AS BIGINT) AS v
+         FROM region rg LEFT JOIN m ON m.i = rg.i AND m.j = rg.j""",
+    "q_assign_band" ->
+      s"""WITH $liMatSql
+         SELECT i, j, v FROM m WHERE i <> 1
+         UNION ALL
+         SELECT CAST(1 AS BIGINT) AS i, p_partkey AS j, CAST(ROUND(p_retailprice*100) AS BIGINT) AS v
+         FROM part WHERE p_partkey < (SELECT MAX(l_partkey) + 1 FROM lineitem)""",
+    "q_del" ->
+      """SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer
+         WHERE c_custkey <> 5 AND c_custkey <> (SELECT MAX(c_custkey) FROM customer)""",
+    "q_user_op" ->
+      """WITH a AS (SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer),
+         b AS (SELECT o_custkey AS i, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v FROM orders GROUP BY 1)
+         SELECT a.i AS i, ABS(a.v - b.v) AS v FROM a JOIN b ON a.i = b.i""")
 
   // =================================================================
   // LLM-data-pipeline operators
@@ -409,7 +617,25 @@ object Queries {
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
-    "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))))
+    "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
+    // multimodal plumbing over the deterministic synthetic GRFT corpus:
+    // header decode (Column algebra) + frame sampling (posexplode),
+    // verified against the container format's closed-form arithmetic
+    "p_multimodal" -> ((s, _) => {
+      val assets = Multimodal.syntheticAssets(s, 200L)
+      val meta = Multimodal.decodeMeta(assets).filter(col("valid"))
+      val frames = Multimodal.frameSample(assets, everyN = 2)
+        .select(col("asset_id"),
+          conv(hex(substring(col("frame_bytes"), 1, 1)), 16, 10)
+            .cast(LongType).as("b0"))
+        .groupBy("asset_id")
+        .agg(count(lit(1)).cast(LongType).as("n_sampled"),
+          sum(col("b0")).cast(LongType).as("b0_sum"))
+      meta.join(frames, Seq("asset_id"))
+        .select(col("asset_id"), col("kind").cast(LongType).as("kind"),
+          col("width"), col("height"), col("n_frames"), col("n_bytes"),
+          col("n_sampled"), col("b0_sum"))
+    }))
 
   // ---- pipeline oracles (generated to share constants with the
   //      Scala operators) --------------------------------------------
@@ -566,7 +792,25 @@ object Queries {
       val counts = types.map(t =>
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
       s"SELECT user_id, $counts, CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
-    })
+    },
+    // closed-form reconstruction of the synthetic GRFT container
+    // (Multimodal.syntheticAsset): header fields from the id, sampled
+    // frame count from ceil(n_frames/2), first payload byte of frame k
+    // = (id*31 + k*16*7) % 251
+    "p_multimodal" ->
+      s"""WITH a AS (SELECT range AS id FROM range(0, 200)),
+         meta AS (SELECT id AS asset_id, CAST(1 + id % 3 AS BIGINT) AS kind,
+                         CAST(4 + id % 16 AS BIGINT) AS width, CAST(4 + id % 8 AS BIGINT) AS height,
+                         CAST(1 + id % 5 AS BIGINT) AS n_frames FROM a),
+         fr AS (SELECT m.asset_id, f.range AS fno FROM meta m CROSS JOIN range(0, 5) f
+                WHERE f.range < m.n_frames AND f.range % 2 = 0),
+         frs AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                        CAST(SUM((asset_id * 31 + fno * ${Multimodal.FrameSize} * 7) % 251) AS BIGINT) AS b0_sum
+                 FROM fr GROUP BY 1)
+         SELECT m.asset_id, m.kind, m.width, m.height, m.n_frames,
+                CAST(${Multimodal.HeaderLen} + m.n_frames * ${Multimodal.FrameSize} AS BIGINT) AS n_bytes,
+                frs.n_sampled, frs.b0_sum
+         FROM meta m JOIN frs ON frs.asset_id = m.asset_id""")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = core ++ pipeline
   val oracle: Map[String, String] = coreOracle ++ pipelineOracle

@@ -80,7 +80,10 @@ object Ix {
   def position(ix: Ix, c: Column, dim: Long): Option[Column] = normalize(ix, dim) match {
     case All => Some(c)
     case At(_) => Some(lit(0L))
-    case Range(a, _, s) => Some(((c - lit(a)) / lit(s)).cast(org.apache.spark.sql.types.LongType))
+    case Range(a, _, s) =>
+      // integer division (IntegralDivide), not double `/` + cast: the
+      // float path is only exact while (c - start) < 2^53
+      Some(call_function("div", c - lit(a), lit(s)))
     case _ => None
   }
 }
@@ -152,6 +155,12 @@ final class GrbVector(val df: DataFrame, val size: Long) {
   def spark: SparkSession = df.sparkSession
   def dtype: GrbType = GrbType.fromSpark(df.schema("v").dataType)
   lazy val nvals: Long = df.count()
+  /** nvals as a LAZY 1-row scalar — the distributed-friendly form of
+    * `nvals` (no driver action until the scalar is consumed).
+    */
+  def nvalsScalar: GrbScalar =
+    new GrbScalar(df.agg(
+      org.apache.spark.sql.functions.count(lit(1)).cast(LongType).as("v")))
 
   /** reference base.py:112-136: deep copy w/ optional cast + mask.
     * DataFrames are immutable so the copy is free.
@@ -442,11 +451,23 @@ final class GrbVector(val df: DataFrame, val size: Long) {
   def isequal(other: GrbVector, checkDtype: Boolean = false): Boolean = {
     if (size != other.size) return false
     if (checkDtype && dtype != other.dtype) return false
+    isequalScalar(other).boolValue
+  }
+
+  /** isequal as a LAZY 1-row boolean scalar: same-structure,
+    * same-values full-outer comparison folded to a count of
+    * mismatches, with the metadata (size/dtype) comparison baked in as
+    * a literal — lets equality participate in lazy pipelines and be
+    * driver-verified as a query.
+    */
+  def isequalScalar(other: GrbVector, checkDtype: Boolean = false): GrbScalar = {
+    val meta = size == other.size && (!checkDtype || dtype == other.dtype)
     val a = df.select(col("i"), col("v").as("_av"))
     val b = other.df.select(col("i"), col("v").as("_bv"))
-    a.join(b, KEYS, "full_outer")
+    val mismatches = a.join(b, KEYS, "full_outer")
       .filter(col("_av").isNull || col("_bv").isNull || col("_av") =!= col("_bv"))
-      .isEmpty
+    new GrbScalar(mismatches.agg(
+      (org.apache.spark.sql.functions.count(lit(1)) === 0 && lit(meta)).as("v")))
   }
 
   def isclose(other: GrbVector, relTol: Double = 1e-7, absTol: Double = 0.0): Boolean = {
@@ -539,6 +560,9 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
   def spark: SparkSession = df.sparkSession
   def dtype: GrbType = GrbType.fromSpark(df.schema("v").dataType)
   lazy val nvals: Long = df.count()
+  /** nvals as a LAZY 1-row scalar (no driver action until consumed) */
+  def nvalsScalar: GrbScalar =
+    new GrbScalar(df.agg(count(lit(1)).cast(LongType).as("v")))
   def shape: (Long, Long) = (nrows, ncols)
 
   def dup(dtype: GrbType = dtype, mask: Option[Mask] = None): GrbMatrix = {

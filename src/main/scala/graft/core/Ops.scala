@@ -152,4 +152,27 @@ object Ops {
     minFirsti, minFirstj, minSecondi, minSecondj, maxFirsti, maxSecondj,
     plusFirsti, plusSecondj, anyFirsti, anySecondj)
     .map(o => o.name -> o).toMap
+
+  // ---- user-defined operators (grblas UnaryOp.register_new /
+  // BinaryOp.register_new; reference usage in
+  // tests/from_grblas2/test_op.py). User ops are plain Column lambdas;
+  // registration makes them resolvable by name alongside built-ins.
+  private val userUnary = scala.collection.concurrent.TrieMap.empty[String, UnaryOp]
+  private val userBinary = scala.collection.concurrent.TrieMap.empty[String, BinaryOp]
+  def registerUnary(op: UnaryOp): UnaryOp = { userUnary(op.name) = op; op }
+  def registerBinary(op: BinaryOp): BinaryOp = { userBinary(op.name) = op; op }
+  /** resolve by name: user registrations shadow built-ins */
+  def unary(name: String): UnaryOp =
+    userUnary.get(name).orElse(unaryOps.get(name))
+      .getOrElse(throw new NoSuchElementException(s"unknown unary op $name"))
+  def binary(name: String): BinaryOp =
+    userBinary.get(name).orElse(binaryOps.get(name))
+      .getOrElse(throw new NoSuchElementException(s"unknown binary op $name"))
+
+  /** ops that extend to a known monoid — the `require_monoid` check in
+    * ewise_add (reference vector.py:360-363 rejects e.g. binary.minus)
+    */
+  def isMonoidal(op: BinaryOp): Boolean =
+    monoids.values.exists(_.op eq op) ||
+      Set("plus", "times", "min", "max", "land", "lor", "lxor", "any", "eq")(op.name)
 }
