@@ -35,9 +35,12 @@ object FastSV {
     *                 over it instead of densely over 0..nrows-1 — the
     *                 dense identity is pure waste when vertex ids are
     *                 sparse in the index space (e.g. an offset
-    *                 bipartite encoding), and FastSV only ever updates
-    *                 vertices that appear in edges. Vertices absent
-    *                 from `nodes` are not labeled.
+    *                 bipartite encoding). `nodes` MUST contain every
+    *                 vertex incident to an edge of `a` (isolated extra
+    *                 vertices are fine): the fused hook admits any mxv
+    *                 output key, so an edge endpoint outside `nodes`
+    *                 would be hooked in mid-iteration and f's key set
+    *                 would grow past the init set.
     */
   def connectedComponents(a: GrbMatrix, maxIter: Int = 100,
       nodes: Option[DataFrame] = None): GrbVector = {
@@ -57,7 +60,6 @@ object FastSV {
     var change = true
     var iter = 0
     while (change && iter < maxIter) {
-      val gpDup = gp
       // mngp = min_second(A @ gp): per-vertex min of neighbours' parents
       val mngp = A.mxv(gp, Ops.minSecond, broadcastVec = false)
       // f(min)[I=f-as-values] << mngp — fused hooking: scatter mngp
@@ -70,22 +72,37 @@ object FastSV {
           .select(col("i"), col("v"))
       // hook + both min-merges fused: chained ewise_add(min) over
       // {f, scattered, mngp, gp} ≡ one per-key min over their union —
-      // a single shuffle instead of three full-outer joins
-      val f1 = new GrbVector(
-        f.df.unionByName(scattered).unionByName(mngp.df).unionByName(gp.df)
-          .groupBy("i").agg(min(col("v")).as("v")), n)
+      // a single shuffle instead of three full-outer joins. f's rows
+      // carry their value through as `_ov` (min ignores the nulls from
+      // the other branches), so the SAME aggregate also yields each
+      // key's previous parent — the convergence test then needs no
+      // join at all.
+      def tag(df: org.apache.spark.sql.DataFrame, old: Boolean) =
+        df.select(col("i"), col("v"),
+          (if (old) col("v") else lit(null).cast("long")).as("_ov"))
+      val f1 = tag(f.df, old = true)
+        .unionByName(tag(scattered, old = false))
+        .unionByName(tag(mngp.df, old = false))
+        .unionByName(tag(gp.df, old = false))
+        .groupBy("i").agg(min(col("v")).as("v"), min(col("_ov")).as("_ov"))
       // lineage truncation every round: with cache-only chaining the
       // logical plan (and per-round analysis cost) grows with the
-      // iteration count. f's checkpoint is lazy — materialized as a
+      // iteration count. f1's checkpoint is lazy — materialized as a
       // side effect of gp's eager checkpoint job (one fewer job per
       // round than two eager checkpoints).
-      f = new GrbVector(f1.df.localCheckpoint(false), n)
+      val f1ck = f1.localCheckpoint(false)
+      f = new GrbVector(f1ck.select(col("i"), col("v")), n)
       // gp = f[f]: gather parent-of-parent through a distributed index
       val idx = f.df.select(col("i").as("pos"), col("v").cast("long").as("idx"))
       gp = new GrbVector(
         f.extract(Ix.Dist(idx), sizeHint = n).df.localCheckpoint(true), n)
-      val mod = gp.ewiseMult(gpDup, Ops.ne)
-      change = mod.reduce(Ops.lorMonoid).boolValue
+      // converged ⇔ f is a fixpoint (no key changed its parent and no
+      // new key appeared). Stricter than the notebook's gp-stability
+      // test — guarantees the returned f is fully converged — and
+      // costs only a limit-1 scan over the already-checkpointed
+      // blocks: zero shuffles, vs the previous per-round
+      // ewise_mult(ne) join + lor reduce.
+      change = !f1ck.filter(col("_ov").isNull || col("v") =!= col("_ov")).isEmpty
       iter += 1
     }
     A.df.unpersist(false)
