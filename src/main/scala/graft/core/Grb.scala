@@ -148,12 +148,21 @@ object GrbScalar {
 /** 1-dim sparse vector: COO DataFrame[(i: Long, v: T)] + logical size.
   * Reference: dask_grblas/vector.py:77-200. Absence = missing row,
   * never NULL (SURVEY §1.4).
+  *
+  * `declared`: the GraphBLAS dtype when it cannot be re-derived from
+  * the Spark schema — Spark has no unsigned types, so UINT8/16/32/64
+  * share physical types with wider signed ints; without the declared
+  * dtype a dup()'d UINT8 vector would silently report INT16. Carried
+  * through structure-preserving ops; value-producing ops re-derive
+  * from the (signed) schema — a documented deviation.
   */
-final class GrbVector(val df: DataFrame, val size: Long) {
+final class GrbVector(val df: DataFrame, val size: Long,
+    private val declared: Option[GrbType] = None) {
   import GrbVector.KEYS
 
   def spark: SparkSession = df.sparkSession
-  def dtype: GrbType = GrbType.fromSpark(df.schema("v").dataType)
+  def dtype: GrbType =
+    declared.getOrElse(GrbType.fromSpark(df.schema("v").dataType))
   lazy val nvals: Long = df.count()
   /** nvals as a LAZY 1-row scalar — the distributed-friendly form of
     * `nvals` (no driver action until the scalar is consumed).
@@ -167,7 +176,8 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     */
   def dup(dtype: GrbType = dtype, mask: Option[Mask] = None): GrbVector = {
     val d0 = mask.fold(df)(_.filter(df, KEYS))
-    new GrbVector(d0.select(col("i"), col("v").cast(dtype.spark).as("v")), size)
+    new GrbVector(d0.select(col("i"), col("v").cast(dtype.spark).as("v")),
+      size, Some(dtype))
   }
 
   def clear: GrbVector = GrbVector.empty(spark, dtype, size)
@@ -176,18 +186,25 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     * (vector.py:236-270)
     */
   def resize(newSize: Long): GrbVector =
-    new GrbVector(if (newSize >= size) df else df.filter(col("i") < newSize), newSize)
+    new GrbVector(if (newSize >= size) df else df.filter(col("i") < newSize),
+      newSize, declared)
 
   // ---- element-wise apply (vector.py:430-442) ----
   private def keepType(preserve: Boolean, c: Column): Column =
     if (preserve) c.cast(dtype.spark) else c
 
+  private def carried(preserve: Boolean): Option[GrbType] =
+    if (preserve) declared else None
+
   def apply(op: UnaryOp): GrbVector =
-    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"))).as("v")), size)
+    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"))).as("v")),
+      size, carried(op.preserve))
   def applyLeft(op: BinaryOp, left: Column): GrbVector =
-    new GrbVector(df.select(col("i"), keepType(op.preserve, op(left, col("v"))).as("v")), size)
+    new GrbVector(df.select(col("i"), keepType(op.preserve, op(left, col("v"))).as("v")),
+      size, carried(op.preserve))
   def applyRight(op: BinaryOp, right: Column): GrbVector =
-    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"), right)).as("v")), size)
+    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"), right)).as("v")),
+      size, carried(op.preserve))
   /** bind a LAZY scalar as the right operand (reference: lazy Scalar in
     * apply, tests/test_vector.py:269-369) — broadcast crossJoin with the
     * ≤1-row scalar frame, no driver materialization.
@@ -210,11 +227,24 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     * role — SURVEY §2.2): keep entries where predicate on value holds.
     */
   def selectOp(pred: Column => Column): GrbVector =
-    new GrbVector(df.filter(pred(col("v"))), size)
+    new GrbVector(df.filter(pred(col("v"))), size, declared)
 
   // ---- element-wise joins (SURVEY §2.4) ----
   private def promotedSpark(other: GrbVector): DataType =
     GrbType.promote(dtype, other.dtype).spark
+  /** declared dtype of an ewise result: the GraphBLAS-promoted type
+    * when the op preserves the domain, or — with unsigned tracking in
+    * play — when the output's physical type already equals the
+    * promoted type's representation (e.g. UINT8+UINT8 stays short).
+    */
+  private def promotedDeclared(other: GrbVector, preserve: Boolean,
+      outDF: DataFrame): Option[GrbType] = {
+    val promoted = GrbType.promote(dtype, other.dtype)
+    if (preserve) Some(promoted)
+    else if ((declared.nonEmpty || other.declared.nonEmpty) &&
+        outDF.schema("v").dataType == promoted.spark) Some(promoted)
+    else None
+  }
 
   /** intersection of structures (vector.py:365-368) */
   def ewiseMult(other: GrbVector, op: BinaryOp): GrbVector = {
@@ -222,7 +252,8 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     val b = other.df.select(col("i"), col("v").as("_bv"))
     val out = op(col("v"), col("_bv"))
     val outC = if (op.preserve) out.cast(promotedSpark(other)) else out
-    new GrbVector(df.join(b, KEYS).select(col("i"), outC.as("v")), size)
+    val outDF = df.join(b, KEYS).select(col("i"), outC.as("v"))
+    new GrbVector(outDF, size, promotedDeclared(other, op.preserve, outDF))
   }
 
   /** union of structures; op where both present (vector.py:360-363).
@@ -230,8 +261,17 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     * supports comparison ops in ewise_add by casting the one-sided
     * values to BOOL, and Spark's when/otherwise needs type-compatible
     * branches.
+    *
+    * `requireMonoid` (reference vector.py:360-363): ewise_add with a
+    * plain binary op that extends to no monoid (e.g. minus) is almost
+    * always a bug — the one-sided pass-through silently changes the
+    * op's meaning; refuse unless explicitly overridden.
     */
-  def ewiseAdd(other: GrbVector, op: BinaryOp): GrbVector = {
+  def ewiseAdd(other: GrbVector, op: BinaryOp,
+      requireMonoid: Boolean = true): GrbVector = {
+    require(!requireMonoid || Ops.isMonoidal(op),
+      s"ewise_add requires a monoid op, got '${op.name}' " +
+        "(pass requireMonoid = false to allow it)")
     require(size == other.size, s"size mismatch $size vs ${other.size}")
     val a = df.select(col("i"), col("v").as("_av"))
     val b = other.df.select(col("i"), col("v").as("_bv"))
@@ -240,10 +280,10 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     val outC = if (op.preserve) out.cast(promotedSpark(other)) else out
     // analysis-only probe for the op's output type (no job is run)
     val outType = joined.select(outC.as("_t")).schema("_t").dataType
-    new GrbVector(
-      joined.select(col("i"),
-        when(col("_av").isNotNull && col("_bv").isNotNull, outC)
-          .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v")), size)
+    val outDF = joined.select(col("i"),
+      when(col("_av").isNotNull && col("_bv").isNotNull, outC)
+        .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v"))
+    new GrbVector(outDF, size, promotedDeclared(other, op.preserve, outDF))
   }
 
   // ---- products (SURVEY §2.5) ----
@@ -329,19 +369,19 @@ final class GrbVector(val df: DataFrame, val size: Long) {
   def extract(ix: Ix, inputMask: Option[Mask] = None, sizeHint: Long = -1L): GrbVector = {
     val src = inputMask.fold(df)(_.filter(df, KEYS))
     Ix.normalize(ix, size) match {
-      case Ix.All => new GrbVector(src, size)
+      case Ix.All => new GrbVector(src, size, declared)
       case r @ Ix.Range(_, _, _) =>
         val pred = Ix.predicate(r, col("i"), size).get
         val pos = Ix.position(r, col("i"), size).get
         new GrbVector(src.filter(pred).select(pos.as("i"), col("v")),
-          Ix.length(r, size).get)
+          Ix.length(r, size).get, declared)
       case norm =>
         val idx = Ix.toDF(spark, norm, size)
         val newSize = Ix.length(norm, size)
           .getOrElse(if (sizeHint >= 0) sizeHint else idx.count())
         val joined = src.join(idx.withColumnRenamed("idx", "i"), KEYS)
           .select(col("pos").as("i"), col("v"))
-        new GrbVector(joined, newSize)
+        new GrbVector(joined, newSize, declared)
     }
   }
 
@@ -442,7 +482,7 @@ final class GrbVector(val df: DataFrame, val size: Long) {
 
   def del(n: Long): GrbVector = {
     val nn = if (n < 0) n + size else n
-    new GrbVector(df.filter(col("i") =!= nn), size)
+    new GrbVector(df.filter(col("i") =!= nn), size, declared)
   }
 
   def contains(n: Long): Boolean = !df.filter(col("i") === n).isEmpty
@@ -484,7 +524,7 @@ final class GrbVector(val df: DataFrame, val size: Long) {
     * the `C(mask, accum, replace) << expr` write path.
     */
   def accept(result: GrbVector, desc: Desc): GrbVector =
-    new GrbVector(Merge(df, result.df, KEYS, desc), size)
+    new GrbVector(Merge(df, result.df, KEYS, desc), size, declared)
 
   /** globally ordered COO extraction (vector.py:506-548) */
   def toValues: Seq[(Long, Any)] =
@@ -493,10 +533,10 @@ final class GrbVector(val df: DataFrame, val size: Long) {
   /** lineage checkpoint for iterative algorithms (base.py:345-346
     * persist; SURVEY §3.4) — cache + localCheckpoint truncates the plan.
     */
-  def persist(): GrbVector = new GrbVector(df.localCheckpoint(true), size)
+  def persist(): GrbVector = new GrbVector(df.localCheckpoint(true), size, declared)
 
   def repartitionByIndex(n: Int): GrbVector =
-    new GrbVector(df.repartitionByRange(n, col("i")), size)
+    new GrbVector(df.repartitionByRange(n, col("i")), size, declared)
 }
 
 object GrbVector {
@@ -507,7 +547,8 @@ object GrbVector {
       StructField("i", LongType, nullable = false),
       StructField("v", dtype.spark, nullable = false)))
     new GrbVector(spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), size)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      size, Some(dtype))
   }
 
   /** build from (index, value) pairs with optional dup-resolution
@@ -522,7 +563,8 @@ object GrbVector {
     val rows = pairs.map { case (i, v) => org.apache.spark.sql.Row(i, v) }
     val df0 = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
-    fromDF(df0, size, dupAgg)
+    val built = fromDF(df0, size, dupAgg)
+    new GrbVector(built.df, built.size, Some(dtype))
   }
 
   /** distributed construction from an existing COO DataFrame */
@@ -554,11 +596,13 @@ object GrbVector {
   * Reference: dask_grblas/matrix.py:43-248. Transpose is a zero-shuffle
   * lazy projection (matrix.py:682-753 TransposedMatrix).
   */
-final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
+final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
+    private val declared: Option[GrbType] = None) {
   import GrbMatrix.KEYS
 
   def spark: SparkSession = df.sparkSession
-  def dtype: GrbType = GrbType.fromSpark(df.schema("v").dataType)
+  def dtype: GrbType =
+    declared.getOrElse(GrbType.fromSpark(df.schema("v").dataType))
   lazy val nvals: Long = df.count()
   /** nvals as a LAZY 1-row scalar (no driver action until consumed) */
   def nvalsScalar: GrbScalar =
@@ -568,7 +612,7 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
   def dup(dtype: GrbType = dtype, mask: Option[Mask] = None): GrbMatrix = {
     val d0 = mask.fold(df)(_.filter(df, KEYS))
     new GrbMatrix(d0.select(col("i"), col("j"), col("v").cast(dtype.spark).as("v")),
-      nrows, ncols)
+      nrows, ncols, Some(dtype))
   }
 
   def clear: GrbMatrix = GrbMatrix.empty(spark, dtype, nrows, ncols)
@@ -576,35 +620,52 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
   def resize(newRows: Long, newCols: Long): GrbMatrix = {
     val d = if (newRows >= nrows && newCols >= ncols) df
       else df.filter(col("i") < newRows && col("j") < newCols)
-    new GrbMatrix(d, newRows, newCols)
+    new GrbMatrix(d, newRows, newCols, declared)
   }
 
   /** zero-cost transposed view: a projection, no shuffle
     * (matrix.py:682-753)
     */
   def transpose: GrbMatrix =
-    new GrbMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")), ncols, nrows)
+    new GrbMatrix(df.select(col("j").as("i"), col("i").as("j"), col("v")),
+      ncols, nrows, declared)
 
   // ---- apply ----
   private def keepType(preserve: Boolean, c: Column): Column =
     if (preserve) c.cast(dtype.spark) else c
 
+  private def carried(preserve: Boolean): Option[GrbType] =
+    if (preserve) declared else None
+
+  /** see GrbVector.promotedDeclared */
+  private def promotedDeclared(other: GrbMatrix, preserve: Boolean,
+      outDF: DataFrame): Option[GrbType] = {
+    val promoted = GrbType.promote(dtype, other.dtype)
+    if (preserve) Some(promoted)
+    else if ((declared.nonEmpty || other.declared.nonEmpty) &&
+        outDF.schema("v").dataType == promoted.spark) Some(promoted)
+    else None
+  }
+
   def apply(op: UnaryOp): GrbMatrix =
     new GrbMatrix(df.select(col("i"), col("j"),
-      keepType(op.preserve, op(col("v"))).as("v")), nrows, ncols)
+      keepType(op.preserve, op(col("v"))).as("v")), nrows, ncols,
+      carried(op.preserve))
   def applyLeft(op: BinaryOp, left: Column): GrbMatrix =
     new GrbMatrix(df.select(col("i"), col("j"),
-      keepType(op.preserve, op(left, col("v"))).as("v")), nrows, ncols)
+      keepType(op.preserve, op(left, col("v"))).as("v")), nrows, ncols,
+      carried(op.preserve))
   def applyRight(op: BinaryOp, right: Column): GrbMatrix =
     new GrbMatrix(df.select(col("i"), col("j"),
-      keepType(op.preserve, op(col("v"), right)).as("v")), nrows, ncols)
+      keepType(op.preserve, op(col("v"), right)).as("v")), nrows, ncols,
+      carried(op.preserve))
   /** positional: value = row index (positioni) or col index (positionj) */
   def applyPositional(rowIndex: Boolean): GrbMatrix =
     new GrbMatrix(df.select(col("i"), col("j"),
       (if (rowIndex) col("i") else col("j")).as("v")), nrows, ncols)
 
   def selectOp(pred: Column => Column): GrbMatrix =
-    new GrbMatrix(df.filter(pred(col("v"))), nrows, ncols)
+    new GrbMatrix(df.filter(pred(col("v"))), nrows, ncols, declared)
 
   // ---- ewise ----
   def ewiseMult(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
@@ -612,11 +673,17 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
     val out = op(col("v"), col("_bv"))
     val outC = if (op.preserve) out.cast(GrbType.promote(dtype, other.dtype).spark) else out
-    new GrbMatrix(df.join(b, KEYS)
-      .select(col("i"), col("j"), outC.as("v")), nrows, ncols)
+    val outDF = df.join(b, KEYS).select(col("i"), col("j"), outC.as("v"))
+    new GrbMatrix(outDF, nrows, ncols,
+      promotedDeclared(other, op.preserve, outDF))
   }
 
-  def ewiseAdd(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
+  /** see GrbVector.ewiseAdd for the `requireMonoid` contract */
+  def ewiseAdd(other: GrbMatrix, op: BinaryOp,
+      requireMonoid: Boolean = true): GrbMatrix = {
+    require(!requireMonoid || Ops.isMonoidal(op),
+      s"ewise_add requires a monoid op, got '${op.name}' " +
+        "(pass requireMonoid = false to allow it)")
     require(shape == other.shape, s"shape mismatch $shape vs ${other.shape}")
     val a = df.select(col("i"), col("j"), col("v").as("_av"))
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
@@ -625,10 +692,11 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
     val outC = if (op.preserve) out.cast(GrbType.promote(dtype, other.dtype).spark) else out
     // analysis-only probe: pass-through cast to the op's output dtype
     val outType = joined.select(outC.as("_t")).schema("_t").dataType
-    new GrbMatrix(
-      joined.select(col("i"), col("j"),
-        when(col("_av").isNotNull && col("_bv").isNotNull, outC)
-          .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v")), nrows, ncols)
+    val outDF = joined.select(col("i"), col("j"),
+      when(col("_av").isNotNull && col("_bv").isNotNull, outC)
+        .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v"))
+    new GrbMatrix(outDF, nrows, ncols,
+      promotedDeclared(other, op.preserve, outDF))
   }
 
   // ---- products (SURVEY §2.5: the heart of the engine) ----
@@ -762,7 +830,7 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
       }
     val (d1, nr) = axis(src, rowIx, nrows, "i")
     val (d2, nc) = axis(d1, colIx, ncols, "j")
-    new GrbMatrix(d2.select(col("i"), col("j"), col("v")), nr, nc)
+    new GrbMatrix(d2.select(col("i"), col("j"), col("v")), nr, nc, declared)
   }
 
   // ---- assign (SURVEY §2.7) ----
@@ -876,7 +944,8 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
   }
 
   def del(i0: Long, j0: Long): GrbMatrix =
-    new GrbMatrix(df.filter(!(col("i") === i0 && col("j") === j0)), nrows, ncols)
+    new GrbMatrix(df.filter(!(col("i") === i0 && col("j") === j0)),
+      nrows, ncols, declared)
 
   def isequal(other: GrbMatrix, checkDtype: Boolean = false): Boolean = {
     if (shape != other.shape) return false
@@ -899,18 +968,19 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long) {
   }
 
   def accept(result: GrbMatrix, desc: Desc): GrbMatrix =
-    new GrbMatrix(Merge(df, result.df, KEYS, desc), nrows, ncols)
+    new GrbMatrix(Merge(df, result.df, KEYS, desc), nrows, ncols, declared)
 
   def toValues: Seq[(Long, Long, Any)] =
     df.orderBy("i", "j").collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.get(2)))
 
-  def persist(): GrbMatrix = new GrbMatrix(df.localCheckpoint(true), nrows, ncols)
+  def persist(): GrbMatrix =
+    new GrbMatrix(df.localCheckpoint(true), nrows, ncols, declared)
 
   /** co-partition by row key — lets downstream joins/aggregations on i
     * reuse the exchange (rechunk analogue, matrix.py:637-642)
     */
   def repartitionByRow(n: Int): GrbMatrix =
-    new GrbMatrix(df.repartitionByRange(n, col("i")), nrows, ncols)
+    new GrbMatrix(df.repartitionByRange(n, col("i")), nrows, ncols, declared)
 }
 
 object GrbMatrix {
@@ -922,7 +992,8 @@ object GrbMatrix {
       StructField("j", LongType, nullable = false),
       StructField("v", dtype.spark, nullable = false)))
     new GrbMatrix(spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema), nrows, ncols)
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
+      nrows, ncols, Some(dtype))
   }
 
   def fromValues(spark: SparkSession, triples: Seq[(Long, Long, Any)], dtype: GrbType,
@@ -935,7 +1006,8 @@ object GrbMatrix {
     val rows = triples.map { case (i, j, v) => org.apache.spark.sql.Row(i, j, v) }
     val df0 = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
-    fromDF(df0, nrows, ncols, dupAgg)
+    val built = fromDF(df0, nrows, ncols, dupAgg)
+    new GrbMatrix(built.df, built.nrows, built.ncols, Some(dtype))
   }
 
   def fromDF(df0: DataFrame, nrows: Long = -1L, ncols: Long = -1L,

@@ -83,6 +83,11 @@ object MatrixMarket {
 
   def read(spark: SparkSession, path: String, dtype: GrbType = GrbType.FP64): GrbMatrix = {
     val h = readHeader(spark, path)
+    // loud reject, not silent misparse: a complex body carries two
+    // value tokens per entry (reference defers to scipy, io.py:662-676)
+    require(h.field != "complex",
+      s"complex MatrixMarket fields are not supported: $path " +
+        "(hermitian symmetry over REAL fields is read as symmetric)")
     val body = indexedBody(spark, path)
     h.format match {
       case "coordinate" => readCoordinate(body, h, dtype)
@@ -143,11 +148,11 @@ object MatrixMarket {
         vals.select(
           (col("_pos") % n).as("i"), expr(s"_pos DIV $n").as("j"),
           col("dv").cast(dtype.spark).as("v"))
-      case "symmetric" | "skew-symmetric" =>
+      case "symmetric" =>
         // lower triangle incl. diagonal, column-major: column j holds
         // (n - j) entries starting at row j; linear index k → column j
         // is the largest j with T(j) <= k where T(j) = j*n - j(j-1)/2.
-        // Invert with the quadratic formula (io.py:8-41 equivalent).
+        // Invert with the quadratic formula (io.py:8-41 symm_*).
         val k = col("_pos")
         val jc = floor((lit(2 * n + 1) - sqrt(lit((2 * n + 1).toDouble * (2 * n + 1)) -
           lit(8.0) * k.cast(DoubleType))) / 2.0).cast(LongType)
@@ -157,8 +162,26 @@ object MatrixMarket {
             ((k - (col("_j") * n - col("_j") * (col("_j") - 1) / 2)) + col("_j"))
               .cast(LongType))
           .select(col("_i").as("i"), col("_j").as("j"), col("dv").cast(dtype.spark).as("v"))
-        val mirror = tri.filter(col("i") =!= col("j")).select(col("j").as("i"), col("i").as("j"),
-          (if (h.symmetry == "skew-symmetric") -col("v") else col("v")).cast(dtype.spark).as("v"))
+        val mirror = tri.filter(col("i") =!= col("j")).select(col("j").as("i"),
+          col("i").as("j"), col("v"))
+        tri.unionByName(mirror)
+      case "skew-symmetric" =>
+        // STRICTLY lower triangle (no diagonal — skew diagonals are
+        // identically zero), column-major: column j holds (n - j - 1)
+        // entries starting at row j+1, so T(j) = j*(2n - j - 1)/2 and
+        // the inversion constant is (2n - 1), not (2n + 1)
+        // (io.py:41-70 skew_* differ from symm_* exactly this way).
+        val k = col("_pos")
+        val jc = floor((lit(2 * n - 1) - sqrt(lit((2 * n - 1).toDouble * (2 * n - 1)) -
+          lit(8.0) * k.cast(DoubleType))) / 2.0).cast(LongType)
+        val tri = vals
+          .withColumn("_j", jc)
+          .withColumn("_i",
+            ((k - col("_j") * (lit(2 * n) - col("_j") - 1) / 2) + col("_j") + 1)
+              .cast(LongType))
+          .select(col("_i").as("i"), col("_j").as("j"), col("dv").cast(dtype.spark).as("v"))
+        val mirror = tri.select(col("j").as("i"), col("i").as("j"),
+          (-col("v")).cast(dtype.spark).as("v"))
         tri.unionByName(mirror)
       case other => throw new IllegalArgumentException(s"unknown symmetry $other")
     }

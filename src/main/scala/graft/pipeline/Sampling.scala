@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -23,14 +24,22 @@ object Sampling {
 
   /** corpus composition: doc counts and volume by (source, lang) with
     * basis-point shares — the input to mixture-weight decisions.
-    * Single hash aggregate + a broadcast total.
+    * ONE pass over the corpus: the total is re-aggregated from the
+    * (tiny) grouped result and re-attached with a broadcast crossJoin,
+    * instead of a separate full-corpus count() action.
     */
   def sourceMix(docs: DataFrame): DataFrame = {
-    val total = docs.count()
-    docs.groupBy("source", "lang")
+    val grouped = docs.groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast(LongType).as("n_chars"))
+    // grand total via a global window over the GROUPED result — a few
+    // hundred (source, lang) rows on one partition, reusing the single
+    // corpus aggregation (a second branch would rescan the corpus)
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
       .withColumn("share_bp",
-        floor(lit(10000.0) * col("n_docs") / lit(total.toDouble)).cast(LongType))
+        floor(lit(10000.0) * col("n_docs") /
+          sum(col("n_docs")).over(w).cast("double")).cast(LongType))
   }
 }

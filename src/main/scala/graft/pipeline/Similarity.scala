@@ -113,7 +113,8 @@ object Similarity {
     * 1-row peek), so only explicit overrides can get it wrong.
     */
   def annPairs(emb: DataFrame, simMilli: Int = 400, bands: Int = 4,
-      rowsPerBand: Int = 4, dims: Int = -1): DataFrame = {
+      rowsPerBand: Int = 4, dims: Int = -1,
+      materialize: Boolean = true): DataFrame = {
     val d =
       if (dims > 0) dims
       else emb.select(size(col("embedding"))).head(1)
@@ -132,7 +133,18 @@ object Similarity {
       .join(base.select(col("vec_id").as("a"), col("q").as("qa"), col("n2").as("na")), Seq("a"))
       .join(base.select(col("vec_id").as("b"), col("q").as("qb"), col("n2").as("nb")), Seq("b"))
       .withColumn("sim", cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
-    scored.filter(col("sim") >= simMilli / 1000.0)
+    val result = scored.filter(col("sim") >= simMilli / 1000.0)
       .select(col("a"), col("b"), floor(col("sim") * 1000).cast(LongType).as("promille"))
+    // materialize (default): eager localCheckpoint lets the caches be
+    // released before returning — no leaked blocks in a long session.
+    // materialize = false keeps the lazy plan (inspection/composition);
+    // the caller then owns cache cleanup.
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      bs.unpersist(false)
+      base.unpersist(false)
+      out
+    }
   }
 }

@@ -116,9 +116,16 @@ object TextDedup {
   /** near-duplicate pairs: LSH candidates verified by exact shingle
     * Jaccard >= num/den (integer cross-multiplied — no float compare).
     * Output: (a, b, inter, uni).
+    *
+    * `materialize` (default): the result is computed eagerly
+    * (localCheckpoint) so the cached shared intermediate can be
+    * released before returning — repeated calls in a long-lived
+    * session leak nothing. Pass `materialize = false` for the fully
+    * lazy plan (plan inspection / composition); the caller then owns
+    * cache cleanup (`spark.catalog.clearCache()`).
     */
   def nearDuplicates(docs: DataFrame, bands: Int = 4,
-      num: Int = 7, den: Int = 10): DataFrame = {
+      num: Int = 7, den: Int = 10, materialize: Boolean = true): DataFrame = {
     // the exploded shingle set feeds signature building AND the
     // verification joins — one explode, cached
     val sh = explodedShingles(docs).cache()
@@ -128,12 +135,18 @@ object TextDedup {
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .select(col("a"), col("b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * den >= col("uni") * num)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      sh.unpersist(false)
+      out
+    }
   }
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.core._
+import graft.io.MatrixMarket
+
+/** Round-3 parity items: require_monoid on ewise_add, UINT dtype
+  * tracking through the wrappers, skew-symmetric ARRAY MatrixMarket
+  * decode, complex-field rejection, user-op registry resolution.
+  */
+class ParitySpec extends SparkSpec {
+
+  private def writeTmp(name: String, content: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft-parity-$name.mtx")
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("ewise_add refuses non-monoid ops unless overridden (vector.py:360-363)") {
+    val a = GrbVector.fromValues(spark, Seq((0L, 1L: Any), (1L, 2L: Any)), GrbType.INT64, 3L)
+    val b = GrbVector.fromValues(spark, Seq((1L, 5L: Any), (2L, 7L: Any)), GrbType.INT64, 3L)
+    val e = intercept[IllegalArgumentException](a.ewiseAdd(b, Ops.minus))
+    assert(e.getMessage.contains("monoid"))
+    // explicit override: minus where both present, pass-through else
+    val r = a.ewiseAdd(b, Ops.minus, requireMonoid = false).toValues
+    assert(r == Seq((0L, 1L), (1L, -3L), (2L, 7L)))
+    // matrix arm
+    val m = GrbMatrix.fromValues(spark, Seq((0L, 0L, 1L: Any)), GrbType.INT64, 2L, 2L)
+    intercept[IllegalArgumentException](m.ewiseAdd(m, Ops.div))
+    assert(m.ewiseAdd(m, Ops.plus).nvals == 1L)
+  }
+
+  test("UINT dtypes survive dup/extract/resize (declared-dtype tracking)") {
+    val v = GrbVector.fromValues(spark, Seq((0L, 200.toShort: Any), (5L, 7.toShort: Any)),
+      GrbType.UINT8, 10L)
+    assert(v.dtype == GrbType.UINT8)
+    assert(v.dup().dtype == GrbType.UINT8) // was: silently INT16
+    assert(v.dup().extract(Ix.Range(0L, 10L, 2L)).dtype == GrbType.UINT8)
+    assert(v.resize(4L).dtype == GrbType.UINT8)
+    assert(v.clear.dtype == GrbType.UINT8)
+    assert(v.del(0L).dtype == GrbType.UINT8)
+    // preserve-op application keeps the declared dtype; promotion of
+    // same-dtype operands stays in the domain
+    assert(v.ewiseMult(v, Ops.plus).dtype == GrbType.UINT8)
+    val m = GrbMatrix.fromValues(spark, Seq((0L, 0L, 3L: Any)), GrbType.UINT32, 2L, 2L)
+    assert(m.dup().dtype == GrbType.UINT32)
+    assert(m.transpose.dtype == GrbType.UINT32)
+    assert(m.extract(Ix.All, Ix.Range(0L, 2L, 1L)).dtype == GrbType.UINT32)
+  }
+
+  test("array skew-symmetric stores the STRICTLY lower triangle (io.py:41-70)") {
+    // 4x4 skew: strictly-lower column-major = (1,0),(2,0),(3,0),(2,1),(3,1),(3,2)
+    val path = writeTmp("skewarr",
+      """%%MatrixMarket matrix array real skew-symmetric
+        |4 4
+        |2.0
+        |3.0
+        |4.0
+        |5.0
+        |6.0
+        |7.0
+        |""".stripMargin)
+    val m = MatrixMarket.read(spark, path)
+    val got = m.toValues.map { case (i, j, v) => (i, j, v.asInstanceOf[Double]) }.toSet
+    val lower = Set((1L, 0L, 2.0), (2L, 0L, 3.0), (3L, 0L, 4.0),
+      (2L, 1L, 5.0), (3L, 1L, 6.0), (3L, 2L, 7.0))
+    val mirrored = lower.map { case (i, j, v) => (j, i, -v) }
+    assert(got == lower ++ mirrored) // no spurious diagonal, exact (i,j)
+  }
+
+  test("complex MatrixMarket field is rejected loudly") {
+    val path = writeTmp("cplx",
+      """%%MatrixMarket matrix coordinate complex general
+        |2 2 1
+        |1 1 1.0 2.0
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException](MatrixMarket.read(spark, path))
+    assert(e.getMessage.contains("complex"))
+  }
+
+  test("user-op registry: registration resolves by name, shadows built-ins") {
+    Ops.registerUnary(UnaryOp("cube")(c => c * c * c))
+    val v = GrbVector.fromValues(spark, Seq((0L, 2L: Any), (1L, -3L: Any)), GrbType.INT64, 2L)
+    assert(v.apply(Ops.unary("cube")).toValues == Seq((0L, 8L), (1L, -27L)))
+    assert(Ops.binary("plus").name == "plus") // built-in fallback
+    intercept[NoSuchElementException](Ops.unary("no_such_op"))
+  }
+}

@@ -96,8 +96,10 @@ class PipelineSpec extends SparkSpec {
     val ab = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ab.contains((0L, 1L)))
     assert(!ab.exists { case (a, b) => a == 2L || b == 2L })
-    // and no plan node is a cartesian product
-    val plan = Similarity.annPairs(vecs, 900, 4, 2, dims = 8).queryExecution.executedPlan.toString
+    // and no plan node is a cartesian product (lazy plan — the
+    // materialized default checkpoints and would hide the joins)
+    val plan = Similarity.annPairs(vecs, 900, 4, 2, dims = 8,
+      materialize = false).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
 

@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(TextDedup.simhashNearDuplicates(docs)).contains("CartesianProduct"))
     val vecs = spark.createDataFrame(Seq(
       (0L, Array(1f, 0f)), (1L, Array(0f, 1f)))).toDF("vec_id", "embedding")
-    assert(!plan(Similarity.annPairs(vecs, dims = 2)).contains("CartesianProduct"))
+    assert(!plan(Similarity.annPairs(vecs, dims = 2, materialize = false))
+      .contains("CartesianProduct"))
   }
 
   test("masked mxm pushes the mask before the aggregate") {
