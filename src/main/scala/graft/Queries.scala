@@ -8,6 +8,7 @@ import graft.ops.Structure
 import graft.algo.FastSV
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal}
+import graft.streaming.EventsStream
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
   * family plus the LLM-data-pipeline operators, each expressed through
@@ -618,6 +619,32 @@ object Queries {
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
     "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
+    // the STREAMING path end-to-end: file-source readStream over the
+    // events table -> watermarked tumbling-window agg -> memory sink,
+    // drained with Trigger.AvailableNow. Complete mode emits every
+    // window, so the result is batch-equivalent and oracle-checkable.
+    "p_stream_window" -> ((s, dir) => {
+      // the file stream source requires a DIRECTORY; the testdata
+      // table is a single parquet file — stage it once per sf
+      val streamDir = java.nio.file.Paths.get("/tmp",
+        s"graft_stream_events_${new java.io.File(dir).getName}")
+      java.nio.file.Files.createDirectories(streamDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        streamDir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val src = EventsStream.readEventsStream(s, streamDir.toString)
+      val qname = s"graft_stream_win_${System.nanoTime()}"
+      val q = EventsStream.hourlyByType(src).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(
+        unix_timestamp(col("h")).as("h_epoch"), col("event_type"),
+        col("n"), col("sum_cents"))
+    }),
+
     // multimodal plumbing over the deterministic synthetic GRFT corpus:
     // header decode (Column algebra) + frame sampling (posexplode),
     // verified against the container format's closed-form arithmetic
@@ -793,6 +820,11 @@ object Queries {
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
       s"SELECT user_id, $counts, CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
     },
+    "p_stream_window" ->
+      """WITH e AS (SELECT CAST(FLOOR(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS h_epoch,
+                           event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT h_epoch, event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM e GROUP BY 1, 2""",
     // closed-form reconstruction of the synthetic GRFT container
     // (Multimodal.syntheticAsset): header fields from the id, sampled
     // frame count from ceil(n_frames/2), first payload byte of frame k
