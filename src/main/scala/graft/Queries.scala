@@ -411,6 +411,15 @@ object Queries {
     // single-element delete, positive + negative index (§2 row 47)
     "q_del" -> ((s, dir) => custVec(s, dir).del(5L).del(-1L).df),
 
+    // extended binary catalogue: floor division with negative operands
+    // (acctbal can be negative) — grblas binary.floordiv
+    "q_floordiv" -> ((s, dir) =>
+      custVec(s, dir).applyRight(Ops.floordiv, lit(1000)).df),
+
+    // bitwise monoid reduction (grblas monoid.bor): per-row OR of the
+    // quantity bits
+    "q_bitwise" -> ((s, dir) => liMat(s, dir).reduceRowwise(Ops.borMonoid).df),
+
     // user-defined op: register by name, resolve, apply (§2.8 row 49)
     "q_user_op" -> ((s, dir) => {
       Ops.registerBinary(BinaryOp("absdiff")((a, b) => abs(a - b)))
@@ -595,7 +604,11 @@ object Queries {
     "q_user_op" ->
       """WITH a AS (SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer),
          b AS (SELECT o_custkey AS i, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v FROM orders GROUP BY 1)
-         SELECT a.i AS i, ABS(a.v - b.v) AS v FROM a JOIN b ON a.i = b.i""")
+         SELECT a.i AS i, ABS(a.v - b.v) AS v FROM a JOIN b ON a.i = b.i""",
+    "q_floordiv" ->
+      """SELECT c_custkey AS i, CAST(FLOOR(CAST(ROUND(c_acctbal*100) AS BIGINT) / 1000.0) AS BIGINT) AS v FROM customer""",
+    "q_bitwise" ->
+      s"WITH $liMatSql SELECT i, CAST(BIT_OR(v) AS BIGINT) AS v FROM m GROUP BY 1")
 
   // =================================================================
   // LLM-data-pipeline operators

@@ -72,37 +72,33 @@ object FastSV {
           .select(col("i"), col("v"))
       // hook + both min-merges fused: chained ewise_add(min) over
       // {f, scattered, mngp, gp} ≡ one per-key min over their union —
-      // a single shuffle instead of three full-outer joins. f's rows
-      // carry their value through as `_ov` (min ignores the nulls from
-      // the other branches), so the SAME aggregate also yields each
-      // key's previous parent — the convergence test then needs no
-      // join at all.
-      def tag(df: org.apache.spark.sql.DataFrame, old: Boolean) =
-        df.select(col("i"), col("v"),
-          (if (old) col("v") else lit(null).cast("long")).as("_ov"))
-      val f1 = tag(f.df, old = true)
-        .unionByName(tag(scattered, old = false))
-        .unionByName(tag(mngp.df, old = false))
-        .unionByName(tag(gp.df, old = false))
-        .groupBy("i").agg(min(col("v")).as("v"), min(col("_ov")).as("_ov"))
+      // a single shuffle instead of three full-outer joins
+      val f1 = f.df.unionByName(scattered).unionByName(mngp.df).unionByName(gp.df)
+        .groupBy("i").agg(min(col("v")).as("v"))
       // lineage truncation every round: with cache-only chaining the
       // logical plan (and per-round analysis cost) grows with the
       // iteration count. f1's checkpoint is lazy — materialized as a
-      // side effect of gp's eager checkpoint job (one fewer job per
-      // round than two eager checkpoints).
-      val f1ck = f1.localCheckpoint(false)
-      f = new GrbVector(f1ck.select(col("i"), col("v")), n)
-      // gp = f[f]: gather parent-of-parent through a distributed index
+      // side effect of the gather's eager checkpoint job (one fewer
+      // job per round than two eager checkpoints).
+      f = new GrbVector(f1.localCheckpoint(false), n)
+      // gp = f[f]: gather parent-of-parent through a distributed
+      // index, comparing against the previous gp IN THE SAME JOB —
+      // the notebook's gp-stability convergence test (mod =
+      // ne(gp_dup & gp); reduce lor) folded into the checkpoint
+      // instead of a separate per-round join + reduce job. An
+      // f-stability test would be a cheaper scan but costs extra
+      // rounds on large graphs: gp (with shortcutting) stabilizes
+      // before f does.
       val idx = f.df.select(col("i").as("pos"), col("v").cast("long").as("idx"))
-      gp = new GrbVector(
-        f.extract(Ix.Dist(idx), sizeHint = n).df.localCheckpoint(true), n)
-      // converged ⇔ f is a fixpoint (no key changed its parent and no
-      // new key appeared). Stricter than the notebook's gp-stability
-      // test — guarantees the returned f is fully converged — and
-      // costs only a limit-1 scan over the already-checkpointed
-      // blocks: zero shuffles, vs the previous per-round
-      // ewise_mult(ne) join + lor reduce.
-      change = !f1ck.filter(col("_ov").isNull || col("v") =!= col("_ov")).isEmpty
+      val gathered = f.extract(Ix.Dist(idx), sizeHint = n).df
+      val cmp = gathered
+        .join(gp.df.select(col("i"), col("v").as("_ov")), Seq("i"), "left")
+        .select(col("i"), col("v"),
+          (col("_ov").isNull || col("v") =!= col("_ov")).as("_chg"))
+        .localCheckpoint(true)
+      gp = new GrbVector(cmp.select(col("i"), col("v")), n)
+      // limit-1 scan over the just-checkpointed blocks — no shuffle
+      change = !cmp.filter(col("_chg")).isEmpty
       iter += 1
     }
     A.df.unpersist(false)

@@ -64,6 +64,20 @@ object Ops {
   val tan: UnaryOp = UnaryOp("tan")(c => org.apache.spark.sql.functions.tan(c))
   val floor: UnaryOp = UnaryOp("floor")(c => org.apache.spark.sql.functions.floor(c))
   val ceil: UnaryOp = UnaryOp("ceil")(c => org.apache.spark.sql.functions.ceil(c))
+  val sign: UnaryOp = UnaryOp("sign", preserve = true)(signum)
+  val trunc: UnaryOp = UnaryOp("trunc", preserve = true)(
+    c => c.cast("bigint")) // toward zero, like numpy trunc on finite values
+  val round: UnaryOp = UnaryOp("round")(c => org.apache.spark.sql.functions.round(c))
+  val expm1: UnaryOp = UnaryOp("expm1")(c => org.apache.spark.sql.functions.expm1(c))
+  val log1p: UnaryOp = UnaryOp("log1p")(c => org.apache.spark.sql.functions.log1p(c))
+  val sinh: UnaryOp = UnaryOp("sinh")(c => org.apache.spark.sql.functions.sinh(c))
+  val cosh: UnaryOp = UnaryOp("cosh")(c => org.apache.spark.sql.functions.cosh(c))
+  val tanh: UnaryOp = UnaryOp("tanh")(c => org.apache.spark.sql.functions.tanh(c))
+  val asin: UnaryOp = UnaryOp("asin")(c => org.apache.spark.sql.functions.asin(c))
+  val acos: UnaryOp = UnaryOp("acos")(c => org.apache.spark.sql.functions.acos(c))
+  val atan: UnaryOp = UnaryOp("atan")(c => org.apache.spark.sql.functions.atan(c))
+  val cbrt: UnaryOp = UnaryOp("cbrt")(c => org.apache.spark.sql.functions.cbrt(c))
+  val bnot: UnaryOp = UnaryOp("bnot", preserve = true)(bitwise_not)
 
   // ---- binary ops (grblas binary.*) ----
   val plus: BinaryOp = BinaryOp("plus")(_ + _)
@@ -86,6 +100,25 @@ object Ops {
   val ge: BinaryOp = BinaryOp("ge")(_ >= _)
   val le: BinaryOp = BinaryOp("le")(_ <= _)
   val pow: BinaryOp = BinaryOp("pow")(org.apache.spark.sql.functions.pow(_, _))
+  val rminus: BinaryOp = BinaryOp("rminus")((a, b) => b - a)
+  val rdiv: BinaryOp = BinaryOp("rdiv")((a, b) => b / a)
+  val truediv: BinaryOp = BinaryOp("truediv")((a, b) => a.cast("double") / b)
+  /** floor division (python //, numpy floor_divide): floor(a/b) —
+    * double-based, exact for integers below 2^53
+    */
+  val floordiv: BinaryOp = BinaryOp("floordiv")(
+    (a, b) => org.apache.spark.sql.functions.floor(a.cast("double") / b))
+  /** C-style truncated integer division (grblas cdiv; integral only) */
+  val cdiv: BinaryOp = BinaryOp("cdiv", preserve = true)(
+    (a, b) => call_function("div", a, b))
+  val fmod: BinaryOp = BinaryOp("fmod")(_ % _) // sign of the dividend (C fmod)
+  /** numpy/python mod: sign follows the divisor */
+  val remainder: BinaryOp = BinaryOp("remainder")((a, b) => ((a % b) + b) % b)
+  val atan2: BinaryOp = BinaryOp("atan2")(org.apache.spark.sql.functions.atan2(_, _))
+  val hypot: BinaryOp = BinaryOp("hypot")(org.apache.spark.sql.functions.hypot(_, _))
+  val band: BinaryOp = BinaryOp("band", preserve = true)(_ bitwiseAND _)
+  val bor: BinaryOp = BinaryOp("bor", preserve = true)(_ bitwiseOR _)
+  val bxor: BinaryOp = BinaryOp("bxor", preserve = true)(_ bitwiseXOR _)
 
   // ---- monoids (grblas monoid.*) ----
   // preserve: Spark's sum/product widen (INT8 -> LONG) and bool_and/or
@@ -100,6 +133,10 @@ object Ops {
   val lxorMonoid: Monoid =
     Monoid("lxor", lxor, preserve = true)(c => (sum(c.cast("boolean").cast("long")) % 2) === 1)
   val anyMonoid: Monoid = Monoid("any", any)(first_value)
+  // bitwise monoids over integral domains (grblas monoid.band/bor/bxor)
+  val bandMonoid: Monoid = Monoid("band", band, preserve = true)(bit_and)
+  val borMonoid: Monoid = Monoid("bor", bor, preserve = true)(bit_or)
+  val bxorMonoid: Monoid = Monoid("bxor", bxor, preserve = true)(bit_xor)
 
   // ---- semirings (grblas semiring.*) ----
   val plusTimes: Semiring = Semiring("plus_times", plusMonoid, times)
@@ -115,6 +152,13 @@ object Ops {
   val lorLand: Semiring = Semiring("lor_land", lorMonoid, land)
   val anyPair: Semiring = Semiring("any_pair", anyMonoid, pair)
   val anySecond: Semiring = Semiring("any_second", anyMonoid, second)
+  val anyFirst: Semiring = Semiring("any_first", anyMonoid, first)
+  val plusPlus: Semiring = Semiring("plus_plus", plusMonoid, plus)
+  val plusPow: Semiring = Semiring("plus_pow", plusMonoid, pow)
+  val minMax: Semiring = Semiring("min_max", minMonoid, max)
+  val maxMin: Semiring = Semiring("max_min", maxMonoid, min)
+  val landLor: Semiring = Semiring("land_lor", landMonoid, lor)
+  val borBand: Semiring = Semiring("bor_band", borMonoid, band)
 
   // ---- positional semirings (INT64 results; product value = an index:
   // firsti = A's row, firstj = contracted index, secondi = contracted
@@ -139,16 +183,21 @@ object Ops {
     */
   val unaryOps: Map[String, UnaryOp] = Seq(
     identity, ainv, minv, lnot, one, abs, sqrt, exp, log, log2, log10,
-    sin, cos, tan, floor, ceil).map(o => o.name -> o).toMap
+    sin, cos, tan, floor, ceil, sign, trunc, round, expm1, log1p,
+    sinh, cosh, tanh, asin, acos, atan, cbrt, bnot).map(o => o.name -> o).toMap
   val binaryOps: Map[String, BinaryOp] = Seq(
     plus, minus, times, div, min, max, first, second, pair, any, land,
-    lor, lxor, eq, ne, gt, lt, ge, le, pow).map(o => o.name -> o).toMap
+    lor, lxor, eq, ne, gt, lt, ge, le, pow, rminus, rdiv, truediv,
+    floordiv, cdiv, fmod, remainder, atan2, hypot, band, bor, bxor)
+    .map(o => o.name -> o).toMap
   val monoids: Map[String, Monoid] = Seq(
     plusMonoid, timesMonoid, minMonoid, maxMonoid, landMonoid, lorMonoid,
-    lxorMonoid, anyMonoid).map(o => o.name -> o).toMap
+    lxorMonoid, anyMonoid, bandMonoid, borMonoid, bxorMonoid)
+    .map(o => o.name -> o).toMap
   val semirings: Map[String, Semiring] = Seq(
     plusTimes, minPlus, maxPlus, minTimes, minSecond, minFirst, maxSecond,
     plusFirst, plusSecond, plusPair, lorLand, anyPair, anySecond,
+    anyFirst, plusPlus, plusPow, minMax, maxMin, landLor, borBand,
     minFirsti, minFirstj, minSecondi, minSecondj, maxFirsti, maxSecondj,
     plusFirsti, plusSecondj, anyFirsti, anySecondj)
     .map(o => o.name -> o).toMap

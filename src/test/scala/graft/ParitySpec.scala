@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.lit
 import graft.core._
 import graft.io.MatrixMarket
 
@@ -76,6 +77,34 @@ class ParitySpec extends SparkSpec {
         |""".stripMargin)
     val e = intercept[IllegalArgumentException](MatrixMarket.read(spark, path))
     assert(e.getMessage.contains("complex"))
+  }
+
+  test("extended op catalogue: floordiv/cdiv/remainder/bitwise semantics") {
+    val v = GrbVector.fromValues(spark,
+      Seq((0L, 7L: Any), (1L, -7L: Any), (2L, 12L: Any)), GrbType.INT64, 3L)
+    // python floor division vs C truncation on negatives
+    assert(v.applyRight(Ops.floordiv, lit(2)).toValues ==
+      Seq((0L, 3L), (1L, -4L), (2L, 6L)))
+    assert(v.applyRight(Ops.cdiv, lit(2)).toValues ==
+      Seq((0L, 3L), (1L, -3L), (2L, 6L)))
+    // remainder follows the divisor's sign; fmod the dividend's
+    assert(v.applyRight(Ops.remainder, lit(3)).toValues ==
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+    assert(v.applyRight(Ops.fmod, lit(3)).toValues ==
+      Seq((0L, 1L), (1L, -1L), (2L, 0L)))
+    assert(v.applyRight(Ops.rminus, lit(1)).toValues ==
+      Seq((0L, -6L), (1L, 8L), (2L, -11L)))
+    // bitwise binary + monoid reduction stay in the operand domain
+    assert(v.applyRight(Ops.band, lit(6)).toValues ==
+      Seq((0L, 6L), (1L, 0L), (2L, 4L)))
+    val bits = GrbVector.fromValues(spark,
+      Seq((0L, 1L: Any), (1L, 2L: Any), (2L, 8L: Any)), GrbType.INT64, 3L)
+    assert(bits.reduce(Ops.borMonoid).value.contains(11L))
+    assert(bits.reduce(Ops.bxorMonoid).value.contains(11L))
+    assert(bits.reduce(Ops.bandMonoid).value.contains(0L))
+    // new semirings registered and resolvable
+    assert(Ops.semirings.contains("plus_plus") && Ops.semirings.contains("bor_band"))
+    assert(Ops.unaryOps.contains("sign") && Ops.unaryOps.contains("tanh"))
   }
 
   test("user-op registry: registration resolves by name, shadows built-ins") {
