@@ -629,6 +629,7 @@ object Queries {
     "p_source_mix" -> ((s, dir) => Sampling.sourceMix(pq(s, dir, "documents"))),
     "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
+    "p_ann_ivf" -> ((s, dir) => Similarity.ivfPairs(pq(s, dir, "embeddings"))),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
     "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
@@ -813,6 +814,23 @@ object Queries {
                    FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
          simv AS (SELECT c.a, c.b,
                          CAST(list_sum(list_transform(range(64), i -> ea.q[i+1] * eb.q[i+1])) AS BIGINT)
+                           / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
+                  FROM cands c JOIN en ea ON ea.vec_id = c.a JOIN en eb ON eb.vec_id = c.b)
+         SELECT a, b, CAST(FLOOR(sim * 1000) AS BIGINT) AS promille FROM simv WHERE sim >= 0.4""",
+    "p_ann_ivf" ->
+      s"""WITH $annCommonSql,
+         c AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en WHERE vec_id < 8),
+         scored AS (SELECT en.vec_id, c.cid,
+                           CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                             / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c.cn2 AS DOUBLE)) AS csim
+                    FROM en CROSS JOIN c),
+         asg AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk
+                   FROM scored) WHERE rnk <= 2),
+         cands AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                   FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id),
+         simv AS (SELECT c.a, c.b,
+                         CAST(list_sum(list_transform(range(len(ea.q)), i -> ea.q[i+1] * eb.q[i+1])) AS BIGINT)
                            / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
                   FROM cands c JOIN en ea ON ea.vec_id = c.a JOIN en eb ON eb.vec_id = c.b)
          SELECT a, b, CAST(FLOOR(sim * 1000) AS BIGINT) AS promille FROM simv WHERE sim >= 0.4""",

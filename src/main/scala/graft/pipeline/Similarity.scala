@@ -129,12 +129,7 @@ object Similarity {
       .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
       .select("a", "b").dropDuplicates("a", "b")
-    val scored = cand
-      .join(base.select(col("vec_id").as("a"), col("q").as("qa"), col("n2").as("na")), Seq("a"))
-      .join(base.select(col("vec_id").as("b"), col("q").as("qb"), col("n2").as("nb")), Seq("b"))
-      .withColumn("sim", cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
-    val result = scored.filter(col("sim") >= simMilli / 1000.0)
-      .select(col("a"), col("b"), floor(col("sim") * 1000).cast(LongType).as("promille"))
+    val result = verifiedPairs(base, cand, simMilli)
     // materialize (default): eager localCheckpoint lets the caches be
     // released before returning — no leaked blocks in a long session.
     // materialize = false keeps the lazy plan (inspection/composition);
@@ -143,6 +138,59 @@ object Similarity {
     else {
       val out = result.localCheckpoint(true)
       bs.unpersist(false)
+      base.unpersist(false)
+      out
+    }
+  }
+
+  /** exact-cosine verification of candidate pairs: re-attach the
+    * quantized vectors, keep pairs at/above the milli-threshold.
+    * Output (a, b, promille).
+    */
+  private def verifiedPairs(base: DataFrame, cand: DataFrame,
+      simMilli: Int): DataFrame =
+    cand
+      .join(base.select(col("vec_id").as("a"), col("q").as("qa"), col("n2").as("na")), Seq("a"))
+      .join(base.select(col("vec_id").as("b"), col("q").as("qb"), col("n2").as("nb")), Seq("b"))
+      .withColumn("sim", cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("sim") >= simMilli / 1000.0)
+      .select(col("a"), col("b"), floor(col("sim") * 1000).cast(LongType).as("promille"))
+
+  /** IVF (inverted-file) ANN pairs — the clustering-flavored scale
+    * path next to the hyperplane LSH: vectors are coarse-quantized to
+    * their nearest of `k` seed centroids (deterministic seeds: the
+    * first k vec_ids), candidates are pairs sharing any of each
+    * vector's `probes` closest cells (multi-probe catches boundary
+    * pairs), then exact integer-cosine verified.
+    *
+    * Scale shape: the centroid table is k rows broadcast everywhere
+    * (one narrow pass to assign cells — no shuffle of the corpus
+    * beyond the cell-key candidate equi-join), and candidate work is
+    * ∝ Σ cell² like the LSH path, never all-pairs. Centroid ordering
+    * is IEEE-deterministic (exact-integer dots, fixed op order,
+    * centroid-id tie-break) so an external oracle reproduces the
+    * assignment bit-for-bit.
+    */
+  def ivfPairs(emb: DataFrame, simMilli: Int = 400, k: Int = 8,
+      probes: Int = 2, materialize: Boolean = true): DataFrame = {
+    val base = quantized(emb).cache()
+    val cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    val scored = base.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    val assigned = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= probes)
+      .select(col("vec_id"), col("cid"))
+    val cand = assigned.select(col("cid"), col("vec_id").as("a"))
+      .join(assigned.select(col("cid"), col("vec_id").as("b")), Seq("cid"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val result = verifiedPairs(base, cand, simMilli)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
       base.unpersist(false)
       out
     }

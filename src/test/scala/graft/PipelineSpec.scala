@@ -103,6 +103,20 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("IVF ANN finds the near-parallel pair within a cell; never all-pairs") {
+    // k=2 makes 0 and 1 their own centroids (separate cells) — the
+    // 2nd probe is what catches the cross-cell boundary pair
+    val pairs = Similarity.ivfPairs(vecs, simMilli = 900, k = 2, probes = 2).collect()
+    val ab = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab.contains((0L, 1L)))
+    assert(!ab.exists { case (a, b) => a == 2L || b == 2L })
+    val plan = Similarity.ivfPairs(vecs, 900, 2, 2, materialize = false)
+      .queryExecution.executedPlan.toString
+    // the k-row centroid crossJoin is an intentional broadcast; the
+    // CANDIDATE join must be the cell-key equi-join (no n x n product)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
   test("QuantizedDot: values, length mismatch -> null, null input -> null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
