@@ -174,6 +174,11 @@ object Queries {
     "q_extract_slice" -> ((s, dir) =>
       custNationVec(s, dir).extract(Ix.Range(10L, 1000L, 3L)).df),
 
+    // extract: NEGATIVE-step slice (python a[1000:10:-5]) — filter +
+    // truncating integer-division reindex, no join (§2.3)
+    "q_extract_negstep" -> ((s, dir) =>
+      custNationVec(s, dir).extract(Ix.Range(1000L, 10L, -5L)).df),
+
     // extract: index list, order/duplicate-preserving gather (§2.3)
     "q_extract_list" -> ((s, dir) =>
       custNationVec(s, dir).extract(Ix.Seqs(Seq(7L, 3L, 7L, 21L, 42L, 101L))).df),
@@ -481,6 +486,9 @@ object Queries {
     "q_extract_slice" ->
       """SELECT CAST((c_custkey - 10) / 3 AS BIGINT) AS i, CAST(c_nationkey AS BIGINT) AS v
          FROM customer WHERE c_custkey >= 10 AND c_custkey < 1000 AND (c_custkey - 10) % 3 = 0""",
+    "q_extract_negstep" ->
+      """SELECT CAST((1000 - c_custkey) // 5 AS BIGINT) AS i, CAST(c_nationkey AS BIGINT) AS v
+         FROM customer WHERE c_custkey <= 1000 AND c_custkey > 10 AND (1000 - c_custkey) % 5 = 0""",
     "q_extract_list" ->
       """SELECT ix.pos AS i, CAST(c.c_nationkey AS BIGINT) AS v
          FROM (VALUES (CAST(0 AS BIGINT), CAST(7 AS BIGINT)), (1, 3), (2, 7), (3, 21), (4, 42), (5, 101)) AS ix(pos, ky)
