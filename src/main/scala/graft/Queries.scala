@@ -75,6 +75,20 @@ object Queries {
     path
   }
 
+  /** the file stream source requires a DIRECTORY; the testdata table
+    * is a single parquet file — stage a copy once per sf
+    */
+  private def stagedEventsDir(dir: String): String = {
+    val streamDir = java.nio.file.Paths.get("/tmp",
+      s"graft_stream_events_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(streamDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      streamDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    streamDir.toString
+  }
+
   /** q_cc_events oracle: FastSV's own round structure (neighbor-min
     * hook + pointer-jump shortcut) unrolled to a fixed round count as
     * plain non-recursive SQL — each round is one join+groupBy over the
@@ -212,6 +226,18 @@ object Queries {
 
     // aggregators: per-row argmax (§2.6)
     "q_agg_argmax" -> ((s, dir) => Aggs.reduceRowwise(liMat(s, dir), Aggs.argmax).df),
+
+    // aggregator composition with EXACT integer arithmetic: per-row
+    // dispersion n*Σx² − (Σx)² from count/sum/sum_of_squares — the
+    // variance numerator without float nondeterminism (§2.6 row 39)
+    "q_agg_stats" -> ((s, dir) => {
+      val m = liMat(s, dir)
+      val cnt = Aggs.reduceRowwise(m, (v, _) => Aggs.count(v))
+      val sm = m.reduceRowwise(Ops.plusMonoid)
+      val ssq = Aggs.reduceRowwise(m, (v, _) => Aggs.sumOfSquares(v))
+      ssq.ewiseMult(cnt, Ops.times)
+        .ewiseMult(sm.ewiseMult(sm, Ops.times), Ops.minus).df
+    }),
 
     // lazy transpose (§2.1)
     "q_transpose" -> ((s, dir) => liMat(s, dir).transpose.df),
@@ -510,6 +536,9 @@ object Queries {
          FROM tm FULL OUTER JOIN rm ON tm.i = rm.i""",
     "q_reduce_assign" ->
       "SELECT user_id AS i, CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v FROM events GROUP BY 1",
+    "q_agg_stats" ->
+      s"""WITH $liMatSql
+         SELECT i, CAST(COUNT(*) * SUM(v * v) - SUM(v) * SUM(v) AS BIGINT) AS v FROM m GROUP BY 1""",
     "q_agg_argmax" ->
       s"""WITH $liMatSql
          SELECT i, CAST(j AS BIGINT) AS v FROM (
@@ -646,16 +675,7 @@ object Queries {
     // drained with Trigger.AvailableNow. Complete mode emits every
     // window, so the result is batch-equivalent and oracle-checkable.
     "p_stream_window" -> ((s, dir) => {
-      // the file stream source requires a DIRECTORY; the testdata
-      // table is a single parquet file — stage it once per sf
-      val streamDir = java.nio.file.Paths.get("/tmp",
-        s"graft_stream_events_${new java.io.File(dir).getName}")
-      java.nio.file.Files.createDirectories(streamDir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        streamDir.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val src = EventsStream.readEventsStream(s, streamDir.toString)
+      val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
       val qname = s"graft_stream_win_${System.nanoTime()}"
       val q = EventsStream.hourlyByType(src).writeStream
         .format("memory").queryName(qname).outputMode("complete")
@@ -665,6 +685,22 @@ object Queries {
       s.table(qname).select(
         unix_timestamp(col("h")).as("h_epoch"), col("event_type"),
         col("n"), col("sum_cents"))
+    }),
+
+    // the STATEFUL streaming path: flatMapGroupsWithState gap
+    // sessionization drained in one AvailableNow batch — update mode
+    // emits one final per-user row, batch-equivalent and
+    // oracle-checkable (shares p_sessionize's oracle shape)
+    "p_stream_sessions" -> ((s, dir) => {
+      val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
+      val qname = s"graft_stream_sess_${System.nanoTime()}"
+      val q = EventsStream.sessionize(src, expireIdleState = false).toDF()
+        .writeStream.format("memory").queryName(qname).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(col("userId").as("user_id"),
+        col("nEvents").as("n_events"), col("nSessions").as("n_sessions"))
     }),
 
     // multimodal plumbing over the deterministic synthetic GRFT corpus:
@@ -859,6 +895,12 @@ object Queries {
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
       s"SELECT user_id, $counts, CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
     },
+    "p_stream_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+         lagged AS (SELECT user_id, es, LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC) AS prev FROM e),
+         flagged AS (SELECT user_id, CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS ns FROM lagged)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(ns) AS BIGINT) AS n_sessions
+         FROM flagged GROUP BY 1""",
     "p_stream_window" ->
       """WITH e AS (SELECT CAST(FLOOR(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS h_epoch,
                            event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
