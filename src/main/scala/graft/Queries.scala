@@ -184,6 +184,19 @@ object Queries {
     // whole-collection reduce → scalar (§2.6)
     "q_reduce_scalar" -> ((s, dir) => liMat(s, dir).reduceScalar(Ops.plusMonoid).df),
 
+    // per-column fold over the min monoid (§2.6)
+    "q_reduce_colwise" -> ((s, dir) => liMat(s, dir).reduceColumnwise(Ops.minMonoid).df),
+
+    // outer product (§2.5; a stub in the reference, vector.py:394-421)
+    "q_outer" -> ((s, dir) => {
+      val a = GrbVector.fromDF(pq(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType).as("i"), lit(2L).as("v")), 5L)
+      val b = GrbVector.fromDF(pq(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("i"),
+          (col("n_regionkey") + 1).cast(LongType).as("v")), 25L)
+      a.outer(b, Ops.times).df
+    }),
+
     // extract: stepped slice with arithmetic reindex (§2.3)
     "q_extract_slice" -> ((s, dir) =>
       custNationVec(s, dir).extract(Ix.Range(10L, 1000L, 3L)).df),
@@ -507,6 +520,12 @@ object Queries {
          SELECT m.i AS i, m2.j AS j, CAST(SUM(m.v * m2.v) AS BIGINT) AS v FROM m JOIN m2 ON m.j = m2.i GROUP BY 1, 2""",
     "q_reduce_rowwise" ->
       s"WITH $liMatSql SELECT i, CAST(MAX(v) AS BIGINT) AS v FROM m GROUP BY 1",
+    "q_reduce_colwise" ->
+      s"WITH $liMatSql SELECT j AS i, CAST(MIN(v) AS BIGINT) AS v FROM m GROUP BY 1",
+    "q_outer" ->
+      """SELECT CAST(r.r_regionkey AS BIGINT) AS i, CAST(n.n_nationkey AS BIGINT) AS j,
+                CAST(2 * (n.n_regionkey + 1) AS BIGINT) AS v
+         FROM region r CROSS JOIN nation n""",
     "q_reduce_scalar" ->
       s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
     "q_extract_slice" ->
