@@ -107,6 +107,22 @@ class ParitySpec extends SparkSpec {
     assert(Ops.unaryOps.contains("sign") && Ops.unaryOps.contains("tanh"))
   }
 
+  test("user-defined monoid + semiring drive mxm (SURVEY 2.8 UDF surface)") {
+    // a user monoid is just (name, combining op, agg builder); a user
+    // semiring is any (monoid, mult) pair — no Expression subclassing
+    val userMax = Monoid("user_max", BinaryOp("user_max")(
+      org.apache.spark.sql.functions.greatest(_, _)))(
+      org.apache.spark.sql.functions.max)
+    val sr = Semiring("user_max_times", userMax, Ops.times)
+    val a = GrbMatrix.fromValues(spark,
+      Seq((0L, 0L, 2L: Any), (0L, 1L, 3L: Any), (1L, 0L, 5L: Any)),
+      GrbType.INT64, 2L, 2L)
+    val b = GrbMatrix.fromValues(spark,
+      Seq((0L, 0L, 7L: Any), (1L, 0L, 11L: Any)), GrbType.INT64, 2L, 2L)
+    // C(0,0) = max(2*7, 3*11) = 33; C(1,0) = 5*7 = 35
+    assert(a.mxm(b, sr).toValues == Seq((0L, 0L, 33L), (1L, 0L, 35L)))
+  }
+
   test("user-op registry: registration resolves by name, shadows built-ins") {
     Ops.registerUnary(UnaryOp("cube")(c => c * c * c))
     val v = GrbVector.fromValues(spark, Seq((0L, 2L: Any), (1L, -3L: Any)), GrbType.INT64, 2L)
