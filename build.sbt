@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench runs ~70 sequential SparkContexts in one JVM; at 8g the heap
+  // debris of earlier contexts throttles later queries (round-3 bench
+  // showed up to 4x inflation vs isolated reruns). The container has
+  // 128 GiB; give the forked run room so GC pressure never taints timing.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

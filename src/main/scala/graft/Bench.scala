@@ -48,13 +48,33 @@ object Bench {
     def jq(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    val qs = results.map { case (k, v, _) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qmap(rs: Seq[(String, Double, Option[String])]): String =
+      rs.map { case (k, v, _) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     // failures excluded from the headline total and marked -1 per query
     val failed = results.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
     val total = results.collect { case (_, v, None) => v }.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/root/repo/BENCH_SELF.json"), line + "\n")
-    println(line)
+    // stdout line carries only the HEADLINE queries: the driver's tail
+    // capture is finite, and round-3's all-70-query line got its front
+    // truncated (→ parsed: null). Full per-query detail goes to the
+    // BENCH_SELF.json file instead.
+    val headRs = results.filter(r => Headline(r._1))
+    val head = if (headRs.nonEmpty) headRs else results.take(16)
+    val mk = (qs: String) =>
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("{", ",", "}")},"n":${results.size},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("/root/repo/BENCH_SELF.json"), mk(qmap(results)) + "\n")
+    println(mk(qmap(head)))
   }
+
+  /** representative subset printed on stdout: the expensive products /
+    * iteration, one query per operator family, and the pipeline
+    * workhorses — short enough that the metric line survives any
+    * tail-window capture intact.
+    */
+  private val Headline: Set[String] = Set(
+    "q_mxm", "q_mxv", "q_vxm", "q_cc_events",
+    "q_ewise_mult", "q_ewise_add", "q_reduce_rowwise", "q_transpose",
+    "q_extract_slice", "q_assign_merge", "q_kron",
+    "p_dedup_exact", "p_dedup_minhash", "p_ann_lsh",
+    "p_tfidf_stats", "p_sessionize")
 }
