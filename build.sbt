@@ -35,4 +35,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // showed up to 4x inflation vs isolated reruns). The container has
   // 128 GiB; give the forked run room so GC pressure never taints timing.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++
+  // diagnostics: SPARK_GRAFT_GCLOG=/path enables a unified GC log for
+  // the forked run (used to attribute bench variance to GC cadence)
+  sys.env.get("SPARK_GRAFT_GCLOG").toSeq.map(p => s"-Xlog:gc*:file=$p") ++
+  sys.env.get("SPARK_GRAFT_JAVAOPTS").toSeq.flatMap(_.split("\\s+").toSeq)

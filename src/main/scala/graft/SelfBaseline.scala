@@ -1,15 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.algo.FastSV
+import graft.algo.{FastSV, PregelCC}
+import graft.pipeline.{Similarity, TextDedup}
 
 /** Self-baselines per BASELINE.md: FastSV wall-clock/iteration rate on
   * synthetic symmetric graphs at fixed edge counts, and mxm/mxv
   * throughput (nnz/sec) — the two hot operators of every GraphBLAS
   * workload. Graphs are deterministic (Knuth-hash edge endpoints over
   * spark.range — no RNG).
+  *
+  * Round 5 additions:
+  *   - FastSV vs PregelCC bake-off column (`pregel_sec`) on every graph
+  *     tier, plus the real q_cc_events lineitem graph via
+  *     SPARK_GRAFT_CC_BAKEOFF=<sfDir>;
+  *   - a 10× pipeline tier (SPARK_GRAFT_PIPELINE10X=<nDocs>): synthetic
+  *     documents/embeddings at 10× sf0.1 volume driving
+  *     TextDedup.nearDuplicates + Similarity.annPairs, reporting
+  *     docs/sec — catches scale cliffs (hot band keys, agg spill) the
+  *     sf0.1 bench can't see.
   *
   * Run: sbt "runMain graft.SelfBaseline [edges ...]"; results recorded
   * in BASELINE_SELF.md.
@@ -31,6 +42,43 @@ object SelfBaseline {
     new GrbMatrix(sym, n, n)
   }
 
+  /** deterministic synthetic corpus: ~10% of docs are near-copies of
+    * their predecessor (one token perturbed) so MinHash has real work;
+    * token stream is hash-driven — no RNG, reproducible across runs.
+    */
+  def syntheticDocs(spark: SparkSession, nDocs: Long): DataFrame = {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+      "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+    val wordArr = s"array(${words.map(w => s"'$w'").mkString(",")})"
+    spark.range(nDocs).select(
+      col("id").cast("long").as("doc_id"),
+      // near-dup pairs: doc 10k+1 shares doc 10k's seed (content differs
+      // only by the id-dependent tail token below)
+      when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id")).as("_seed"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          expr(s"transform(sequence(1, 60), x -> element_at($wordArr, " +
+            "int(pmod(hash(_seed * 131 + x), 20)) + 1))")).as("_body"),
+        expr("element_at(" + wordArr + ", int(pmod(hash(doc_id), 20)) + 1)").as("_tail"))
+      .select(col("doc_id"), concat_ws(" ", col("_body"), col("_tail")).as("text"))
+  }
+
+  /** deterministic synthetic embeddings: dim-d float vectors with
+    * hash-valued components in [-1, 1)
+    */
+  def syntheticEmbeddings(spark: SparkSession, nRows: Long, dim: Int): DataFrame =
+    spark.range(nRows).select(
+      col("id").cast("long").as("doc_id"),
+      expr(s"transform(sequence(0, ${dim - 1}), d -> " +
+        "float((pmod(hash(id * 37 + d), 2000) - 1000) / 1000.0))").as("embedding"))
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -49,20 +97,49 @@ object SelfBaseline {
       // mxv throughput: one min_second step (the FastSV kernel)
       val ident = spark.range(a.nrows).select(col("id").as("i"), col("id").as("v"))
       val gp = new GrbVector(ident, a.nrows)
-      var t0 = System.nanoTime()
-      a.mxv(gp, Ops.minSecond, broadcastVec = false).df.count()
-      val mxvSec = (System.nanoTime() - t0) / 1e9
+      val (_, mxvSec) = timed(a.mxv(gp, Ops.minSecond, broadcastVec = false).df.count())
       // mxm throughput: A @ A over plus_times (count materializes)
-      t0 = System.nanoTime()
-      a.mxm(a, Ops.plusTimes).df.count()
-      val mxmSec = (System.nanoTime() - t0) / 1e9
-      // FastSV end-to-end
-      t0 = System.nanoTime()
-      val labels = FastSV.connectedComponents(a)
-      val nComponents = labels.df.select(col("v")).distinct().count()
-      val ccSec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"edges":$nEdges,"nnz":$nnz,"mxv_sec":$mxvSec%.2f,"mxv_nnz_per_sec":${(nnz / mxvSec).toLong},"mxm_sec":$mxmSec%.2f,"fastsv_sec":$ccSec%.2f,"components":$nComponents}""")
+      val (_, mxmSec) = timed(a.mxm(a, Ops.plusTimes).df.count())
+      // FastSV vs Pregel bake-off on the identical graph
+      val (nComponents, ccSec) = timed(
+        FastSV.connectedComponents(a).df.select(col("v")).distinct().count())
+      val (nComponentsP, pregelSec) = timed(
+        PregelCC.connectedComponents(a).df.select(col("v")).distinct().count())
+      require(nComponents == nComponentsP,
+        s"CC engines disagree: FastSV $nComponents vs Pregel $nComponentsP")
+      println(f"""{"edges":$nEdges,"nnz":$nnz,"mxv_sec":$mxvSec%.2f,"mxv_nnz_per_sec":${(nnz / mxvSec).toLong},"mxm_sec":$mxmSec%.2f,"fastsv_sec":$ccSec%.2f,"pregel_sec":$pregelSec%.2f,"components":$nComponents}""")
       a.df.unpersist()
+    }
+    // FastSV vs Pregel on the REAL q_cc_events graph (order—part
+    // bipartite from lineitem at the given sf dir)
+    sys.env.get("SPARK_GRAFT_CC_BAKEOFF").foreach { dir =>
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val offset = 1L << 20
+      val e0 = li.select(col("l_orderkey").cast("long").as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      val nodes = edges.select(col("a").as("i")).distinct()
+      val (cF, fsvSec) = timed(FastSV.connectedComponents(A, nodes = Some(nodes))
+        .df.select(col("v")).distinct().count())
+      val (cP, prgSec) = timed(PregelCC.connectedComponents(A)
+        .df.select(col("v")).distinct().count())
+      println(f"""{"graph":"cc_events:$dir","fastsv_sec":$fsvSec%.2f,"pregel_sec":$prgSec%.2f,"components_fastsv":$cF,"components_pregel":$cP}""")
+    }
+    // 10× pipeline tier: MinHash near-dup + LSH ANN at synthetic scale
+    sys.env.get("SPARK_GRAFT_PIPELINE10X").foreach { nStr =>
+      val nDocs = nStr.toLong
+      val docs = syntheticDocs(spark, nDocs).cache()
+      docs.count()
+      val (nd, minhashSec) = timed(TextDedup.nearDuplicates(docs).count())
+      val emb = syntheticEmbeddings(spark, nDocs, 32)
+        .withColumnRenamed("doc_id", "vec_id").cache()
+      emb.count()
+      val (np, annSec) = timed(Similarity.annPairs(emb).count())
+      println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np}""")
+      docs.unpersist(); emb.unpersist()
     }
     spark.stop()
   }

@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object FastSV {
 
+  /** the localCheckpoint block-RDD behind a checkpointed frame, when
+    * the frame is one (lazy and eager checkpoints both wrap a
+    * LogicalRDD). Used to free superseded rounds' blocks — without
+    * this the loop pins O(rounds × n) storage; with it, O(n).
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** @param a        symmetric adjacency matrix
     * @param nodes    optional vertex set (single column `i`). When
     *                 given, the parent vector is initialized sparsely
@@ -59,6 +69,9 @@ object FastSV {
     var gp = new GrbVector(ident, n)
     var change = true
     var iter = 0
+    // previous round's checkpoint blocks (freed once superseded)
+    var prevF: Option[org.apache.spark.rdd.RDD[_]] = None
+    var prevCmp: Option[org.apache.spark.rdd.RDD[_]] = None
     while (change && iter < maxIter) {
       // mngp = min_second(A @ gp): per-vertex min of neighbours' parents
       val mngp = A.mxv(gp, Ops.minSecond, broadcastVec = false)
@@ -99,9 +112,20 @@ object FastSV {
       gp = new GrbVector(cmp.select(col("i"), col("v")), n)
       // limit-1 scan over the just-checkpointed blocks — no shuffle
       change = !cmp.filter(col("_chg")).isEmpty
+      // this round's f/cmp are materialized and lineage-free; the
+      // previous round's blocks can never be referenced again. Freeing
+      // them here bounds the loop's storage at O(n) instead of
+      // O(rounds × n) — at cluster scale the difference between a
+      // steady-state footprint and an eviction cascade.
+      prevF.foreach(_.unpersist(false))
+      prevCmp.foreach(_.unpersist(false))
+      prevF = checkpointRdd(f.df)
+      prevCmp = checkpointRdd(cmp)
       iter += 1
     }
     A.df.unpersist(false)
+    // the terminal compare frame is internal — only f is returned
+    prevCmp.foreach(_.unpersist(false))
     f
   }
 }

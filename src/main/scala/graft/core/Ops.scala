@@ -48,7 +48,9 @@ object Ops {
   import GrbType._
 
   // ---- unary ops (grblas unary.* namespace) ----
-  val identity: UnaryOp = UnaryOp("identity")(c => c)
+  // preserve: identity's output domain IS the operand domain (the
+  // same-type cast is a codegen no-op; keeps declared-UINT labels)
+  val identity: UnaryOp = UnaryOp("identity", preserve = true)(c => c)
   val ainv: UnaryOp = UnaryOp("ainv")(c => -c)
   val minv: UnaryOp = UnaryOp("minv")(c => lit(1.0) / c)
   val lnot: UnaryOp = UnaryOp("lnot")(c => !c.cast("boolean"))

@@ -65,4 +65,29 @@ class DtypeSpec extends SparkSpec {
     assert(r.dtype == GrbType.INT8)
     assert(r.value.get == (-56).toByte) // 200 wraps
   }
+
+  test("UINT64 declared dtype survives dup/apply/reduce at the 2^63 boundary") {
+    // DOCUMENTED DEVIATION (README "Documented deviations"): UINT64 is
+    // stored as signed LongType — values are exact up to 2^63-1, and
+    // arithmetic past that wraps into the sign bit (mod-2^64 bit
+    // pattern, so wrap-around results match C unsigned math when
+    // re-interpreted, but comparisons/min/max order by the SIGNED
+    // value). The declared-dtype wrapper must still label every
+    // derived collection UINT64 so a round-trip through the engine
+    // never silently relabels the data INT64.
+    val top = Long.MaxValue // 2^63 - 1: largest exactly-representable
+    val v = GrbVector.fromValues(spark,
+      Seq((0L, top), (1L, 1L)), GrbType.UINT64, 2L)
+    assert(v.dtype == GrbType.UINT64)
+    assert(v.dup().dtype == GrbType.UINT64)
+    assert(v.apply(Ops.identity).dtype == GrbType.UINT64)
+    assert(v.apply(Ops.one).dtype == GrbType.UINT64)
+    val r = v.reduce(Ops.plusMonoid)
+    assert(r.dtype == GrbType.UINT64)
+    // (2^63 - 1) + 1 wraps to the sign bit: the stored bit pattern is
+    // 2^63 (the correct unsigned sum) read back as Long.MinValue
+    assert(r.value.get == Long.MinValue)
+    // ewise promotion keeps the unsigned label when both sides carry it
+    assert(v.ewiseMult(v, Ops.pair).dtype == GrbType.UINT64)
+  }
 }

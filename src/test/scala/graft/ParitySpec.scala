@@ -123,6 +123,42 @@ class ParitySpec extends SparkSpec {
     assert(a.mxm(b, sr).toValues == Seq((0L, 0L, 33L), (1L, 0L, 35L)))
   }
 
+  test("error parity: grblas exception classes and pinned message substrings") {
+    // class-name parity: grblas code catching gb.exceptions.X maps to
+    // graft.core.X (reference tests catch these by class —
+    // tests/from_grblas/test_matrix.py:84,137,408)
+    val full = GrbVector.fromValues(spark, Seq((0L, 1L: Any)), GrbType.INT64, 4L)
+    intercept[OutputNotEmpty](GrbVector.build(full, Seq(1L -> (2L: Any))))
+    val e = GrbVector.empty(spark, GrbType.INT64, 4L)
+    intercept[IndexOutOfBound](GrbVector.build(e, Seq(9L -> (1L: Any))))
+    val short = GrbVector.fromValues(spark, Seq((0L, 1L: Any)), GrbType.INT64, 3L)
+    intercept[DimensionMismatch](full.ewiseAdd(short, Ops.plus))
+    intercept[DimensionMismatch](full.ewiseMult(short, Ops.times))
+    val m22 = GrbMatrix.fromValues(spark, Seq((0L, 0L, 1L: Any)), GrbType.INT64, 2L, 2L)
+    val m33 = GrbMatrix.fromValues(spark, Seq((0L, 0L, 1L: Any)), GrbType.INT64, 3L, 3L)
+    intercept[DimensionMismatch](m22.mxm(m33, Ops.plusTimes))
+    intercept[DimensionMismatch](m22.mxv(full, Ops.plusTimes))
+    // message-substring parity: phrasings the reference suite asserts
+    // with pytest.raises(match=...)
+    val dup = intercept[GraphblasException](GrbVector.fromValues(spark,
+      Seq((1L, 1L: Any), (1L, 2L: Any)), GrbType.INT64, 3L))
+    assert(dup.getMessage.contains("Duplicate indices found")) // test_vector.py:66
+    val noIx = intercept[GraphblasException](
+      GrbVector.fromValues(spark, Seq.empty, GrbType.INT64))
+    assert(noIx.getMessage == "No indices provided. Unable to infer size.") // :73
+    val dupM = intercept[GraphblasException](GrbMatrix.fromValues(spark,
+      Seq((0L, 0L, 1L: Any), (0L, 0L, 2L: Any)), GrbType.INT64, 2L, 2L))
+    assert(dupM.getMessage.contains("Duplicate indices found")) // test_matrix.py:81
+    // require_monoid raises a plain TypeError in grblas, not a
+    // GraphblasException — mirrored as bare IllegalArgumentException
+    val rm = intercept[IllegalArgumentException](full.ewiseAdd(full, Ops.minus))
+    assert(rm.getMessage.contains("require_monoid")) // test_matrix.py:289
+    // dup_op given -> duplicates resolve instead of raising
+    val ok = GrbVector.fromValues(spark, Seq((1L, 1L: Any), (1L, 2L: Any)),
+      GrbType.INT64, 3L, dupAgg = Some(org.apache.spark.sql.functions.sum))
+    assert(ok.toValues == Seq((1L, 3L)))
+  }
+
   test("user-op registry: registration resolves by name, shadows built-ins") {
     Ops.registerUnary(UnaryOp("cube")(c => c * c * c))
     val v = GrbVector.fromValues(spark, Seq((0L, 2L: Any), (1L, -3L: Any)), GrbType.INT64, 2L)
