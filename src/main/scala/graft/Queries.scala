@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.FastSV
+import graft.algo.{FastSV, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal}
 import graft.streaming.EventsStream
@@ -484,8 +484,14 @@ object Queries {
       val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
-      val nodes = edges.select(col("a").as("i")).distinct()
-      FastSV.connectedComponents(A, nodes = Some(nodes)).df
+      // engine choice by bake-off (PERF_NOTES.md §3 / BASELINE_SELF.md):
+      // PregelCC 3.7s vs FastSV 20.1s on this graph at sf0.1, and 18.7s
+      // vs 105.7s at 20M nnz — GraphX's specialized iterative runtime
+      // (partition-stable RDDs, no per-round query planning) wins for
+      // whole-graph CC. FastSV (the reference's GraphBLAS formulation)
+      // stays driver-verified through q_cc_small; both produce the
+      // identical min-vertex-id labeling (FastSVSpec cross-checks).
+      PregelCC.connectedComponents(A).df
         .groupBy(col("v")).agg(count(lit(1)).as("n_nodes"))
     }))
 
