@@ -36,6 +36,13 @@ object GrbType {
   case object VEC_FP64 extends GrbType("VEC_FP64", ArrayType(DoubleType), -1)
   case object BINARY extends GrbType("BINARY", BinaryType, -1)
   case object STRING extends GrbType("STRING", StringType, -1)
+  /** complex128 (grblas GxB FC64; numpy complex via scipy in the
+    * reference's MM reader, io.py:662-676). Opaque here: structural
+    * ops and MatrixMarket IO work; no numeric promotion into the real
+    * algebra.
+    */
+  case object FC64 extends GrbType("FC64",
+    StructType(Seq(StructField("re", DoubleType), StructField("im", DoubleType))), -1)
 
   val all: Seq[GrbType] =
     Seq(BOOL, INT8, INT16, INT32, INT64, UINT8, UINT16, UINT32, UINT64, FP32, FP64)
@@ -52,6 +59,8 @@ object GrbType {
     case ArrayType(DoubleType, _) => VEC_FP64
     case BinaryType  => BINARY
     case StringType  => STRING
+    case StructType(Array(StructField("re", DoubleType, _, _),
+      StructField("im", DoubleType, _, _))) => FC64
     case other => throw new IllegalArgumentException(s"unsupported value type: $other")
   }
 

@@ -81,13 +81,14 @@ object MatrixMarket {
       StructField("value", StringType), StructField("_pos", LongType))))
   }
 
+  /** complex entries carry TWO value tokens (re im); values land in a
+    * struct<re double, im double> column with dtype FC64, hermitian
+    * mirrors conjugated, skew mirrors fully negated (the reference
+    * reads complex via scipy, io.py:662-676; numpy complex128 → FC64).
+    * For complex files the `dtype` parameter is ignored.
+    */
   def read(spark: SparkSession, path: String, dtype: GrbType = GrbType.FP64): GrbMatrix = {
     val h = readHeader(spark, path)
-    // loud reject, not silent misparse: a complex body carries two
-    // value tokens per entry (reference defers to scipy, io.py:662-676)
-    require(h.field != "complex",
-      s"complex MatrixMarket fields are not supported: $path " +
-        "(hermitian symmetry over REAL fields is read as symmetric)")
     val body = indexedBody(spark, path)
     h.format match {
       case "coordinate" => readCoordinate(body, h, dtype)
@@ -115,24 +116,42 @@ object MatrixMarket {
       re - rowBegin, ce - colBegin)
   }
 
+  /** complex value struct from two token positions */
+  private def cplx(toks: org.apache.spark.sql.Column, at: Int) = struct(
+    element_at(toks, at).cast(DoubleType).as("re"),
+    element_at(toks, at + 1).cast(DoubleType).as("im"))
+
   private def readCoordinate(body: DataFrame, h: Header, dtype: GrbType): GrbMatrix = {
     val toks = split(trim(col("value")), "\\s+")
+    val complexField = h.field == "complex"
+    val vCol =
+      if (complexField) cplx(toks, 3)
+      else (if (h.field == "pattern") lit(1.0)
+        else element_at(toks, 3).cast(DoubleType)).cast(dtype.spark)
     val base = body.select(
         (element_at(toks, 1).cast(LongType) - 1).as("i"),
         (element_at(toks, 2).cast(LongType) - 1).as("j"),
-        (if (h.field == "pattern") lit(1.0)
-         else element_at(toks, 3).cast(DoubleType)).cast(dtype.spark).as("v"))
+        vCol.as("v"))
+    // mirror-value transforms: conj is the identity over real fields,
+    // so hermitian-over-real ≡ symmetric (io.py:662-676)
+    def conj(c: org.apache.spark.sql.Column) =
+      if (complexField) struct(c.getField("re").as("re"), (-c.getField("im")).as("im"))
+      else c
+    def neg(c: org.apache.spark.sql.Column) =
+      if (complexField) struct((-c.getField("re")).as("re"), (-c.getField("im")).as("im"))
+      else (-c).cast(dtype.spark)
+    def mirror(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      base.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), f(col("v")).as("v"))
     val expanded = h.symmetry match {
-      case "general" => base
-      case "symmetric" | "hermitian" =>
-        base.unionByName(base.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("v")))
-      case "skew-symmetric" =>
-        base.unionByName(base.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), (-col("v")).cast(dtype.spark).as("v")))
+      case "general"        => base
+      case "symmetric"      => base.unionByName(mirror(identity))
+      case "hermitian"      => base.unionByName(mirror(conj))
+      case "skew-symmetric" => base.unionByName(mirror(neg))
       case other => throw new IllegalArgumentException(s"unknown symmetry $other")
     }
-    new GrbMatrix(expanded, h.nrows, h.ncols)
+    new GrbMatrix(expanded, h.nrows, h.ncols,
+      if (complexField) Some(GrbType.FC64) else None)
   }
 
   /** dense `array` format: column-major values, one per line; for
@@ -141,18 +160,31 @@ object MatrixMarket {
     */
   private def readArray(body: DataFrame, h: Header, dtype: GrbType): GrbMatrix = {
     val toks = split(trim(col("value")), "\\s+")
-    val vals = body.select(element_at(toks, 1).cast(DoubleType).as("dv"), col("_pos"))
+    val complexField = h.field == "complex"
+    val vRaw = if (complexField) cplx(toks, 1)
+      else element_at(toks, 1).cast(DoubleType)
+    val vals = body.select(vRaw.as("dv"), col("_pos"))
+    val vTyped = if (complexField) col("dv") else col("dv").cast(dtype.spark)
+    def conj(c: org.apache.spark.sql.Column) =
+      if (complexField) struct(c.getField("re").as("re"), (-c.getField("im")).as("im"))
+      else c
+    def neg(c: org.apache.spark.sql.Column) =
+      if (complexField) struct((-c.getField("re")).as("re"), (-c.getField("im")).as("im"))
+      else (-c).cast(dtype.spark)
     val n = h.nrows
+    val declared = if (complexField) Some(GrbType.FC64) else None
     val coords = h.symmetry match {
       case "general" =>
         vals.select(
           (col("_pos") % n).as("i"), expr(s"_pos DIV $n").as("j"),
-          col("dv").cast(dtype.spark).as("v"))
-      case "symmetric" =>
+          vTyped.as("v"))
+      case "symmetric" | "hermitian" =>
         // lower triangle incl. diagonal, column-major: column j holds
         // (n - j) entries starting at row j; linear index k → column j
         // is the largest j with T(j) <= k where T(j) = j*n - j(j-1)/2.
         // Invert with the quadratic formula (io.py:8-41 symm_*).
+        // Hermitian differs only in the mirror transform (conjugate —
+        // identity over real fields).
         val k = col("_pos")
         val jc = floor((lit(2 * n + 1) - sqrt(lit((2 * n + 1).toDouble * (2 * n + 1)) -
           lit(8.0) * k.cast(DoubleType))) / 2.0).cast(LongType)
@@ -161,9 +193,10 @@ object MatrixMarket {
           .withColumn("_i",
             ((k - (col("_j") * n - col("_j") * (col("_j") - 1) / 2)) + col("_j"))
               .cast(LongType))
-          .select(col("_i").as("i"), col("_j").as("j"), col("dv").cast(dtype.spark).as("v"))
+          .select(col("_i").as("i"), col("_j").as("j"), vTyped.as("v"))
+        val mirrorFn = if (h.symmetry == "hermitian") conj _ else (c: org.apache.spark.sql.Column) => c
         val mirror = tri.filter(col("i") =!= col("j")).select(col("j").as("i"),
-          col("i").as("j"), col("v"))
+          col("i").as("j"), mirrorFn(col("v")).as("v"))
         tri.unionByName(mirror)
       case "skew-symmetric" =>
         // STRICTLY lower triangle (no diagonal — skew diagonals are
@@ -179,13 +212,13 @@ object MatrixMarket {
           .withColumn("_i",
             ((k - col("_j") * (lit(2 * n) - col("_j") - 1) / 2) + col("_j") + 1)
               .cast(LongType))
-          .select(col("_i").as("i"), col("_j").as("j"), col("dv").cast(dtype.spark).as("v"))
+          .select(col("_i").as("i"), col("_j").as("j"), vTyped.as("v"))
         val mirror = tri.select(col("j").as("i"), col("i").as("j"),
-          (-col("v")).cast(dtype.spark).as("v"))
+          neg(col("v")).as("v"))
         tri.unionByName(mirror)
       case other => throw new IllegalArgumentException(s"unknown symmetry $other")
     }
-    new GrbMatrix(coords, h.nrows, h.ncols)
+    new GrbMatrix(coords, h.nrows, h.ncols, declared)
   }
 
   /** write coordinate-format MM: header + 1-based triples. Single text
@@ -196,15 +229,20 @@ object MatrixMarket {
   def write(m: GrbMatrix, path: String): Unit = {
     val field = m.dtype match {
       case GrbType.FP32 | GrbType.FP64 => "real"
+      case GrbType.FC64                => "complex"
       case GrbType.BOOL                => "integer"
       case _                           => "integer"
     }
     val nnz = m.nvals
     val header = s"%%MatrixMarket matrix coordinate $field general\n%\n${m.nrows} ${m.ncols} $nnz"
+    val vOut: Seq[org.apache.spark.sql.Column] = m.dtype match {
+      case GrbType.FC64 => Seq(col("v.re"), col("v.im")) // two tokens per entry
+      case GrbType.BOOL => Seq(col("v").cast(IntegerType))
+      case _            => Seq(col("v"))
+    }
     val lines = m.df
       .orderBy("i", "j")
-      .select(concat_ws(" ", col("i") + 1, col("j") + 1,
-        if (m.dtype == GrbType.BOOL) col("v").cast(IntegerType) else col("v")).as("value"))
+      .select(concat_ws(" ", (Seq(col("i") + 1, col("j") + 1) ++ vOut): _*).as("value"))
     val tmp = path + ".tmp"
     lines.coalesce(1).write.mode(SaveMode.Overwrite).text(tmp)
     // stitch header + single part file into the final path

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions.lit
 import graft.core._
 import graft.io.MatrixMarket
 
-/** Round-3 parity items: require_monoid on ewise_add, UINT dtype
-  * tracking through the wrappers, skew-symmetric ARRAY MatrixMarket
-  * decode, complex-field rejection, user-op registry resolution.
+/** Parity items: require_monoid on ewise_add, UINT dtype tracking
+  * through the wrappers, skew-symmetric ARRAY MatrixMarket decode,
+  * complex MatrixMarket fields (FC64, round 5), grblas error-class and
+  * message parity (round 5), user-op registry resolution.
   */
 class ParitySpec extends SparkSpec {
 
@@ -69,14 +70,45 @@ class ParitySpec extends SparkSpec {
     assert(got == lower ++ mirrored) // no spurious diagonal, exact (i,j)
   }
 
-  test("complex MatrixMarket field is rejected loudly") {
+  private def cval(v: Any): (Double, Double) = {
+    val r = v.asInstanceOf[org.apache.spark.sql.Row]
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  test("complex MatrixMarket reads into FC64; hermitian mirrors conjugate (io.py:662-676)") {
     val path = writeTmp("cplx",
-      """%%MatrixMarket matrix coordinate complex general
-        |2 2 1
-        |1 1 1.0 2.0
+      """%%MatrixMarket matrix coordinate complex hermitian
+        |2 2 2
+        |1 1 3.0 0.0
+        |2 1 1.0 2.0
         |""".stripMargin)
-    val e = intercept[IllegalArgumentException](MatrixMarket.read(spark, path))
-    assert(e.getMessage.contains("complex"))
+    val m = MatrixMarket.read(spark, path)
+    assert(m.dtype == GrbType.FC64)
+    val got = m.toValues.map { case (i, j, v) => (i, j, cval(v)) }.toSet
+    assert(got == Set((0L, 0L, (3.0, 0.0)),
+      (1L, 0L, (1.0, 2.0)), (0L, 1L, (1.0, -2.0)))) // mirror conjugated
+    // round-trip through the complex writer
+    val rt = writeTmp("cplx-rt", "placeholder")
+    MatrixMarket.write(m, rt)
+    val m2 = MatrixMarket.read(spark, rt)
+    assert(m2.dtype == GrbType.FC64)
+    assert(m2.toValues.map { case (i, j, v) => (i, j, cval(v)) }.toSet == got)
+  }
+
+  test("complex ARRAY format: two tokens per line, column-major") {
+    val path = writeTmp("cplxarr",
+      """%%MatrixMarket matrix array complex general
+        |2 2
+        |1.0 0.5
+        |2.0 -1.0
+        |3.0 0.0
+        |4.0 2.5
+        |""".stripMargin)
+    val m = MatrixMarket.read(spark, path)
+    assert(m.dtype == GrbType.FC64)
+    val got = m.toValues.map { case (i, j, v) => (i, j, cval(v)) }.toSet
+    assert(got == Set((0L, 0L, (1.0, 0.5)), (1L, 0L, (2.0, -1.0)),
+      (0L, 1L, (3.0, 0.0)), (1L, 1L, (4.0, 2.5))))
   }
 
   test("extended op catalogue: floordiv/cdiv/remainder/bitwise semantics") {
