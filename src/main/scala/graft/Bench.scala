@@ -93,9 +93,9 @@ object Bench {
     * tail-window capture intact.
     */
   private val Headline: Set[String] = Set(
-    "q_mxm", "q_mxv", "q_vxm", "q_cc_events",
+    "q_mxm", "q_positional_mxm", "q_mxv", "q_vxm", "q_cc_events",
     "q_ewise_mult", "q_ewise_add", "q_reduce_rowwise", "q_transpose",
     "q_extract_slice", "q_assign_merge", "q_kron",
-    "p_dedup_exact", "p_dedup_minhash", "p_ann_lsh",
+    "p_dedup_exact", "p_dedup_minhash", "p_ann_lsh", "p_ann_ivf",
     "p_tfidf_stats", "p_sessionize")
 }

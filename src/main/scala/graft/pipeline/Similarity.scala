@@ -114,7 +114,7 @@ object Similarity {
     */
   def annPairs(emb: DataFrame, simMilli: Int = 400, bands: Int = 4,
       rowsPerBand: Int = 4, dims: Int = -1,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, maxBucket: Int = 0): DataFrame = {
     val d =
       if (dims > 0) dims
       else emb.select(size(col("embedding"))).head(1)
@@ -123,8 +123,17 @@ object Similarity {
     // one computation of (quantize + bands×rows hyperplane dots); the
     // candidate join shuffles only ids, vectors re-attached afterwards
     val base = quantized(emb).cache()
-    val bs = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
-      .select("band", "sig", "vec_id").cache()
+    val bs0 = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
+      .select("band", "sig", "vec_id")
+    // hot-bucket guard (off by default) — see TextDedup
+    // candidatesFromShingles: buckets past maxBucket are dropped from
+    // candidate generation before the quadratic self-join.
+    val bs = (if (maxBucket <= 0) bs0 else {
+      val small = bs0.groupBy("band", "sig")
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+        .select("band", "sig")
+      bs0.join(small, Seq("band", "sig"), "left_semi")
+    }).cache()
     val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))

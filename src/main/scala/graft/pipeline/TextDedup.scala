@@ -102,11 +102,26 @@ object TextDedup {
   /** candidate pairs (a < b) sharing at least one LSH band — an
     * equi-join on (band, sig), never all-pairs.
     */
-  def lshCandidates(docs: DataFrame, bands: Int = 4): DataFrame =
-    candidatesFromShingles(explodedShingles(docs), bands)
+  def lshCandidates(docs: DataFrame, bands: Int = 4,
+      maxBucket: Int = 0): DataFrame =
+    candidatesFromShingles(explodedShingles(docs), bands, maxBucket)
 
-  private def candidatesFromShingles(sh: DataFrame, bands: Int): DataFrame = {
-    val bs = bandsFromShingles(sh, bands)
+  private def candidatesFromShingles(sh: DataFrame, bands: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val bs0 = bandsFromShingles(sh, bands)
+    // hot-bucket guard (off by default): a band bucket with B members
+    // expands to B(B-1)/2 pairs, so one boilerplate cluster (headers,
+    // license blocks, empty docs) turns the equi-join quadratic — the
+    // classic 100 TB dedup skew cliff. Capping drops buckets larger
+    // than maxBucket from CANDIDATE GENERATION only (standard practice
+    // in large-corpus dedup: an over-common signature carries no
+    // near-dup information; such clusters are handled by exact dedup).
+    val bs = if (maxBucket <= 0) bs0 else {
+      val small = bs0.groupBy("band", "sig")
+        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+        .select("band", "sig")
+      bs0.join(small, Seq("band", "sig"), "left_semi")
+    }
     val l = bs.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = bs.select(col("band"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -125,11 +140,12 @@ object TextDedup {
     * cache cleanup (`spark.catalog.clearCache()`).
     */
   def nearDuplicates(docs: DataFrame, bands: Int = 4,
-      num: Int = 7, den: Int = 10, materialize: Boolean = true): DataFrame = {
+      num: Int = 7, den: Int = 10, materialize: Boolean = true,
+      maxBucket: Int = 0): DataFrame = {
     // the exploded shingle set feeds signature building AND the
     // verification joins — one explode, cached
     val sh = explodedShingles(docs).cache()
-    val cands = candidatesFromShingles(sh, bands)
+    val cands = candidatesFromShingles(sh, bands, maxBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))

@@ -33,6 +33,32 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
   }
 
+  test("hot-bucket cap drops boilerplate clusters from candidate generation") {
+    // 30 identical boilerplate docs (one LSH bucket of 30 → 435 pairs)
+    // plus one genuine near-dup pair in a small bucket
+    val boiler = (0L until 30L).map(i =>
+      (i, "standard license header text repeated across every file in the corpus verbatim"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (101L, "the quick brown fox jumps over the lazy dog near the old river bank now"))
+    val corpus = spark.createDataFrame(boiler ++ pair).toDF("doc_id", "text")
+    // uncapped: the boilerplate cluster dominates the candidate set
+    val uncapped = TextDedup.nearDuplicates(corpus)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 435 + 1)
+    // capped at 10: boilerplate buckets (30 members) are dropped; the
+    // small-bucket near-dup pair survives
+    val capped = TextDedup.nearDuplicates(corpus, maxBucket = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    // same guard on the embedding LSH path: identical vectors land in
+    // one bucket per band; the cap removes them
+    val emb = spark.range(20).select(col("id").cast("long").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> float(1.0))").as("embedding"))
+    assert(Similarity.annPairs(emb).count() == 190L) // 20 choose 2
+    assert(Similarity.annPairs(emb, maxBucket = 10).count() == 0L)
+  }
+
   test("simhash: identical docs have hamming 0; near-dups flagged") {
     val pairs = TextDedup.simhashNearDuplicates(docs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
