@@ -377,6 +377,23 @@ object Queries {
         dtype = GrbType.INT64).df
     }),
 
+    // complex MM round-trip (round-5; reference reads complex via
+    // scipy, io.py:662-676): write nation as a complex-field file
+    // (re = nationkey+1, im = regionkey — exact small integers in
+    // FP64), read back as FC64 structs, flatten for the oracle
+    "q_mm_complex" -> ((s, dir) => {
+      val path = s"/tmp/graft_mm_cplx_${new java.io.File(dir).getName}.mm"
+      val m = new GrbMatrix(pq(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("i"),
+          col("n_regionkey").cast(LongType).as("j"),
+          struct((col("n_nationkey") + 1).cast("double").as("re"),
+            col("n_regionkey").cast("double").as("im")).as("v")),
+        25L, 5L, Some(GrbType.FC64))
+      MatrixMarket.write(m, path)
+      MatrixMarket.read(s, path).df
+        .select(col("i"), col("j"), col("v.re").as("re"), col("v.im").as("im"))
+    }),
+
     // rechunk → repartitionByRange: values invariant (§2.1 row 14)
     "q_rechunk" -> ((s, dir) => liMat(s, dir).repartitionByRow(16).df),
 
@@ -625,6 +642,11 @@ object Queries {
     "q_mm_window" ->
       """SELECT CAST(n_nationkey - 5 AS BIGINT) AS i, CAST(n_regionkey - 1 AS BIGINT) AS j, CAST(n_nationkey + 1 AS BIGINT) AS v FROM nation
          WHERE n_nationkey >= 5 AND n_nationkey < 20 AND n_regionkey >= 1 AND n_regionkey < 4""",
+    // small exact integers in FP64 — bit-identical across engines
+    "q_mm_complex" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS i, CAST(n_regionkey AS BIGINT) AS j,
+                CAST(n_nationkey + 1 AS DOUBLE) AS re, CAST(n_regionkey AS DOUBLE) AS im
+         FROM nation""",
     "q_rechunk" ->
       s"WITH $liMatSql SELECT i, j, v FROM m",
     "q_clear" ->
