@@ -252,6 +252,19 @@ object Queries {
         .ewiseMult(sm.ewiseMult(sm, Ops.times), Ops.minus).df
     }),
 
+    // aggregator catalog tail (§2.6 row 39): the norm family over a
+    // signed vector — L0/L1/Linf exact integers, L2 floored (house
+    // float-determinism rule: sum-of-squares is an exact int in both
+    // engines; int→double conversion and sqrt are correctly rounded)
+    "q_agg_norms" -> ((s, dir) => {
+      val v = custVec(s, dir)
+      v.df.agg(
+        Aggs.l0norm(col("v")).cast(LongType).as("l0"),
+        Aggs.l1norm(col("v")).cast(LongType).as("l1"),
+        floor(Aggs.l2norm(col("v"))).cast(LongType).as("l2_floor"),
+        Aggs.linfnorm(col("v")).cast(LongType).as("linf"))
+    }),
+
     // lazy transpose (§2.1)
     "q_transpose" -> ((s, dir) => liMat(s, dir).transpose.df),
 
@@ -586,6 +599,13 @@ object Queries {
          SELECT i, CAST(j AS BIGINT) AS v FROM (
            SELECT i, j, ROW_NUMBER() OVER (PARTITION BY i ORDER BY v DESC, j DESC) AS rn FROM m)
          WHERE rn = 1""",
+    "q_agg_norms" ->
+      """WITH t AS (SELECT CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer)
+         SELECT CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS l0,
+                CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+                CAST(FLOOR(SQRT(CAST(SUM(v*v) AS DOUBLE))) AS BIGINT) AS l2_floor,
+                CAST(MAX(ABS(v)) AS BIGINT) AS linf
+         FROM t""",
     "q_transpose" ->
       s"WITH $liMatSql SELECT m.j AS i, m.i AS j, m.v AS v FROM m",
     "q_diag" ->

@@ -191,6 +191,32 @@ class ParitySpec extends SparkSpec {
     assert(ok.toValues == Seq((1L, 3L)))
   }
 
+  test("aggregator catalog tail: norms, logical, bitwise, index aggs (agg.* parity)") {
+    val v = GrbVector.fromValues(spark,
+      Seq((1L, 3L: Any), (4L, -4L: Any), (6L, 0L: Any)), GrbType.INT64, 8L)
+    def red(a: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Any =
+      Aggs.reduceVector(v, (c, _) => a(c)).value.get
+    assert(red(Aggs.l0norm) == 2L)    // explicit zero not counted
+    assert(red(Aggs.countZero) == 1L) // ...but stored-zero is counted here
+    assert(red(Aggs.l1norm) == 7L)
+    assert(red(Aggs.l2norm) == 5.0)   // sqrt(9 + 16 + 0)
+    assert(red(Aggs.linfnorm) == 4L)
+    assert(red(Aggs.prod) == 0L)
+    assert(red(Aggs.exists) == true)
+    assert(red(Aggs.all) == false)    // the 0 is falsy
+    assert(red(Aggs.any) == true)
+    assert(red(Aggs.bitwiseAny) == (3L | -4L))
+    // index-aware: first/last position of a stored entry
+    assert(Aggs.reduceVector(v, Aggs.firstIndex).value.get == 1L)
+    assert(Aggs.reduceVector(v, Aggs.lastIndex).value.get == 6L)
+    // registry resolves grblas names
+    assert(Aggs.byName.contains("L2norm") && Aggs.byName.contains("logaddexp2"))
+    val la2 = Aggs.reduceVector(
+      GrbVector.fromValues(spark, Seq((0L, 1.0: Any), (1L, 2.0: Any)), GrbType.FP64, 2L),
+      (c, _) => Aggs.byName("logaddexp2")(c)).value.get.asInstanceOf[Double]
+    assert(math.abs(la2 - math.log(6.0) / math.log(2.0)) < 1e-12) // log2(2^1 + 2^2)
+  }
+
   test("user-op registry: registration resolves by name, shadows built-ins") {
     Ops.registerUnary(UnaryOp("cube")(c => c * c * c))
     val v = GrbVector.fromValues(spark, Seq((0L, 2L: Any), (1L, -3L: Any)), GrbType.INT64, 2L)
