@@ -722,6 +722,13 @@ object Queries {
     "p_dedup_exact" -> ((s, dir) => TextDedup.exact(pq(s, dir, "documents"))),
     "p_dedup_minhash" -> ((s, dir) => TextDedup.nearDuplicates(pq(s, dir, "documents"))),
     "p_dedup_simhash" -> ((s, dir) => TextDedup.simhashNearDuplicates(pq(s, dir, "documents"))),
+    // train/test contamination: every 50th doc plays the benchmark set
+    "p_contamination" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      TextDedup.contamination(
+        train = docs.filter(col("doc_id") % 50 =!= 0),
+        bench = docs.filter(col("doc_id") % 50 === 0))
+    }),
     "p_fingerprint" -> ((s, dir) => TextDedup.fingerprint(pq(s, dir, "documents"))),
     "p_text_stats" -> ((s, dir) => TextStats.stats(pq(s, dir, "documents"))),
     "p_lang_id" -> ((s, dir) => TextStats.langId(pq(s, dir, "documents"))),
@@ -849,6 +856,19 @@ object Queries {
                 CAST(za.n + zb.n - i.inter AS BIGINT) AS uni
          FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
          WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 7""",
+    // direct shingle equi-join across the corpus split; verification is
+    // CONTAINMENT in the benchmark doc's shingle set
+    "p_contamination" ->
+      s"""WITH $shinglesSql,
+         szb AS (SELECT doc_id, COUNT(*) AS nb FROM shd WHERE doc_id % 50 = 0 GROUP BY 1),
+         ix AS (SELECT sa.doc_id AS bench_id, sb.doc_id AS train_id, COUNT(*) AS inter
+                FROM shd sa JOIN shd sb ON sb.sh = sa.sh
+                WHERE sa.doc_id % 50 = 0 AND sb.doc_id % 50 <> 0
+                GROUP BY 1, 2)
+         SELECT i.bench_id AS bench_id, i.train_id AS train_id,
+                CAST(i.inter AS BIGINT) AS inter, CAST(z.nb AS BIGINT) AS nb
+         FROM ix i JOIN szb z ON z.doc_id = i.bench_id
+         WHERE i.inter * 10 >= z.nb * 7""",
     "p_dedup_simhash" ->
       s"""WITH $simhashBitsSql,
          banded AS (SELECT doc_id, simhash, b.band AS band, (simhash >> (b.band * 8)) % 256 AS key

@@ -165,6 +165,50 @@ object TextDedup {
     }
   }
 
+  /** cross-corpus contamination check (train/test overlap): a DIRECT
+    * shingle equi-join between the corpora, verified by n-gram
+    * CONTAINMENT — |shingles(bench) ∩ shingles(train)| /
+    * |shingles(bench)| ≥ num/den. Containment, not Jaccard, and no LSH:
+    * a long training document embedding a whole benchmark item has
+    * containment 1.0 but LOW Jaccard, so minhash-band candidates (which
+    * select by Jaccard) would systematically miss exactly the pairs
+    * decontamination exists to find. The shingle join is bucketed by
+    * construction (equi-join on the shingle hash); work scales with
+    * shared-shingle collisions, never |bench|×|train|.
+    *
+    * `maxShingleDf` (off when 0): drop shingles appearing in more than
+    * that many TRAIN docs before the join — the stop-shingle guard
+    * ("of the and" appears everywhere, carries no contamination signal,
+    * and is the join's only skew risk at corpus scale).
+    * Output (bench_id, train_id, inter, nb).
+    */
+  def contamination(train: DataFrame, bench: DataFrame,
+      num: Int = 7, den: Int = 10, materialize: Boolean = true,
+      maxShingleDf: Int = 0): DataFrame = {
+    val shT0 = explodedShingles(train)
+    val shT = (if (maxShingleDf <= 0) shT0 else {
+      val rare = shT0.groupBy("sh")
+        .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxShingleDf)
+        .select("sh")
+      shT0.join(rare, Seq("sh"), "left_semi")
+    }).cache()
+    val shB = explodedShingles(bench).cache()
+    val nb = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val inter = shB.select(col("doc_id").as("bench_id"), col("sh"))
+      .join(shT.select(col("doc_id").as("train_id"), col("sh")), Seq("sh"))
+      .groupBy("bench_id", "train_id").agg(count(lit(1)).as("inter"))
+    val result = inter
+      .join(nb.select(col("doc_id").as("bench_id"), col("nb")), Seq("bench_id"))
+      .filter(col("inter") * den >= col("nb") * num)
+      .select("bench_id", "train_id", "inter", "nb")
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      shT.unpersist(false); shB.unpersist(false)
+      out
+    }
+  }
+
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
     * is set when sum over tokens of ±1 (by bit b of the token hash)
     * is positive.

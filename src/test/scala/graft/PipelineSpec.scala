@@ -59,6 +59,29 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.annPairs(emb, maxBucket = 10).count() == 0L)
   }
 
+  test("contamination: cross-corpus containment flags embedded benchmark items") {
+    val bench = spark.createDataFrame(Seq(
+      (1000L, "what is the capital of france and when was it founded exactly"),
+      (1001L, "unrelated benchmark question about graph algorithms and their complexity bounds")))
+      .toDF("doc_id", "text")
+    val train = spark.createDataFrame(Seq(
+      // embeds benchmark 1000 verbatim inside a longer doc → Jaccard is
+      // low but containment is 1.0: must flag
+      (1L, "some preamble text goes here before the leak " +
+        "what is the capital of france and when was it founded exactly " +
+        "and then the document continues with much more trailing content afterwards"),
+      (2L, "completely unrelated training document about cooking pasta al dente"))
+    ).toDF("doc_id", "text")
+    val hits = TextDedup.contamination(train, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1000L, 1L)))
+    // the same pair fails a self-join Jaccard near-dup test — the
+    // containment metric is the point
+    val j = TextDedup.nearDuplicates(train.unionByName(bench))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 1000L)) && !j.contains((1000L, 1L)))
+  }
+
   test("simhash: identical docs have hamming 0; near-dups flagged") {
     val pairs = TextDedup.simhashNearDuplicates(docs).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
