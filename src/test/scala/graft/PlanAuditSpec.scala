@@ -90,6 +90,9 @@ class PlanAuditSpec extends SparkSpec {
       (0L, Array(1f, 0f)), (1L, Array(0f, 1f)))).toDF("vec_id", "embedding")
     assert(!plan(Similarity.annPairs(vecs, dims = 2, materialize = false))
       .contains("CartesianProduct"))
+    // contamination: shingle equi-join across corpora, never bench×train
+    assert(!plan(TextDedup.contamination(docs, docs, materialize = false))
+      .contains("CartesianProduct"))
   }
 
   test("masked mxm pushes the mask before the aggregate") {
