@@ -8,7 +8,7 @@ import graft.ops.Structure
 import graft.algo.{FastSV, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal}
-import graft.streaming.EventsStream
+import graft.streaming.{DocsStream, EventsStream}
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
   * family plus the LLM-data-pipeline operators, each expressed through
@@ -75,19 +75,20 @@ object Queries {
     path
   }
 
-  /** the file stream source requires a DIRECTORY; the testdata table
-    * is a single parquet file — stage a copy once per sf
+  /** the file stream source requires a DIRECTORY; the testdata tables
+    * are single parquet files — stage a copy once per sf
     */
-  private def stagedEventsDir(dir: String): String = {
+  private def stagedTableDir(dir: String, table: String): String = {
     val streamDir = java.nio.file.Paths.get("/tmp",
-      s"graft_stream_events_${new java.io.File(dir).getName}")
+      s"graft_stream_${table}_${new java.io.File(dir).getName}")
     java.nio.file.Files.createDirectories(streamDir)
     java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(dir, s"$table.parquet"),
+      streamDir.resolve(s"$table.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     streamDir.toString
   }
+  private def stagedEventsDir(dir: String): String = stagedTableDir(dir, "events")
 
   /** q_cc_events oracle: FastSV's own round structure (neighbor-min
     * hook + pointer-jump shortcut) unrolled to a fixed round count as
@@ -777,6 +778,20 @@ object Queries {
         col("nEvents").as("n_events"), col("nSessions").as("n_sessions"))
     }),
 
+    // streaming exact dedup: the continuous-ingestion ledger, drained
+    // with AvailableNow — complete mode makes it batch-equivalent to
+    // p_dedup_exact (they share the oracle SQL)
+    "p_stream_dedup" -> ((s, dir) => {
+      val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
+      val qname = s"graft_stream_dedup_${System.nanoTime()}"
+      val q = DocsStream.exactDedup(src).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+    }),
+
     // multimodal plumbing over the deterministic synthetic GRFT corpus:
     // header decode (Column algebra) + frame sampling (posexplode),
     // verified against the container format's closed-form arithmetic
@@ -844,6 +859,9 @@ object Queries {
 
   val pipelineOracle: Map[String, String] = Map(
     "p_dedup_exact" ->
+      "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
+    // the streaming path drains to the identical batch result
+    "p_stream_dedup" ->
       "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
     "p_dedup_minhash" ->
       s"""WITH $shinglesSql, $minhashSql,

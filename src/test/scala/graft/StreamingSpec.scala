@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.EventsStream
+import graft.streaming.{DocsStream, EventsStream}
 
 /** Structured Streaming operators driven through MemoryStream — the
   * same transforms the batch Events operators use, with watermarked
@@ -37,6 +37,35 @@ class StreamingSpec extends SparkSpec {
         .toSet
       assert(rows.contains((3600L, "click", 2L, 375L)))
       assert(rows.contains((7200L, "view", 1L, 75L)))
+    } finally q.stop()
+  }
+
+  final case class Doc(doc_id: Long, text: String)
+
+  test("streaming exact dedup keeps first doc_id per content across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[Doc]
+    val q = DocsStream.exactDedup(input.toDF()).writeStream
+      .format("memory").queryName("dedup")
+      .outputMode("complete").start()
+    try {
+      input.addData(Doc(5L, "alpha beta"), Doc(3L, "gamma delta"))
+      q.processAllAvailable()
+      // a later batch re-delivers known content with a larger id and
+      // adds fresh content: the ledger keeps the first id, bumps counts
+      input.addData(Doc(9L, "alpha beta"), Doc(1L, "epsilon zeta"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+        .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("cnt"))).toSet
+      assert(rows == Set((5L, 2L), (3L, 1L), (1L, 1L)))
+      // batch/stream parity: identical result through TextDedup.exact
+      val batch = graft.pipeline.TextDedup.exact(
+        Seq((5L, "alpha beta"), (3L, "gamma delta"),
+          (9L, "alpha beta"), (1L, "epsilon zeta")).toDF("doc_id", "text"))
+        .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("cnt"))).toSet
+      assert(batch == rows)
     } finally q.stop()
   }
 
