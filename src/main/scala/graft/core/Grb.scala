@@ -501,6 +501,13 @@ final class GrbVector(val df: DataFrame, val size: Long,
 
   def contains(n: Long): Boolean = !df.filter(col("i") === n).isEmpty
 
+  /** n×1 column-matrix view (reference vector.py `_as_matrix` — the
+    * bridge inner/outer/vxm build on). Zero-shuffle projection.
+    */
+  def asMatrix: GrbMatrix =
+    new GrbMatrix(df.select(col("i"), lit(0L).as("j"), col("v")),
+      size, 1L, declared)
+
   // ---- equality (base.py:35-92) ----
   def isequal(other: GrbVector, checkDtype: Boolean = false): Boolean = {
     if (size != other.size) return false
@@ -972,6 +979,17 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
   def del(i0: Long, j0: Long): GrbMatrix =
     new GrbMatrix(df.filter(!(col("i") === i0 && col("j") === j0)),
       nrows, ncols, declared)
+
+  def contains(i0: Long, j0: Long): Boolean =
+    !df.filter(col("i") === i0 && col("j") === j0).isEmpty
+
+  /** row-major flatten to a length-nrows·ncols vector (reference
+    * matrix.py `_flatten` — feeds whole-matrix aggregator reduces).
+    * Zero-shuffle projection.
+    */
+  def flatten: GrbVector =
+    new GrbVector(df.select((col("i") * ncols + col("j")).as("i"), col("v")),
+      nrows * ncols, declared)
 
   def isequal(other: GrbMatrix, checkDtype: Boolean = false): Boolean = {
     if (shape != other.shape) return false

@@ -34,6 +34,27 @@ class CoreSpec extends SparkSpec {
   def matOf(g: GrbMatrix): Map[(Long, Long), Any] =
     g.toValues.map { case (i, j, x) => (i, j) -> x }.toMap
 
+  test("asMatrix / flatten / matrix contains (reference _as_matrix, _flatten)") {
+    // n×1 column view: inner(v, v) through mxm over the view equals
+    // the direct inner product
+    val col1 = v.asMatrix
+    assert(col1.nrows == 6L && col1.ncols == 1L)
+    assert(matOf(col1) == vecOf(v).map { case (i, x) => (i, 0L) -> x })
+    val gram = col1.transpose.mxm(col1, Ops.plusTimes) // 1×1 = Σv²
+    assert(gram.toValues == Seq((0L, 0L, 0L + 400L + 900L + 1600L + 2500L)))
+    // row-major flatten round-trips the COO addressing
+    val f = matA.flatten
+    assert(f.size == 49L)
+    assert(vecOf(f) == matOf(matA).map { case ((i, j), x) => (i * 7 + j) -> x })
+    assert(f.reduce(Ops.plusMonoid).value == matA.reduceScalar(Ops.plusMonoid).value)
+    // matrix membership
+    assert(matA.contains(3L, 0L) && !matA.contains(0L, 0L))
+    // declared dtype survives the views
+    val u = GrbVector.fromValues(spark, Seq((0L, 7.toShort: Any)), GrbType.UINT8, 2L)
+    assert(u.asMatrix.dtype == GrbType.UINT8)
+    assert(u.asMatrix.flatten.dtype == GrbType.UINT8)
+  }
+
   test("fromValues / nvals / size / toValues ordering; empty-vs-zero") {
     val vv = v
     assert(vv.size == 6 && vv.nvals == 5)
