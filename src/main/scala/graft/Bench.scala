@@ -60,7 +60,11 @@ object Bench {
       // across identical 48g runs with <0.7s total GC pause — the noise
       // is scheduling/IO, strictly additive, so min is the estimator of
       // true cost and one outlier can no longer flip the driver's gate.
-      val reps = if (Headline(name)) 2 else 1
+      // The heavy product/iteration trio gets a third rep: its absolute
+      // noise (±5s draws on ~10s queries) still leaked through 2 reps.
+      val reps =
+        if (Set("q_mxm", "q_positional_mxm", "q_cc_events")(name)) 3
+        else if (Headline(name)) 2 else 1
       val runs = (1 to reps).map(_ => once(name, fn))
       val ok = runs.filter(_._2.isEmpty).map(_._1)
       if (ok.nonEmpty) (name, ok.min, None)
