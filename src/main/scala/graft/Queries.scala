@@ -741,6 +741,10 @@ object Queries {
     "p_source_mix" -> ((s, dir) => Sampling.sourceMix(pq(s, dir, "documents"))),
     "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
+    // embedding-space near-dup dedup: LSH-verified cosine pairs ->
+    // min-id representative sweep
+    "p_dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDuplicates(pq(s, dir, "embeddings"))),
     "p_ann_ivf" -> ((s, dir) => Similarity.ivfPairs(pq(s, dir, "embeddings"))),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
@@ -857,6 +861,27 @@ object Queries {
     s"w(p, wv) AS (SELECT * FROM (VALUES $rows))"
   }
 
+  /** hyperplane-LSH candidate generation + exact-integer-cosine
+    * verification, shared by the p_ann_lsh pair listing and the
+    * p_dedup_embedding dedup sweep (same constants as Similarity)
+    */
+  private def lshSimvSql: String =
+    s"""$annCommonSql,
+       $lshWeightsSql,
+       bits AS (SELECT en.vec_id, w.p,
+                       CASE WHEN CAST(list_sum(list_transform(range(64), i -> q[i+1] * wv[i+1])) AS BIGINT) > 0
+                            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                FROM en CROSS JOIN w),
+       sigs AS (SELECT vec_id, CAST(FLOOR(p / 4) AS BIGINT) AS band,
+                       CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) AS sig
+                FROM bits GROUP BY 1, 2),
+       cands AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                 FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
+       simv AS (SELECT c.a, c.b,
+                       CAST(list_sum(list_transform(range(64), i -> ea.q[i+1] * eb.q[i+1])) AS BIGINT)
+                         / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
+                FROM cands c JOIN en ea ON ea.vec_id = c.a JOIN en eb ON eb.vec_id = c.b)"""
+
   val pipelineOracle: Map[String, String] = Map(
     "p_dedup_exact" ->
       "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
@@ -950,22 +975,15 @@ object Queries {
                     FROM scored)
          SELECT qid AS q, vec_id AS n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""",
     "p_ann_lsh" ->
-      s"""WITH $annCommonSql,
-         $lshWeightsSql,
-         bits AS (SELECT en.vec_id, w.p,
-                         CASE WHEN CAST(list_sum(list_transform(range(64), i -> q[i+1] * wv[i+1])) AS BIGINT) > 0
-                              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                  FROM en CROSS JOIN w),
-         sigs AS (SELECT vec_id, CAST(FLOOR(p / 4) AS BIGINT) AS band,
-                         CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) AS sig
-                  FROM bits GROUP BY 1, 2),
-         cands AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-                   FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
-         simv AS (SELECT c.a, c.b,
-                         CAST(list_sum(list_transform(range(64), i -> ea.q[i+1] * eb.q[i+1])) AS BIGINT)
-                           / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
-                  FROM cands c JOIN en ea ON ea.vec_id = c.a JOIN en eb ON eb.vec_id = c.b)
+      s"""WITH $lshSimvSql
          SELECT a, b, CAST(FLOOR(sim * 1000) AS BIGINT) AS promille FROM simv WHERE sim >= 0.4""",
+    // dedup decision layer on the LSH-verified pairs: min-id
+    // representative rule — every b with a verified smaller-id
+    // neighbour maps to its smallest such neighbour
+    "p_dedup_embedding" ->
+      s"""WITH $lshSimvSql
+         SELECT b AS vec_id, CAST(MIN(a) AS BIGINT) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_dups
+         FROM simv WHERE sim >= 0.4 GROUP BY 1""",
     "p_ann_ivf" ->
       s"""WITH $annCommonSql,
          c AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en WHERE vec_id < 8),

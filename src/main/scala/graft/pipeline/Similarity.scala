@@ -165,6 +165,31 @@ object Similarity {
       .filter(col("sim") >= simMilli / 1000.0)
       .select(col("a"), col("b"), floor(col("sim") * 1000).cast(LongType).as("promille"))
 
+  /** Embedding-cosine near-duplicate DEDUP decision — the semantic-
+    * space member of the dedup family (exact / minhash / simhash work
+    * on surface text; this one catches paraphrases that share no
+    * shingles but embed nearby). Candidates come from the hyperplane
+    * LSH (`annPairs` — equi-join on band signatures, never all-pairs),
+    * verified with the exact integer cosine; the dedup sweep then maps
+    * every vector that has a verified neighbour with a SMALLER id to
+    * its smallest such neighbour — the standard min-id representative
+    * rule, so survivors = vectors absent from the output.
+    *
+    * Output (vec_id, dup_of, n_dups): `dup_of` = min qualifying
+    * neighbour id, `n_dups` = how many smaller-id near-dups exist.
+    * Integers only — oracle-checkable bit-for-bit.
+    *
+    * Scale shape: inherits annPairs' sum(bucket²) candidate bound and
+    * one extra hash aggregate on the pair's right id — no new shuffle
+    * risk at 100 TB; `maxBucket` caps hot LSH buckets as elsewhere.
+    */
+  def embeddingNearDuplicates(emb: DataFrame, simMilli: Int = 400,
+      bands: Int = 4, rowsPerBand: Int = 4, dims: Int = -1,
+      materialize: Boolean = true, maxBucket: Int = 0): DataFrame =
+    annPairs(emb, simMilli, bands, rowsPerBand, dims, materialize, maxBucket)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("dup_of"), count(lit(1)).as("n_dups"))
+
   /** IVF (inverted-file) ANN pairs — the clustering-flavored scale
     * path next to the hyperplane LSH: vectors are coarse-quantized to
     * their nearest of `k` seed centroids (deterministic seeds: the

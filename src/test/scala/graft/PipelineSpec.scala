@@ -152,6 +152,18 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("embedding near-dup sweep maps the duplicate to its min-id representative") {
+    // (0,1) is the only verified pair at 900‰ — so 1 is the sole
+    // duplicate and its representative is 0; survivors (0, 2, 3)
+    // never appear in the output
+    val r = Similarity.embeddingNearDuplicates(vecs, simMilli = 900,
+      bands = 4, rowsPerBand = 2, dims = 8).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("vec_id") == 1L)
+    assert(r(0).getAs[Long]("dup_of") == 0L)
+    assert(r(0).getAs[Long]("n_dups") == 1L)
+  }
+
   test("IVF ANN finds the near-parallel pair within a cell; never all-pairs") {
     // k=2 makes 0 and 1 their own centroids (separate cells) — the
     // 2nd probe is what catches the cross-cell boundary pair
