@@ -362,6 +362,26 @@ object Queries {
       FastSV.connectedComponents(A, nodes = Some(nodes)).df
     }),
 
+    // triangle counting — the canonical masked-mxm composition
+    // (C⟨L⟩ = L·L over plus_pair, then scalar plus-reduce; the
+    // SuiteSparse GraphBLAS idiom the reference's API is built to
+    // express). Graph: parts co-occurring in an order, strictly
+    // upper-triangular edges so each triangle counts exactly once.
+    "q_triangle" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
+        .distinct()
+      val e = li.select(col("o"), col("p").as("a"))
+        .join(li.select(col("o"), col("p").as("b")), Seq("o"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("i"), col("b").as("j")).distinct()
+        .withColumn("v", lit(1L))
+      val n = li.agg(max(col("p"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val L = GrbMatrix.fromDF(e, n, n)
+      L.mxm(L, Ops.plusPair, mask = Some(Mask.structural(L.df)))
+        .reduceScalar(Ops.plusMonoid).df
+    }),
+
     // Vector.new: an empty collection is the additive identity of
     // ewise_add (§2.1 row 1)
     "q_empty_new" -> ((s, dir) => {
@@ -565,6 +585,14 @@ object Queries {
          FROM region r CROSS JOIN nation n""",
     "q_reduce_scalar" ->
       s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
+    // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges
+    // make each triangle a single (i<j<k) wedge+closure
+    "q_triangle" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+                     FROM lineitem WHERE l_orderkey < 2000),
+         e AS (SELECT DISTINCT a.p AS i, b.p AS j FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
+         SELECT CAST(COUNT(*) AS BIGINT) AS v
+         FROM e e1 JOIN e e2 ON e2.i = e1.j JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j""",
     "q_extract_slice" ->
       """SELECT CAST((c_custkey - 10) / 3 AS BIGINT) AS i, CAST(c_nationkey AS BIGINT) AS v
          FROM customer WHERE c_custkey >= 10 AND c_custkey < 1000 AND (c_custkey - 10) % 3 = 0""",

@@ -65,6 +65,19 @@ class MxmPropertySpec extends SparkSpec {
     })
   }
 
+  test("triangle count: masked plus_pair mxm on strictly-upper edges") {
+    // K4 on {0,1,2,3} has C(4,3)=4 triangles; vertex 4 hangs off 3 and
+    // closes nothing. L = strictly-upper edge matrix; count =
+    // reduce(+, L·L ⟨L⟩ over plus_pair).
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L))
+    val l = GrbMatrix.fromValues(spark,
+      edges.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, dim, dim)
+    val tri = l.mxm(l, Ops.plusPair, mask = Some(Mask.structural(l.df)))
+      .reduceScalar(Ops.plusMonoid)
+    assert(tri.value.contains(4L))
+  }
+
   test("mxv min_second == oracle (the FastSV kernel)") {
     val genVec = Gen.mapOf(Gen.zip(Gen.choose(0L, dim - 1), Gen.choose(0L, 99L)))
     run("mxv", Prop.forAll(genMat, genVec) { (a, v) =>
