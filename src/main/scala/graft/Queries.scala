@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{FastSV, PregelCC}
+import graft.algo.{Bfs, FastSV, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal}
 import graft.streaming.{DocsStream, EventsStream}
@@ -113,6 +113,28 @@ object Queries {
        f0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edges),
        $steps
        SELECT l AS v, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM f$rounds GROUP BY 1"""
+  }
+
+  /** q_bfs oracle: the min_plus frontier expansion unrolled to a fixed
+    * round count (same AS MATERIALIZED discipline as ccFixpointSql —
+    * each round references the previous twice). BFS needs DIAMETER
+    * rounds (not log like hook+jump); the bounded order-part subgraph
+    * measures depth ≤16 across the shipped SFs, so 30 is a wide
+    * margin, and extra rounds are no-ops past the fixpoint.
+    */
+  private def bfsFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"f${k - 1}"
+      s"""f$k AS MATERIALIZED (SELECT n, MIN(l) AS l FROM (
+            SELECT * FROM $p
+            UNION ALL
+            SELECT e.b AS n, f.l + 1 AS l FROM edges e JOIN $p f ON f.n = e.a) GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       f0 AS MATERIALIZED (SELECT MIN(a) AS n, CAST(0 AS BIGINT) AS l FROM e0),
+       $steps
+       SELECT n AS i, CAST(l AS BIGINT) AS v FROM f$rounds"""
   }
 
   // =================================================================
@@ -362,6 +384,23 @@ object Queries {
       FastSV.connectedComponents(A, nodes = Some(nodes)).df
     }),
 
+    // BFS levels — the other textbook GraphBLAS traversal (frontier
+    // expansion = min_plus mxv; algo/Bfs.scala). Graph: the bounded
+    // bipartite order-part subgraph, traversed from its smallest
+    // order node; oracle = the same expansion unrolled to a fixed
+    // round count in SQL.
+    "q_bfs" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val bounds = e0.agg(min(col("a")), max(col("b"))).collect()(0) // 1-row driver agg
+      val (src, n) = (bounds.getLong(0), bounds.getLong(1) + 1L)
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      Bfs.levels(A, src).df
+    }),
+
     // triangle counting — the canonical masked-mxm composition
     // (C⟨L⟩ = L·L over plus_pair, then scalar plus-reduce; the
     // SuiteSparse GraphBLAS idiom the reference's API is built to
@@ -585,6 +624,7 @@ object Queries {
          FROM region r CROSS JOIN nation n""",
     "q_reduce_scalar" ->
       s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
+    "q_bfs" -> bfsFixpointSql(30),
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges
     // make each triangle a single (i<j<k) wedge+closure
     "q_triangle" ->

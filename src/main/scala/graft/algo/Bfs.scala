@@ -1,0 +1,51 @@
+package graft.algo
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** BFS levels — the GraphBLAS textbook traversal (alongside FastSV the
+  * second canonical composition the reference's API exists to express:
+  * frontier expansion IS a min_plus matrix-vector product; see e.g.
+  * reference README's GraphBLAS positioning and dask_grblas/matrix.py
+  * mxv:449-454).
+  *
+  * Each round: cand = A ⊗min_plus f (every neighbour of a labeled
+  * vertex offered level+1), then f' = f ⊕min cand. Levels are FINAL
+  * when first assigned (round k labels exactly the distance-k
+  * frontier), so the key set grows monotonically and values never
+  * change — convergence is simply "nvals stopped growing", one count
+  * per round on the already-checkpointed state.
+  *
+  * Scale shape: the adjacency is repartitioned ONCE on the contraction
+  * key and cached, so every round's mxv reuses the exchange (the
+  * FastSV pattern); per-round state is eagerly localCheckpoint'ed by
+  * Iterate.vectorLoop, keeping the plan O(one round). Work per round
+  * is one equi-join frontier×adjacency + one hash agg — at 100 TB the
+  * cost profile is rounds × (join on j + groupBy i), never n².
+  */
+object Bfs {
+
+  /** @param a      symmetric (undirected) adjacency matrix; edge
+    *               values are ignored — only structure is traversed
+    * @param source start vertex; levels(source) = 0
+    * @return sparse level vector: absent = unreachable
+    */
+  def levels(a: GrbMatrix, source: Long, maxIter: Int = 100): GrbVector = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"bfs adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.spark
+    // traverse structure: weight 1 per edge makes min_plus's mult a
+    // pure hop count; co-partition by the contracted key once
+    val hop = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("j")).cache(),
+      a.nrows, a.ncols)
+    val init = GrbVector.fromDF(
+      spark.range(1).select(lit(source).as("i"), lit(0L).as("v")), a.nrows)
+    val out = Iterate.vectorLoop(init, maxIter) { (f, _) =>
+      f.ewiseAdd(hop.mxv(f, Ops.minPlus), Ops.min)
+    } { (prev, next) => next.nvals == prev.nvals }
+    hop.df.unpersist(false)
+    out
+  }
+}

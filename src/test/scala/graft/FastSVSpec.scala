@@ -42,6 +42,13 @@ class FastSVSpec extends SparkSpec {
     assert((9L to 11L).forall(l(_) == 9L))
   }
 
+  test("BFS levels on the notebook graph: distances from 0, unreachable absent") {
+    val a = matFromEdges(notebookEdges, 12L)
+    val l = labelsOf(graft.algo.Bfs.levels(a, 0L))
+    assert(l == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+    // vertices 6..11 are in other components — no level, not level-∞
+  }
+
   test("golden path: MatrixMarket symmetric read -> FastSV (notebook coo_matrix_A.mtx shape)") {
     // recreate the notebook's MM file per FIXTURES.md: coordinate
     // integer symmetric, 12x12, 11 entries, 1-based, lower-triangle
