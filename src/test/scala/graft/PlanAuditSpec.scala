@@ -95,6 +95,21 @@ class PlanAuditSpec extends SparkSpec {
       .contains("CartesianProduct"))
   }
 
+  test("graph traversals: BFS round and triangle count stay equi-join shaped") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val l = GrbMatrix.fromValues(spark,
+      edges.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 4L, 4L)
+    // triangle: masked plus_pair product — join on the contracted key
+    // + mask semi-join, never a cartesian expansion
+    val tri = l.mxm(l, Ops.plusPair, mask = Some(Mask.structural(l.df)))
+    assert(!plan(tri.df).contains("CartesianProduct"))
+    // one BFS round (the loop body Iterate checkpoints): frontier ×
+    // adjacency equi-join + hash agg only
+    val f = GrbVector.fromValues(spark, Seq((0L, 0L: Any)), GrbType.INT64, 4L)
+    val round = f.ewiseAdd(l.mxv(f, Ops.minPlus), Ops.min)
+    assert(!plan(round.df).contains("CartesianProduct"))
+  }
+
   test("masked mxm pushes the mask before the aggregate") {
     val m = GrbMatrix.fromValues(spark,
       Seq((0L, 0L, 1L: Any), (0L, 1L, 1L: Any), (1L, 0L, 1L: Any)),
