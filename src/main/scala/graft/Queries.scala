@@ -115,23 +115,35 @@ object Queries {
        SELECT l AS v, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM f$rounds GROUP BY 1"""
   }
 
-  /** q_bfs oracle: the min_plus frontier expansion unrolled to a fixed
-    * round count (same AS MATERIALIZED discipline as ccFixpointSql —
-    * each round references the previous twice). BFS needs DIAMETER
-    * rounds (not log like hook+jump); the bounded order-part subgraph
-    * measures depth ≤16 across the shipped SFs, so 30 is a wide
-    * margin, and extra rounds are no-ops past the fixpoint.
+  /** q_bfs / q_sssp oracle: the min_plus frontier expansion unrolled
+    * to a fixed round count (same AS MATERIALIZED discipline as
+    * ccFixpointSql — each round references the previous twice).
+    * Unweighted BFS needs DIAMETER rounds (depth ≤16 measured across
+    * the shipped SFs); the weighted relaxation needs the max hop count
+    * of any shortest path (≤19 measured) — 30/35 are wide margins, and
+    * extra rounds are no-ops past the fixpoint.
     */
-  private def bfsFixpointSql(rounds: Int): String = {
+  private def minPlusFixpointSql(rounds: Int, weighted: Boolean): String = {
+    val hop = if (weighted) "f.l + e.w" else "f.l + 1"
+    val (e0Sql, eCols) =
+      if (weighted)
+        ("""SELECT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b,
+            CAST(MIN(l_quantity) AS BIGINT) AS w FROM lineitem WHERE l_orderkey < 600 GROUP BY 1, 2""",
+          "a, b, w")
+      else
+        ("SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600",
+          "a, b")
+    val mirror = eCols.split(", ").map {
+      case "a" => "b"; case "b" => "a"; case c => c }.mkString(", ")
     val steps = (1 to rounds).map { k =>
       val p = s"f${k - 1}"
       s"""f$k AS MATERIALIZED (SELECT n, MIN(l) AS l FROM (
             SELECT * FROM $p
             UNION ALL
-            SELECT e.b AS n, f.l + 1 AS l FROM edges e JOIN $p f ON f.n = e.a) GROUP BY 1)"""
+            SELECT e.b AS n, $hop AS l FROM edges e JOIN $p f ON f.n = e.a) GROUP BY 1)"""
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
-       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    s"""WITH e0 AS MATERIALIZED ($e0Sql),
+       edges AS MATERIALIZED (SELECT $eCols FROM e0 UNION ALL SELECT $mirror FROM e0),
        f0 AS MATERIALIZED (SELECT MIN(a) AS n, CAST(0 AS BIGINT) AS l FROM e0),
        $steps
        SELECT n AS i, CAST(l AS BIGINT) AS v FROM f$rounds"""
@@ -401,6 +413,23 @@ object Queries {
       Bfs.levels(A, src).df
     }),
 
+    // single-source shortest paths — the weighted min_plus sibling of
+    // q_bfs (algo/Bfs.sssp): edge weight = min line quantity, parallel
+    // edges pre-combined with min
+    "q_sssp" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .groupBy(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b"))
+        .agg(min(col("l_quantity").cast(LongType)).as("w"))
+      val edges = e0.unionByName(
+        e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+      val bounds = e0.agg(min(col("a")), max(col("b"))).collect()(0) // 1-row driver agg
+      val (src, n) = (bounds.getLong(0), bounds.getLong(1) + 1L)
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), col("w").as("v")), n, n)
+      Bfs.sssp(A, src).df
+    }),
+
     // triangle counting — the canonical masked-mxm composition
     // (C⟨L⟩ = L·L over plus_pair, then scalar plus-reduce; the
     // SuiteSparse GraphBLAS idiom the reference's API is built to
@@ -624,7 +653,8 @@ object Queries {
          FROM region r CROSS JOIN nation n""",
     "q_reduce_scalar" ->
       s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
-    "q_bfs" -> bfsFixpointSql(30),
+    "q_bfs" -> minPlusFixpointSql(30, weighted = false),
+    "q_sssp" -> minPlusFixpointSql(35, weighted = true),
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges
     // make each triangle a single (i<j<k) wedge+closure
     "q_triangle" ->

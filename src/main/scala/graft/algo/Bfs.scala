@@ -48,4 +48,31 @@ object Bfs {
     hop.df.unpersist(false)
     out
   }
+
+  /** Single-source shortest paths over positive edge weights — the
+    * weighted sibling of [[levels]]: the identical min_plus round, but
+    * the mult leg adds the EDGE WEIGHT instead of a unit hop
+    * (Bellman-Ford as semiring iteration). Unlike BFS, a distance can
+    * improve after first assignment (a longer-but-lighter path), so
+    * convergence is VALUE stability (per-round isequal — a full-outer
+    * join folded to one count on the already-checkpointed state), not
+    * nvals growth; rounds to fixpoint ≤ the max hop count of any
+    * shortest path.
+    *
+    * @param a symmetric weighted adjacency; parallel edges should be
+    *          pre-combined with min (fromDF dupAgg)
+    */
+  def sssp(a: GrbMatrix, source: Long, maxIter: Int = 100): GrbVector = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"sssp adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.spark
+    val A = new GrbMatrix(a.df.repartition(col("j")).cache(), a.nrows, a.ncols)
+    val init = GrbVector.fromDF(
+      spark.range(1).select(lit(source).as("i"), lit(0L).as("v")), a.nrows)
+    val out = Iterate.vectorLoop(init, maxIter) { (f, _) =>
+      f.ewiseAdd(A.mxv(f, Ops.minPlus), Ops.min)
+    } { (prev, next) => prev.isequal(next) }
+    A.df.unpersist(false)
+    out
+  }
 }

@@ -49,6 +49,18 @@ class FastSVSpec extends SparkSpec {
     // vertices 6..11 are in other components — no level, not level-∞
   }
 
+  test("SSSP takes the longer-but-lighter path (value improves after first assignment)") {
+    // 0—1 (10), 1—2 (10), 0—2 (25): round 1 assigns dist(2)=25 via the
+    // direct edge; round 2 improves it to 20 through vertex 1 — the
+    // case BFS-style nvals convergence would get wrong
+    val triples: Seq[(Long, Long, Any)] = Seq(
+      (0L, 1L, 10L), (1L, 0L, 10L), (1L, 2L, 10L),
+      (2L, 1L, 10L), (0L, 2L, 25L), (2L, 0L, 25L))
+    val a = GrbMatrix.fromValues(spark, triples, GrbType.INT64, 3L, 3L)
+    val d = labelsOf(graft.algo.Bfs.sssp(a, 0L))
+    assert(d == Map(0L -> 0L, 1L -> 10L, 2L -> 20L))
+  }
+
   test("golden path: MatrixMarket symmetric read -> FastSV (notebook coo_matrix_A.mtx shape)") {
     // recreate the notebook's MM file per FIXTURES.md: coordinate
     // integer symmetric, 12x12, 11 entries, 1-based, lower-triangle
