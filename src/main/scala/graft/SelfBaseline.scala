@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.algo.{FastSV, PregelCC}
+import graft.algo.{Bfs, FastSV, PregelCC}
 import graft.pipeline.{Similarity, TextDedup}
 
 /** Self-baselines per BASELINE.md: FastSV wall-clock/iteration rate on
@@ -108,6 +108,17 @@ object SelfBaseline {
       require(nComponents == nComponentsP,
         s"CC engines disagree: FastSV $nComponents vs Pregel $nComponentsP")
       println(f"""{"edges":$nEdges,"nnz":$nnz,"mxv_sec":$mxvSec%.2f,"mxv_nnz_per_sec":${(nnz / mxvSec).toLong},"mxm_sec":$mxmSec%.2f,"fastsv_sec":$ccSec%.2f,"pregel_sec":$pregelSec%.2f,"components":$nComponents}""")
+      // traversal tier (SPARK_GRAFT_TRAVERSAL=1): BFS levels from
+      // vertex 0 and the masked plus_pair triangle count on the same
+      // graph — the round-5 algo additions at synthetic scale
+      if (sys.env.contains("SPARK_GRAFT_TRAVERSAL")) {
+        val (nReached, bfsSec) = timed(Bfs.levels(a, 0L).nvals)
+        val L = new GrbMatrix(a.df.filter(col("i") < col("j")), a.nrows, a.ncols)
+        val (nTri, triSec) = timed(
+          L.mxm(L, Ops.plusPair, mask = Some(Mask.structural(L.df)))
+            .reduceScalar(Ops.plusMonoid).value.getOrElse(0L))
+        println(f"""{"edges":$nEdges,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"triangle_sec":$triSec%.2f,"triangles":$nTri}""")
+      }
       a.df.unpersist()
     }
     // FastSV vs Pregel on the REAL q_cc_events graph (order—part
