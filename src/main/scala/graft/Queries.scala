@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, FastSV, PregelCC}
+import graft.algo.{Bfs, FastSV, PageRank, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal}
 import graft.streaming.{DocsStream, EventsStream}
@@ -147,6 +147,30 @@ object Queries {
        f0 AS MATERIALIZED (SELECT MIN(a) AS n, CAST(0 AS BIGINT) AS l FROM e0),
        $steps
        SELECT n AS i, CAST(l AS BIGINT) AS v FROM f$rounds"""
+  }
+
+  /** q_pagerank oracle: the integer fixed-point recurrence
+    * (algo/PageRank.scala) unrolled round-for-round — contribution =
+    * r // degree, new rank = base + (85·Σ) // 100, all integer floor
+    * ops so the values hash-match exactly. DuckDB `//` on BIGINT is
+    * integer floor division; Spark's floordiv is floor(a/b) over
+    * doubles — identical for these magnitudes (< 2^53).
+    */
+  private def prFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS MATERIALIZED (SELECT r.n AS n, CAST(r.r // d.d AS BIGINT) AS cv FROM $p r JOIN deg d ON d.n = r.n),
+         r$k AS MATERIALIZED (SELECT e.b AS n, CAST((SELECT b FROM bs) + (85 * SUM(c.cv)) // 100 AS BIGINT) AS r
+           FROM edges e JOIN c$k c ON c.n = e.a GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       deg AS MATERIALIZED (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+       nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM deg),
+       bs AS MATERIALIZED (SELECT CAST((1000000 - (1000000 * 85) // 100) // c AS BIGINT) AS b FROM nn),
+       r0 AS MATERIALIZED (SELECT n, CAST(1000000 // c AS BIGINT) AS r FROM deg, nn),
+       $steps
+       SELECT n AS i, r AS v FROM r$rounds"""
   }
 
   // =================================================================
@@ -413,6 +437,21 @@ object Queries {
       Bfs.levels(A, src).df
     }),
 
+    // PageRank in integer fixed-point (algo/PageRank.scala) on the
+    // same bounded subgraph — 10 deterministic rounds of
+    // degree-normalized mass diffusion with 0.85 damping, all integer
+    // floor arithmetic
+    "q_pagerank" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      PageRank.ranks(A).df
+    }),
+
     // single-source shortest paths — the weighted min_plus sibling of
     // q_bfs (algo/Bfs.sssp): edge weight = min line quantity, parallel
     // edges pre-combined with min
@@ -655,6 +694,7 @@ object Queries {
       s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
     "q_bfs" -> minPlusFixpointSql(30, weighted = false),
     "q_sssp" -> minPlusFixpointSql(35, weighted = true),
+    "q_pagerank" -> prFixpointSql(10),
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges
     // make each triangle a single (i<j<k) wedge+closure
     "q_triangle" ->

@@ -1,0 +1,59 @@
+package graft.algo
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** PageRank in integer fixed-point — the third classic iteration the
+  * reference's GraphBLAS API exists to express (beside CC and BFS;
+  * SuiteSparse ships it as LAGraph's flagship alongside both).
+  *
+  * Determinism discipline: floating-point PageRank cannot be
+  * hash-compared across engines, so ranks live in integer mass units
+  * (total mass = [[Scale]]) and every step is integer floor
+  * arithmetic — contribution = r DIV degree, damping =
+  * (85·Σ) DIV 100 — reproduced operation-for-operation by a SQL
+  * oracle. Mass leaks a floor-remainder per step, which is fine: the
+  * operator contract is the exact integer recurrence, not the real
+  * eigenvector (at Scale = 10⁶ the two rank orders agree).
+  *
+  * Scale shape: per round one mxv (equi-join on the co-partitioned
+  * adjacency + hash agg) and three narrow column ops; state is
+  * checkpointed per round by Iterate.vectorLoop. Cost profile is
+  * rounds × nnz, same as BFS/SSSP.
+  */
+object PageRank {
+
+  val Scale = 1000000L
+
+  /** @param a      symmetric adjacency (structure only — values are
+    *               replaced by 1 for the contribution sum)
+    * @param rounds fixed iteration count (deterministic, no
+    *               convergence test — the usual 10 is plenty for rank
+    *               ordering at this scale)
+    * @return (i, v): integer rank mass per vertex, Σv ≲ Scale
+    */
+  def ranks(a: GrbMatrix, rounds: Int = 10,
+      dampNum: Long = 85, dampDen: Long = 100): GrbVector = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"pagerank adjacency must be square: ${a.nrows}x${a.ncols}")
+    val ones = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("j")).cache(), a.nrows, a.ncols)
+    val deg = new GrbVector(
+      Iterate.truncate(ones.reduceRowwise(Ops.plusMonoid).df).cache(), a.nrows)
+    val nNodes = deg.nvals // 1-row driver action, reused every round
+    val base = (Scale - Scale * dampNum / dampDen) / nNodes
+    val init = new GrbVector(
+      deg.df.select(col("i"), lit(Scale / nNodes).as("v")), a.nrows)
+    val out = Iterate.vectorLoop(init, rounds) { (r, _) =>
+      val contrib = r.ewiseMult(deg, Ops.floordiv)
+      ones.mxv(contrib, Ops.plusTimes, broadcastVec = false)
+        .applyRight(Ops.times, lit(dampNum))
+        .applyRight(Ops.floordiv, lit(dampDen))
+        .applyRight(Ops.plus, lit(base))
+    } { (_, _) => false } // fixed round count
+    deg.df.unpersist(false)
+    ones.df.unpersist(false)
+    out
+  }
+}

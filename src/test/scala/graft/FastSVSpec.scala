@@ -61,6 +61,27 @@ class FastSVSpec extends SparkSpec {
     assert(d == Map(0L -> 0L, 1L -> 10L, 2L -> 20L))
   }
 
+  test("integer PageRank matches a driver-side replay of the exact recurrence") {
+    // path graph 0—1—2: the endpoint/center asymmetry exercises both
+    // the degree normalization and the damping floor arithmetic
+    val a = matFromEdges(Seq((0L, 1L), (1L, 2L)), 3L)
+    val got = labelsOf(graft.algo.PageRank.ranks(a, rounds = 10))
+    // replay the recurrence on plain Maps with identical integer ops
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val scale = graft.algo.PageRank.Scale
+    val base = (scale - scale * 85L / 100L) / deg.size
+    var r = deg.map { case (n, _) => n -> scale / deg.size }
+    for (_ <- 1 to 10) {
+      val contrib = r.map { case (n, v) => n -> v / deg(n) }
+      r = edges.groupBy(_._2).map { case (n, es) =>
+        n -> (base + es.map(e => contrib(e._1)).sum * 85L / 100L)
+      }
+    }
+    assert(got == r)
+    assert(got(1L) > got(0L) && got(0L) == got(2L)) // center outranks endpoints
+  }
+
   test("golden path: MatrixMarket symmetric read -> FastSV (notebook coo_matrix_A.mtx shape)") {
     // recreate the notebook's MM file per FIXTURES.md: coordinate
     // integer symmetric, 12x12, 11 entries, 1-based, lower-triangle
