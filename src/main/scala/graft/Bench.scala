@@ -100,6 +100,7 @@ object Bench {
     "q_mxm", "q_positional_mxm", "q_mxv", "q_vxm", "q_cc_events",
     "q_ewise_mult", "q_ewise_add", "q_reduce_rowwise", "q_transpose",
     "q_extract_slice", "q_assign_merge", "q_kron",
-    "p_dedup_exact", "p_dedup_minhash", "p_ann_lsh", "p_ann_ivf",
-    "p_tfidf_stats", "p_sessionize")
+    "q_triangle", "q_bfs", "q_sssp", "q_pagerank",
+    "p_dedup_exact", "p_dedup_minhash", "p_dedup_embedding",
+    "p_ann_lsh", "p_ann_ivf", "p_tfidf_stats", "p_sessionize")
 }
