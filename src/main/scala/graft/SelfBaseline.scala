@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.algo.{Bfs, FastSV, PregelCC}
+import graft.algo.{Bfs, FastSV, PageRank, PregelCC}
 import graft.pipeline.{Similarity, TextDedup}
 
 /** Self-baselines per BASELINE.md: FastSV wall-clock/iteration rate on
@@ -117,7 +117,12 @@ object SelfBaseline {
         val (nTri, triSec) = timed(
           L.mxm(L, Ops.plusPair, mask = Some(Mask.structural(L.df)))
             .reduceScalar(Ops.plusMonoid).value.getOrElse(0L))
-        println(f"""{"edges":$nEdges,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"triangle_sec":$triSec%.2f,"triangles":$nTri}""")
+        // scale ∝ n·degree·100 keeps integer contributions nonzero at
+        // synthetic-graph sizes (see PageRank.ranks resolution guard)
+        val (prMass, prSec) = timed(
+          PageRank.ranks(a, scale = a.nrows * 1600L * 100L)
+            .df.agg(sum(col("v"))).collect()(0).getLong(0))
+        println(f"""{"edges":$nEdges,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"triangle_sec":$triSec%.2f,"triangles":$nTri,"pagerank_sec":$prSec%.2f,"pagerank_mass":$prMass}""")
       }
       a.df.unpersist()
     }

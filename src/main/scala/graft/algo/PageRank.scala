@@ -30,10 +30,16 @@ object PageRank {
     * @param rounds fixed iteration count (deterministic, no
     *               convergence test — the usual 10 is plenty for rank
     *               ordering at this scale)
-    * @return (i, v): integer rank mass per vertex, Σv ≲ Scale
+    * @param scale  total integer mass. Resolution guard: per-vertex
+    *               mass starts at scale/n, and a vertex's contribution
+    *               floors to ZERO once that drops below its degree —
+    *               pick scale ≳ n × max-degree × 100 for big graphs
+    *               (the default suits the ~2k-node oracle graph).
+    * @return (i, v): integer rank mass per vertex, Σv ≲ scale
     */
   def ranks(a: GrbMatrix, rounds: Int = 10,
-      dampNum: Long = 85, dampDen: Long = 100): GrbVector = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = Scale): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"pagerank adjacency must be square: ${a.nrows}x${a.ncols}")
     val ones = new GrbMatrix(
@@ -42,9 +48,9 @@ object PageRank {
     val deg = new GrbVector(
       Iterate.truncate(ones.reduceRowwise(Ops.plusMonoid).df).cache(), a.nrows)
     val nNodes = deg.nvals // 1-row driver action, reused every round
-    val base = (Scale - Scale * dampNum / dampDen) / nNodes
+    val base = (scale - scale * dampNum / dampDen) / nNodes
     val init = new GrbVector(
-      deg.df.select(col("i"), lit(Scale / nNodes).as("v")), a.nrows)
+      deg.df.select(col("i"), lit(scale / nNodes).as("v")), a.nrows)
     val out = Iterate.vectorLoop(init, rounds) { (r, _) =>
       val contrib = r.ewiseMult(deg, Ops.floordiv)
       ones.mxv(contrib, Ops.plusTimes, broadcastVec = false)
