@@ -98,16 +98,23 @@ object Queries {
     * ~log2(diameter) rounds; `rounds`=12 covers any component this data
     * could produce with a wide margin.
     */
-  private def ccFixpointSql(rounds: Int): String = {
-    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs once
-    // per reference, and each round references the previous one ~3
-    // times — un-materialized, the expansion is exponential in rounds.
-    val steps = (1 to rounds).map { k =>
+  /** hook+jump rounds over CTEs `edges(a, b)` (symmetric) and
+    * `f0(n, l)` — converges in ~log2(component size) rounds; shared by
+    * the lineitem CC oracle and the dedup-cluster oracle.
+    * AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs once
+    * per reference, and each round references the previous one ~3
+    * times — un-materialized, the expansion is exponential in rounds.
+    */
+  private def ccStepsSql(rounds: Int): String =
+    (1 to rounds).map { k =>
       val p = s"f${k - 1}"
       s"""m$k AS MATERIALIZED (SELECT e.b AS n, MIN(f.l) AS l FROM edges e JOIN $p f ON f.n = e.a GROUP BY 1),
          u$k AS MATERIALIZED (SELECT n, MIN(l) AS l FROM (SELECT * FROM $p UNION ALL SELECT * FROM m$k) GROUP BY 1),
          f$k AS MATERIALIZED (SELECT u.n AS n, g.l AS l FROM u$k u JOIN u$k g ON g.n = u.l)"""
     }.mkString(",\n")
+
+  private def ccFixpointSql(rounds: Int): String = {
+    val steps = ccStepsSql(rounds)
     s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 1048576 AS BIGINT) AS b FROM lineitem),
        edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
        f0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edges),
@@ -869,6 +876,18 @@ object Queries {
         train = docs.filter(col("doc_id") % 50 =!= 0),
         bench = docs.filter(col("doc_id") % 50 === 0))
     }),
+    // the dedup endgame: transitive closure over near-dup pairs —
+    // every document in a duplicate cluster labeled with the cluster's
+    // min doc_id (the canonical survivor); docs with no near-dup are
+    // absent. Pairs feed the Pregel CC engine directly (GraphX handles
+    // either edge direction — no symmetrization needed).
+    "p_dedup_clusters" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val pairs = TextDedup.nearDuplicates(docs)
+        .select(col("a").as("i"), col("b").as("j"), lit(1L).as("v"))
+      val n = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      PregelCC.connectedComponents(GrbMatrix.fromDF(pairs, n, n)).df
+    }),
     "p_fingerprint" -> ((s, dir) => TextDedup.fingerprint(pq(s, dir, "documents"))),
     "p_text_stats" -> ((s, dir) => TextStats.stats(pq(s, dir, "documents"))),
     "p_lang_id" -> ((s, dir) => TextStats.langId(pq(s, dir, "documents"))),
@@ -1021,6 +1040,22 @@ object Queries {
                          / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
                 FROM cands c JOIN en ea ON ea.vec_id = c.a JOIN en eb ON eb.vec_id = c.b)"""
 
+  /** MinHash-LSH near-dup pairs as a CTE chain ending in
+    * `nd(a, b, inter, uni)` — shared by the pair listing
+    * (p_dedup_minhash) and the cluster closure (p_dedup_clusters)
+    */
+  private def minhashPairsSql: String =
+    s"""$shinglesSql, $minhashSql,
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+       inter AS (SELECT c.a, c.b, COUNT(*) AS inter FROM cands c
+                 JOIN shd sa ON sa.doc_id = c.a
+                 JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+                 GROUP BY 1, 2),
+       nd AS (SELECT i.a AS a, i.b AS b, CAST(i.inter AS BIGINT) AS inter,
+                     CAST(za.n + zb.n - i.inter AS BIGINT) AS uni
+              FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+              WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 7)"""
+
   val pipelineOracle: Map[String, String] = Map(
     "p_dedup_exact" ->
       "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
@@ -1028,16 +1063,15 @@ object Queries {
     "p_stream_dedup" ->
       "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
     "p_dedup_minhash" ->
-      s"""WITH $shinglesSql, $minhashSql,
-         sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
-         inter AS (SELECT c.a, c.b, COUNT(*) AS inter FROM cands c
-                   JOIN shd sa ON sa.doc_id = c.a
-                   JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-                   GROUP BY 1, 2)
-         SELECT i.a AS a, i.b AS b, CAST(i.inter AS BIGINT) AS inter,
-                CAST(za.n + zb.n - i.inter AS BIGINT) AS uni
-         FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
-         WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 7""",
+      s"WITH $minhashPairsSql SELECT a, b, inter, uni FROM nd",
+    // transitive closure over the near-dup pairs: hook+jump CC, label
+    // = min doc_id of the duplicate cluster
+    "p_dedup_clusters" ->
+      s"""WITH $minhashPairsSql,
+         edges AS MATERIALIZED (SELECT a, b FROM nd UNION ALL SELECT b AS a, a AS b FROM nd),
+         f0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edges),
+         ${ccStepsSql(10)}
+         SELECT n AS i, CAST(l AS BIGINT) AS v FROM f10""",
     // direct shingle equi-join across the corpus split; verification is
     // CONTAINMENT in the benchmark doc's shingle set
     "p_contamination" ->

@@ -152,6 +152,26 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dedup clusters: transitive closure beyond direct pairs") {
+    // 0~1 and 1~2 are near-dups (one token apart); 0~2 differ by two
+    // tokens and fall below the 70% Jaccard bar — only the closure
+    // puts all three in one cluster labeled by the min id
+    val base = (1 to 30).map(i => s"t$i")
+    val docs = spark.createDataFrame(Seq(
+      (0L, base.mkString(" ")),
+      (1L, base.updated(9, "x").mkString(" ")),
+      (2L, base.updated(9, "x").updated(19, "y").mkString(" ")))).toDF("doc_id", "text")
+    val pairs = TextDedup.nearDuplicates(docs)
+    val ab = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab == Set((0L, 1L), (1L, 2L)))
+    val labels = graft.algo.PregelCC.connectedComponents(
+      graft.core.GrbMatrix.fromDF(
+        pairs.select(col("a").as("i"), col("b").as("j"),
+          org.apache.spark.sql.functions.lit(1L).as("v")), 3L, 3L))
+      .toValues.map { case (i, v) => i -> v.asInstanceOf[Long] }.toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
   test("embedding near-dup sweep maps the duplicate to its min-id representative") {
     // (0,1) is the only verified pair at 900‰ — so 1 is the sole
     // duplicate and its representative is 0; survivors (0, 2, 3)
