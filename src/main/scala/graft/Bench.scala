@@ -67,26 +67,35 @@ object Bench {
         else if (Headline(name)) 2 else 1
       val runs = (1 to reps).map(_ => once(name, fn))
       val ok = runs.filter(_._2.isEmpty).map(_._1)
-      if (ok.nonEmpty) (name, ok.min, None)
-      else (name, -1.0, runs.head._2)
+      // a rep that errored while another succeeded is NOT silently
+      // masked by min-of-reps: it's recorded in the `flaky` field
+      val flaky = runs.zipWithIndex.collect {
+        case ((_, Some(e)), i) if ok.nonEmpty => s"rep${i + 1}: $e" }
+      if (ok.nonEmpty) (name, ok.min, None, flaky)
+      else (name, -1.0, runs.head._2, Seq.empty[String])
     }
     def jq(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     def fmt(v: Double): String = f"$v%.3f"
-    def qmap(rs: Seq[(String, Double, Option[String])]): String =
-      rs.map { case (k, v, _) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Option[String], Seq[String])]): String =
+      rs.map { case (k, v, _, _) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     // failures excluded from the headline total and marked -1 per query
-    val failed = results.collect { case (k, _, Some(e)) => s"${jq(k)}:${jq(e)}" }
-    val total = results.collect { case (_, v, None) => v }.sum
+    val failed = results.collect { case (k, _, Some(e), _) => s"${jq(k)}:${jq(e)}" }
+    // intermittent failures (some rep errored, another succeeded)
+    val flakyAll = results.collect { case (k, _, None, fs) if fs.nonEmpty =>
+      s"${jq(k)}:${jq(fs.mkString("; "))}" }
+    val total = results.collect { case (_, v, None, _) => v }.sum
     // stdout line carries only the HEADLINE queries: the driver's tail
     // capture is finite, and round-3's all-70-query line got its front
     // truncated (→ parsed: null). Full per-query detail goes to the
     // BENCH_SELF.json file instead.
     val headRs = results.filter(r => Headline(r._1))
     val head = if (headRs.nonEmpty) headRs else results.take(16)
+    // method: documents the min-of-reps change (round 5) so totals are
+    // not compared apples-to-oranges against single-rep rounds 1-4
     val mk = (qs: String) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("{", ",", "}")},"n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:product-trio,2:headline,1:rest) since r5; r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("/root/repo/BENCH_SELF.json"), mk(qmap(results)) + "\n")
     println(mk(qmap(head)))
   }

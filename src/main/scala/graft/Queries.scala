@@ -591,6 +591,22 @@ object Queries {
         .crossJoin(a.isequalScalar(a.del(7L)).df.select(col("v").as("eq_del")))
     }),
 
+    // isclose with |a−b| ≤ atol + rtol·|b| tolerance (base.py:35-92;
+    // §2 row 30's float half): an FP64 vector against a within-rtol
+    // perturbation (×(1+5e-8) vs rtol 1e-7 — a 2× margin, no IEEE
+    // borderline) and against an out-of-tolerance +1.0 shift
+    "q_isclose" -> ((s, dir) => {
+      val base = pq(s, dir, "customer")
+        .select(col("c_custkey").as("i"), col("c_acctbal").cast("double").as("v"))
+      val a = GrbVector.fromDF(base)
+      val near = GrbVector.fromDF(
+        base.select(col("i"), (col("v") * 1.00000005).as("v")))
+      val far = GrbVector.fromDF(
+        base.select(col("i"), (col("v") + 1.0).as("v")))
+      a.iscloseScalar(near, relTol = 1e-7).df.select(col("v").as("close_near"))
+        .crossJoin(a.iscloseScalar(far, relTol = 1e-7).df.select(col("v").as("close_far")))
+    }),
+
     // reduce with accum into an existing Scalar (expr.py:1901-1915;
     // §2.6 row 38)
     "q_reduce_accum" -> ((s, dir) => {
@@ -831,6 +847,14 @@ object Queries {
          WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer WHERE c_mktsegment = 'BUILDING')""",
     "q_isequal" ->
       "SELECT TRUE AS eq_dup, (SELECT COUNT(*) FROM customer WHERE c_custkey = 7) = 0 AS eq_del",
+    "q_isclose" ->
+      """SELECT
+           (SELECT COUNT(*) FROM customer
+            WHERE abs(CAST(c_acctbal AS DOUBLE) - CAST(c_acctbal AS DOUBLE) * 1.00000005)
+                > 0.0 + 1e-7 * abs(CAST(c_acctbal AS DOUBLE) * 1.00000005)) = 0 AS close_near,
+           (SELECT COUNT(*) FROM customer
+            WHERE abs(CAST(c_acctbal AS DOUBLE) - (CAST(c_acctbal AS DOUBLE) + 1.0))
+                > 0.0 + 1e-7 * abs(CAST(c_acctbal AS DOUBLE) + 1.0)) = 0 AS close_far""",
     "q_reduce_accum" ->
       """SELECT (SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) FROM customer)
               + (SELECT CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) FROM orders) AS v""",

@@ -13,8 +13,9 @@ import graft.core._
   * vertex offered level+1), then f' = f ⊕min cand. Levels are FINAL
   * when first assigned (round k labels exactly the distance-k
   * frontier), so the key set grows monotonically and values never
-  * change — convergence is simply "nvals stopped growing", one count
-  * per round on the already-checkpointed state.
+  * change — value stability ≡ "nvals stopped growing", and the
+  * prev-vs-next compare is folded into each round's checkpoint job
+  * (Iterate.vectorLoopStable: one job + a limit-1 scan per round).
   *
   * Scale shape: the adjacency is repartitioned ONCE on the contraction
   * key and cached, so every round's mxv reuses the exchange (the
@@ -42,9 +43,9 @@ object Bfs {
       a.nrows, a.ncols)
     val init = GrbVector.fromDF(
       spark.range(1).select(lit(source).as("i"), lit(0L).as("v")), a.nrows)
-    val out = Iterate.vectorLoop(init, maxIter) { (f, _) =>
+    val out = Iterate.vectorLoopStable(init, maxIter) { (f, _) =>
       f.ewiseAdd(hop.mxv(f, Ops.minPlus), Ops.min)
-    } { (prev, next) => next.nvals == prev.nvals }
+    }
     hop.df.unpersist(false)
     out
   }
@@ -54,10 +55,11 @@ object Bfs {
     * the mult leg adds the EDGE WEIGHT instead of a unit hop
     * (Bellman-Ford as semiring iteration). Unlike BFS, a distance can
     * improve after first assignment (a longer-but-lighter path), so
-    * convergence is VALUE stability (per-round isequal — a full-outer
-    * join folded to one count on the already-checkpointed state), not
-    * nvals growth; rounds to fixpoint ≤ the max hop count of any
-    * shortest path.
+    * convergence is VALUE stability, not nvals growth; the compare is
+    * folded into each round's checkpoint as a change-flag column
+    * (Iterate.vectorLoopStable — no extra isequal join+action per
+    * round); rounds to fixpoint ≤ the max hop count of any shortest
+    * path.
     *
     * @param a symmetric weighted adjacency; parallel edges should be
     *          pre-combined with min (fromDF dupAgg)
@@ -69,9 +71,9 @@ object Bfs {
     val A = new GrbMatrix(a.df.repartition(col("j")).cache(), a.nrows, a.ncols)
     val init = GrbVector.fromDF(
       spark.range(1).select(lit(source).as("i"), lit(0L).as("v")), a.nrows)
-    val out = Iterate.vectorLoop(init, maxIter) { (f, _) =>
+    val out = Iterate.vectorLoopStable(init, maxIter) { (f, _) =>
       f.ewiseAdd(A.mxv(f, Ops.minPlus), Ops.min)
-    } { (prev, next) => prev.isequal(next) }
+    }
     A.df.unpersist(false)
     out
   }

@@ -29,15 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object FastSV {
 
-  /** the localCheckpoint block-RDD behind a checkpointed frame, when
-    * the frame is one (lazy and eager checkpoints both wrap a
-    * LogicalRDD). Used to free superseded rounds' blocks — without
-    * this the loop pins O(rounds × n) storage; with it, O(n).
+  /** see Iterate.checkpointRdd — frees superseded rounds' blocks,
+    * bounding loop storage at O(n) instead of O(rounds × n)
     */
   private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
+    Iterate.checkpointRdd(df)
 
   /** @param a        symmetric adjacency matrix
     * @param nodes    optional vertex set (single column `i`). When

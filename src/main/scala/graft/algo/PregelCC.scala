@@ -30,6 +30,17 @@ object PregelCC {
     * appear in edges.
     */
   def connectedComponents(a: GrbMatrix): GrbVector = {
+    // GraphX persists RDDs we can't all reach by name (the
+    // pre-mapVertices construction graph, Pregel's final message
+    // VertexRDD), so a long-lived session (SelfBaseline, notebooks)
+    // would pin blocks on every call. Snapshot the persistent-RDD set,
+    // run, materialize the result, then release everything the call
+    // created except the result's own checkpoint blocks. (Single
+    // caller discipline: concurrent jobs persisting RDDs during this
+    // call would be swept too — the engine drives Spark from one
+    // driver thread, as all graft algorithms do.)
+    val sc = a.spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val g = toGraph(a)
     val cc = Pregel(g, initialMsg = Long.MaxValue,
       activeDirection = EdgeDirection.Either)(
@@ -41,8 +52,14 @@ object PregelCC {
       mergeMsg = (a: Long, b: Long) => math.min(a, b))
     val spark = a.spark
     import spark.implicits._
+    // materialize (eager localCheckpoint) BEFORE the sweep: the
+    // result must not recompute from freed blocks
     val df = cc.vertices.map { case (id, label) => (id, label) }
-      .toDF("i", "v")
+      .toDF("i", "v").localCheckpoint(true)
+    val keep = Iterate.checkpointRdd(df).map(_.id).toSet
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(false)
+    }
     new GrbVector(df, a.nrows)
   }
 }

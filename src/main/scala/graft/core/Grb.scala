@@ -531,14 +531,24 @@ final class GrbVector(val df: DataFrame, val size: Long,
       (org.apache.spark.sql.functions.count(lit(1)) === 0 && lit(meta)).as("v")))
   }
 
-  def isclose(other: GrbVector, relTol: Double = 1e-7, absTol: Double = 0.0): Boolean = {
-    if (size != other.size) return false
+  def isclose(other: GrbVector, relTol: Double = 1e-7, absTol: Double = 0.0): Boolean =
+    size == other.size && iscloseScalar(other, relTol, absTol).boolValue
+
+  /** isclose as a LAZY 1-row boolean scalar — the tolerance sibling of
+    * isequalScalar (base.py:35-92): same structure and
+    * |a−b| ≤ atol + rtol·|b| per key, folded to one mismatch count.
+    * The predicate is IEEE-deterministic (fixed operand order), so an
+    * external engine reproduces the boolean bit-for-bit.
+    */
+  def iscloseScalar(other: GrbVector, relTol: Double = 1e-7, absTol: Double = 0.0): GrbScalar = {
+    val meta = size == other.size
     val a = df.select(col("i"), col("v").cast(DoubleType).as("_av"))
     val b = other.df.select(col("i"), col("v").cast(DoubleType).as("_bv"))
-    a.join(b, KEYS, "full_outer")
+    val mismatches = a.join(b, KEYS, "full_outer")
       .filter(col("_av").isNull || col("_bv").isNull ||
         abs(col("_av") - col("_bv")) > lit(absTol) + lit(relTol) * abs(col("_bv")))
-      .isEmpty
+    new GrbScalar(mismatches.agg(
+      (org.apache.spark.sql.functions.count(lit(1)) === 0 && lit(meta)).as("v")))
   }
 
   /** merge an operation result into this collection under a descriptor —
@@ -985,11 +995,18 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
 
   /** row-major flatten to a length-nrows·ncols vector (reference
     * matrix.py `_flatten` — feeds whole-matrix aggregator reduces).
-    * Zero-shuffle projection.
+    * Zero-shuffle projection. The flattened length nrows·ncols must
+    * fit a signed 64-bit index — unchecked it would silently wrap to
+    * a negative vector size (and scramble every flattened index).
     */
-  def flatten: GrbVector =
+  def flatten: GrbVector = {
+    val len =
+      try Math.multiplyExact(nrows, ncols)
+      catch { case _: ArithmeticException => GraphblasException.dimensionMismatch(
+        s"flatten length ${nrows}x$ncols overflows a 64-bit index") }
     new GrbVector(df.select((col("i") * ncols + col("j")).as("i"), col("v")),
-      nrows * ncols, declared)
+      len, declared)
+  }
 
   def isequal(other: GrbMatrix, checkDtype: Boolean = false): Boolean = {
     if (shape != other.shape) return false

@@ -121,19 +121,23 @@ object Similarity {
         .headOption.map(_.getInt(0)).getOrElse(64)
     // signatures are consumed by both sides of the self-join — cache
     // one computation of (quantize + bands×rows hyperplane dots); the
-    // candidate join shuffles only ids, vectors re-attached afterwards
-    val base = quantized(emb).cache()
+    // candidate join shuffles only ids, vectors re-attached afterwards.
+    // Caches only on the eager path (released before returning); the
+    // lazy path stays uncached so nothing leaks.
+    val base0 = quantized(emb)
+    val base = if (materialize) base0.cache() else base0
     val bs0 = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
       .select("band", "sig", "vec_id")
     // hot-bucket guard (off by default) — see TextDedup
     // candidatesFromShingles: buckets past maxBucket are dropped from
     // candidate generation before the quadratic self-join.
-    val bs = (if (maxBucket <= 0) bs0 else {
+    val bs1 = if (maxBucket <= 0) bs0 else {
       val small = bs0.groupBy("band", "sig")
         .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
         .select("band", "sig")
       bs0.join(small, Seq("band", "sig"), "left_semi")
-    }).cache()
+    }
+    val bs = if (materialize) bs1.cache() else bs1
     val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
@@ -207,7 +211,8 @@ object Similarity {
     */
   def ivfPairs(emb: DataFrame, simMilli: Int = 400, k: Int = 8,
       probes: Int = 2, materialize: Boolean = true): DataFrame = {
-    val base = quantized(emb).cache()
+    val base0 = quantized(emb)
+    val base = if (materialize) base0.cache() else base0
     val cents = base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
     val scored = base.crossJoin(broadcast(cents))

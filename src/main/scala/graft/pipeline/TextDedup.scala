@@ -136,15 +136,18 @@ object TextDedup {
     * (localCheckpoint) so the cached shared intermediate can be
     * released before returning — repeated calls in a long-lived
     * session leak nothing. Pass `materialize = false` for the fully
-    * lazy plan (plan inspection / composition); the caller then owns
-    * cache cleanup (`spark.catalog.clearCache()`).
+    * lazy UNCACHED plan (plan inspection / composition; shared
+    * intermediates recompute if it is ever executed) — nothing is
+    * left behind to clean up on either path.
     */
   def nearDuplicates(docs: DataFrame, bands: Int = 4,
       num: Int = 7, den: Int = 10, materialize: Boolean = true,
       maxBucket: Int = 0): DataFrame = {
     // the exploded shingle set feeds signature building AND the
-    // verification joins — one explode, cached
-    val sh = explodedShingles(docs).cache()
+    // verification joins — one explode, cached (eager path only:
+    // a cache on the lazy path would outlive the call = a leak)
+    val sh0 = explodedShingles(docs)
+    val sh = if (materialize) sh0.cache() else sh0
     val cands = candidatesFromShingles(sh, bands, maxBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
@@ -186,13 +189,17 @@ object TextDedup {
       num: Int = 7, den: Int = 10, materialize: Boolean = true,
       maxShingleDf: Int = 0): DataFrame = {
     val shT0 = explodedShingles(train)
-    val shT = (if (maxShingleDf <= 0) shT0 else {
+    val shT1 = if (maxShingleDf <= 0) shT0 else {
       val rare = shT0.groupBy("sh")
         .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxShingleDf)
         .select("sh")
       shT0.join(rare, Seq("sh"), "left_semi")
-    }).cache()
-    val shB = explodedShingles(bench).cache()
+    }
+    // caches only on the eager path (released before returning); the
+    // lazy path stays uncached so nothing leaks — see nearDuplicates
+    val shT = if (materialize) shT1.cache() else shT1
+    val shB0 = explodedShingles(bench)
+    val shB = if (materialize) shB0.cache() else shB0
     val nb = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     val inter = shB.select(col("doc_id").as("bench_id"), col("sh"))
       .join(shT.select(col("doc_id").as("train_id"), col("sh")), Seq("sh"))
