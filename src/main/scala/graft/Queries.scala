@@ -1016,8 +1016,12 @@ object Queries {
     }.mkString(" UNION ALL ")
     s"""mh AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
        bands AS ($bands),
+       bkeep AS (SELECT band, sig FROM (SELECT band, sig, COUNT(*) AS _n FROM bands GROUP BY 1, 2)
+                 WHERE _n <= ${TextDedup.defaultMaxBucket}),
+       bandsk AS (SELECT b.doc_id, b.band, b.sig FROM bands b
+                  JOIN bkeep k ON k.band = b.band AND k.sig = b.sig),
        cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                 FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)"""
+                 FROM bandsk l JOIN bandsk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)"""
   }
 
   private val simhashBitsSql: String = {
@@ -1057,8 +1061,14 @@ object Queries {
        sigs AS (SELECT vec_id, CAST(FLOOR(p / 4) AS BIGINT) AS band,
                        CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS BIGINT) AS sig
                 FROM bits GROUP BY 1, 2),
+       bkeep AS (SELECT band, sig FROM (
+                   SELECT band, sig, _n, SUM(_n) OVER (PARTITION BY band) AS _t
+                   FROM (SELECT band, sig, COUNT(*) AS _n FROM sigs GROUP BY 1, 2))
+                 WHERE _n <= GREATEST(1000, _t / 4)),
+       sigsk AS (SELECT s.vec_id, s.band, s.sig FROM sigs s
+                 JOIN bkeep k ON k.band = s.band AND k.sig = s.sig),
        cands AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-                 FROM sigs l JOIN sigs r ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
+                 FROM sigsk l JOIN sigsk r ON l.band = r.band AND l.sig = r.sig AND l.vec_id < r.vec_id),
        simv AS (SELECT c.a, c.b,
                        CAST(list_sum(list_transform(range(64), i -> ea.q[i+1] * eb.q[i+1])) AS BIGINT)
                          / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
@@ -1101,8 +1111,10 @@ object Queries {
     "p_contamination" ->
       s"""WITH $shinglesSql,
          szb AS (SELECT doc_id, COUNT(*) AS nb FROM shd WHERE doc_id % 50 = 0 GROUP BY 1),
+         shk AS (SELECT sh FROM (SELECT sh, COUNT(*) AS _df FROM shd WHERE doc_id % 50 <> 0 GROUP BY 1)
+                 WHERE _df <= ${TextDedup.defaultMaxShingleDf}),
          ix AS (SELECT sa.doc_id AS bench_id, sb.doc_id AS train_id, COUNT(*) AS inter
-                FROM shd sa JOIN shd sb ON sb.sh = sa.sh
+                FROM shd sa JOIN shd sb ON sb.sh = sa.sh JOIN shk k ON k.sh = sa.sh
                 WHERE sa.doc_id % 50 = 0 AND sb.doc_id % 50 <> 0
                 GROUP BY 1, 2)
          SELECT i.bench_id AS bench_id, i.train_id AS train_id,

@@ -64,6 +64,22 @@ object SelfBaseline {
       .select(col("doc_id"), concat_ws(" ", col("_body"), col("_tail")).as("text"))
   }
 
+  /** the planted-skew corpus: syntheticDocs, except every doc with
+    * id % 10 == 7 (10% of the corpus) carries ONE fixed boilerplate
+    * text — identical shingles, hence identical minhash band
+    * signatures, hence one hot LSH bucket of n/10 members per band:
+    * the boilerplate-cluster skew cliff the hot-bucket guard exists
+    * for. The honest near-dup planting (id % 10 == 1 copies its
+    * predecessor) never overlaps the boilerplate ids, so recall of
+    * real near-dups is measurable under the guard.
+    */
+  def syntheticDocsSkewed(spark: SparkSession, nDocs: Long): DataFrame = {
+    val boiler = (1 to 61).map(i => s"boiler${i % 7}").mkString(" ")
+    syntheticDocs(spark, nDocs).select(col("doc_id"),
+      when(col("doc_id") % 10 === 7, lit(boiler))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** deterministic synthetic embeddings: dim-d float vectors with
     * hash-valued components in [-1, 1)
     */
@@ -156,6 +172,50 @@ object SelfBaseline {
       val (np, annSec) = timed(Similarity.annPairs(emb).count())
       println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np}""")
       docs.unpersist(); emb.unpersist()
+    }
+    // Planted-skew tier (SPARK_GRAFT_SKEW=<nDocs>): a 10% boilerplate
+    // cluster (one hot LSH bucket of n/10 docs per band) drives the
+    // candidate join quadratic when the hot-bucket guard is off, flat
+    // when on (default). Reports candidate counts + wall-clock both
+    // ways, recall of the planted honest near-dups under the guard,
+    // the exact-dedup recovery of the boilerplate cluster, and whether
+    // AQE's skew-join split engages on the uncapped join when it is
+    // forced to shuffle (the 100 TB shape — locally the bands frame
+    // broadcasts, so SMJ + scaled-down skew thresholds emulate it).
+    sys.env.get("SPARK_GRAFT_SKEW").foreach { nStr =>
+      val nDocs = nStr.toLong
+      val docs = syntheticDocsSkewed(spark, nDocs).cache()
+      docs.count()
+      val (cu, cuSec) = timed(TextDedup.lshCandidates(docs, maxBucket = 0).count())
+      val (cc, ccSec2) = timed(TextDedup.lshCandidates(docs).count())
+      val ndUncapped = TextDedup.nearDuplicates(docs, maxBucket = 0)
+      val (ndU, ndUSec) = timed(ndUncapped.count())
+      val ndCapped = TextDedup.nearDuplicates(docs)
+      val (ndC, ndCSec) = timed(ndCapped.count())
+      // recall of the planted honest near-dups must be IDENTICAL with
+      // the guard on — the capped buckets are boilerplate, not near-dups
+      val isPlanted = col("b") === col("a") + 1 && col("b") % 10 === 1
+      val planted = ndCapped.filter(isPlanted).count()
+      val plantedU = ndUncapped.filter(isPlanted).count()
+      val hot = TextDedup.exact(docs).filter(col("cnt") > 1)
+        .agg(max(col("cnt"))).collect()(0).getLong(0)
+      // AQE skew-split probe: force the band join to shuffle and scale
+      // the skew thresholds to local data volume, then look for the
+      // skew=true marker in the final adaptive plan.
+      val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      val probe = TextDedup.lshCandidates(docs, maxBucket = 0)
+      probe.count()
+      val aqeSkew = probe.queryExecution.executedPlan.toString.contains("skew=true")
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      println(f"""{"skew_docs":$nDocs,"hot_cluster":$hot,"cand_uncapped":$cu,"cand_uncapped_sec":$cuSec%.2f,"cand_capped":$cc,"cand_capped_sec":$ccSec2%.2f,"nd_uncapped":$ndU,"nd_uncapped_sec":$ndUSec%.2f,"nd_capped":$ndC,"nd_capped_sec":$ndCSec%.2f,"planted_recovered":$planted,"planted_uncapped":$plantedU,"aqe_skew_split":$aqeSkew}""")
+      docs.unpersist()
     }
     spark.stop()
   }

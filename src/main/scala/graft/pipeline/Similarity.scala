@@ -111,10 +111,22 @@ object Similarity {
     * the sign dots and collapses every vector into one bucket (an n²
     * candidate join). By default it is derived from the data (one
     * 1-row peek), so only explicit overrides can get it wrong.
+    *
+    * `maxBucket` (default -1 = AUTO): unlike the MinHash band space
+    * (md5 — honest buckets are true near-dup clusters, a fixed cap
+    * applies), hyperplane LSH has only 2^rowsPerBand buckets per band,
+    * so bucket occupancy ~n/2^r is STRUCTURAL and a fixed cap would
+    * wrongly empty the index at corpus scale — the scale lever there
+    * is rowsPerBand, not a cap. What a guard must catch is
+    * *collapse*: a dims mismatch or a degenerate embedding column
+    * landing everything in one bucket and turning the self-join n².
+    * AUTO caps a band bucket at max(1000, n/4) — 4× the uniform
+    * occupancy at rowsPerBand=4, a level no healthy hyperplane split
+    * reaches but any collapse does. 0 disables; >0 is an explicit cap.
     */
   def annPairs(emb: DataFrame, simMilli: Int = 400, bands: Int = 4,
       rowsPerBand: Int = 4, dims: Int = -1,
-      materialize: Boolean = true, maxBucket: Int = 0): DataFrame = {
+      materialize: Boolean = true, maxBucket: Int = -1): DataFrame = {
     val d =
       if (dims > 0) dims
       else emb.select(size(col("embedding"))).head(1)
@@ -128,14 +140,20 @@ object Similarity {
     val base = if (materialize) base0.cache() else base0
     val bs0 = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
       .select("band", "sig", "vec_id")
-    // hot-bucket guard (off by default) — see TextDedup
-    // candidatesFromShingles: buckets past maxBucket are dropped from
-    // candidate generation before the quadratic self-join.
-    val bs1 = if (maxBucket <= 0) bs0 else {
-      val small = bs0.groupBy("band", "sig")
-        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
-        .select("band", "sig")
-      bs0.join(small, Seq("band", "sig"), "left_semi")
+    // collapse guard (default AUTO — see scaladoc): buckets past the
+    // cap are dropped from candidate generation before the quadratic
+    // self-join. The bucket-stats frame is bands × 2^rowsPerBand rows,
+    // so the per-band total (a window over it) is driver-cheap.
+    val bs1 = if (maxBucket == 0) bs0 else {
+      val stats = bs0.groupBy("band", "sig").agg(count(lit(1)).as("_n"))
+      val capped =
+        if (maxBucket > 0) stats.filter(col("_n") <= maxBucket)
+        else {
+          val perBand = Window.partitionBy("band")
+          stats.withColumn("_t", sum(col("_n")).over(perBand))
+            .filter(col("_n") <= greatest(lit(1000L), col("_t") / 4))
+        }
+      bs0.join(capped.select("band", "sig"), Seq("band", "sig"), "left_semi")
     }
     val bs = if (materialize) bs1.cache() else bs1
     val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
@@ -189,7 +207,7 @@ object Similarity {
     */
   def embeddingNearDuplicates(emb: DataFrame, simMilli: Int = 400,
       bands: Int = 4, rowsPerBand: Int = 4, dims: Int = -1,
-      materialize: Boolean = true, maxBucket: Int = 0): DataFrame =
+      materialize: Boolean = true, maxBucket: Int = -1): DataFrame =
     annPairs(emb, simMilli, bands, rowsPerBand, dims, materialize, maxBucket)
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"), count(lit(1)).as("n_dups"))

@@ -99,23 +99,49 @@ object TextDedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Default hot-bucket cap: a MinHash band signature is an md5 over
+    * the band's minhashes (a 128-bit space), so an honest bucket is a
+    * true near-dup cluster — typically a handful of docs, never
+    * thousands. A bucket past this cap is boilerplate (headers,
+    * license blocks, empty docs): it carries no near-dup information
+    * and its B(B-1)/2 pair expansion is the classic 100 TB dedup skew
+    * cliff. Measured on a planted 10% boilerplate cluster at the
+    * 20k-doc tier (BASELINE_SELF.md skew table): uncapped the hot
+    * bucket alone contributes ~2M candidate pairs; capped the profile
+    * stays flat and every planted honest near-dup is still recovered
+    * (PipelineSpec).
+    */
+  val defaultMaxBucket = 1000
+
+  /** Default stop-shingle cap for [[contamination]]: a 3-word shingle
+    * shared by more than this many TRAIN documents is corpus
+    * boilerplate, not contamination signal, and is the shingle join's
+    * only skew risk (its join fan-out is df_train × df_bench). A
+    * genuine benchmark item's shingles are rare by construction —
+    * that's why decontamination works at all — so the cap costs no
+    * recall on real contamination while bounding the join's per-key
+    * fan-out at corpus scale.
+    */
+  val defaultMaxShingleDf = 1000
+
   /** candidate pairs (a < b) sharing at least one LSH band — an
-    * equi-join on (band, sig), never all-pairs.
+    * equi-join on (band, sig), never all-pairs. `maxBucket = 0`
+    * disables the hot-bucket guard (see [[defaultMaxBucket]]).
     */
   def lshCandidates(docs: DataFrame, bands: Int = 4,
-      maxBucket: Int = 0): DataFrame =
+      maxBucket: Int = defaultMaxBucket): DataFrame =
     candidatesFromShingles(explodedShingles(docs), bands, maxBucket)
 
   private def candidatesFromShingles(sh: DataFrame, bands: Int,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int): DataFrame = {
     val bs0 = bandsFromShingles(sh, bands)
-    // hot-bucket guard (off by default): a band bucket with B members
-    // expands to B(B-1)/2 pairs, so one boilerplate cluster (headers,
-    // license blocks, empty docs) turns the equi-join quadratic — the
-    // classic 100 TB dedup skew cliff. Capping drops buckets larger
-    // than maxBucket from CANDIDATE GENERATION only (standard practice
-    // in large-corpus dedup: an over-common signature carries no
-    // near-dup information; such clusters are handled by exact dedup).
+    // hot-bucket guard (default ON, cap = defaultMaxBucket): a band
+    // bucket with B members expands to B(B-1)/2 pairs, so one
+    // boilerplate cluster turns the equi-join quadratic. Capping drops
+    // buckets larger than maxBucket from CANDIDATE GENERATION only
+    // (standard practice in large-corpus dedup: an over-common
+    // signature carries no near-dup information; such clusters are
+    // handled by exact dedup).
     val bs = if (maxBucket <= 0) bs0 else {
       val small = bs0.groupBy("band", "sig")
         .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
@@ -142,7 +168,7 @@ object TextDedup {
     */
   def nearDuplicates(docs: DataFrame, bands: Int = 4,
       num: Int = 7, den: Int = 10, materialize: Boolean = true,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     // the exploded shingle set feeds signature building AND the
     // verification joins — one explode, cached (eager path only:
     // a cache on the lazy path would outlive the call = a leak)
@@ -179,15 +205,16 @@ object TextDedup {
     * construction (equi-join on the shingle hash); work scales with
     * shared-shingle collisions, never |bench|×|train|.
     *
-    * `maxShingleDf` (off when 0): drop shingles appearing in more than
-    * that many TRAIN docs before the join — the stop-shingle guard
-    * ("of the and" appears everywhere, carries no contamination signal,
-    * and is the join's only skew risk at corpus scale).
+    * `maxShingleDf` (default [[defaultMaxShingleDf]]; 0 disables):
+    * drop shingles appearing in more than that many TRAIN docs before
+    * the join — the stop-shingle guard ("of the and" appears
+    * everywhere, carries no contamination signal, and is the join's
+    * only skew risk at corpus scale).
     * Output (bench_id, train_id, inter, nb).
     */
   def contamination(train: DataFrame, bench: DataFrame,
       num: Int = 7, den: Int = 10, materialize: Boolean = true,
-      maxShingleDf: Int = 0): DataFrame = {
+      maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
     val shT0 = explodedShingles(train)
     val shT1 = if (maxShingleDf <= 0) shT0 else {
       val rare = shT0.groupBy("sh")

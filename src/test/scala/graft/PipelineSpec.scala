@@ -42,8 +42,8 @@ class PipelineSpec extends SparkSpec {
       (100L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
       (101L, "the quick brown fox jumps over the lazy dog near the old river bank now"))
     val corpus = spark.createDataFrame(boiler ++ pair).toDF("doc_id", "text")
-    // uncapped: the boilerplate cluster dominates the candidate set
-    val uncapped = TextDedup.nearDuplicates(corpus)
+    // guard disabled: the boilerplate cluster dominates the candidate set
+    val uncapped = TextDedup.nearDuplicates(corpus, maxBucket = 0)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.size >= 435 + 1)
     // capped at 10: boilerplate buckets (30 members) are dropped; the
@@ -57,6 +57,47 @@ class PipelineSpec extends SparkSpec {
       expr("transform(sequence(0, 15), d -> float(1.0))").as("embedding"))
     assert(Similarity.annPairs(emb).count() == 190L) // 20 choose 2
     assert(Similarity.annPairs(emb, maxBucket = 10).count() == 0L)
+  }
+
+  test("skew guards engage by DEFAULT past their caps; honest work is untouched") {
+    // a boilerplate cluster one past defaultMaxBucket: the DEFAULT
+    // nearDuplicates call must drop it from candidate generation while
+    // still returning the honest near-dup pair (exact dedup owns the
+    // identical cluster instead)
+    val n = TextDedup.defaultMaxBucket + 1
+    val boiler = (0L until n.toLong).map(i =>
+      (i, "standard license header text repeated across every file in the corpus verbatim"))
+    val pair = Seq(
+      (9000L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (9001L, "the quick brown fox jumps over the lazy dog near the old river bank now"))
+    val corpus = spark.createDataFrame(boiler ++ pair).toDF("doc_id", "text")
+    val nd = TextDedup.nearDuplicates(corpus)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((9000L, 9001L)))
+    val ex = TextDedup.exact(corpus).filter(col("cnt") === n.toLong).collect()
+    assert(ex.length == 1 && ex(0).getAs[Long]("keep_id") == 0L)
+    // annPairs AUTO collapse guard: every vector identical → each band
+    // bucket holds the whole corpus (> max(1000, n/4)) → dropped; with
+    // the guard off the same corpus would self-join quadratically
+    val m = 4000L
+    val emb = spark.range(m).select(col("id").cast("long").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> float(1.0))").as("embedding"))
+    assert(Similarity.annPairs(emb).count() == 0L)
+    // contamination stop-shingle guard by DEFAULT: a bench doc made
+    // only of corpus-boilerplate shingles (df > defaultMaxShingleDf)
+    // is not flagged; a genuinely embedded bench item still is
+    val df = TextDedup.defaultMaxShingleDf + 1
+    val train = spark.range(df).select(col("id").cast("long").as("doc_id"),
+      concat(lit("the quick brown fox unique"), col("id"),
+        lit(" tail"), col("id")).as("text"))
+      .unionByName(spark.createDataFrame(Seq(
+        (8000L, "preamble words here rare benchmark question about columnar shuffles exactly trailing content"))).toDF("doc_id", "text"))
+    val bench = spark.createDataFrame(Seq(
+      (5000L, "the quick brown fox"), // all shingles are stop-shingles
+      (5001L, "rare benchmark question about columnar shuffles exactly"))).toDF("doc_id", "text")
+    val hits = TextDedup.contamination(train, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((5001L, 8000L)))
   }
 
   test("contamination: cross-corpus containment flags embedded benchmark items") {
