@@ -14,6 +14,7 @@ object Bench {
   private def mkSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.local.dir", LocalDirs.sparkLocalDir)
     .config("spark.ui.enabled", "false")
     // C/numpy-style wrap-around + null semantics (GraphBLAS reference
     // behavior); ANSI mode would throw on narrowing-cast overflow

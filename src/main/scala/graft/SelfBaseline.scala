@@ -100,6 +100,7 @@ object SelfBaseline {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()

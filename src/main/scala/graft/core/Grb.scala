@@ -204,15 +204,32 @@ final class GrbVector(val df: DataFrame, val size: Long,
   private def carried(preserve: Boolean): Option[GrbType] =
     if (preserve) declared else None
 
-  def apply(op: UnaryOp): GrbVector =
-    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"))).as("v")),
-      size, carried(op.preserve))
-  def applyLeft(op: BinaryOp, left: Column): GrbVector =
-    new GrbVector(df.select(col("i"), keepType(op.preserve, op(left, col("v"))).as("v")),
-      size, carried(op.preserve))
-  def applyRight(op: BinaryOp, right: Column): GrbVector =
-    new GrbVector(df.select(col("i"), keepType(op.preserve, op(col("v"), right)).as("v")),
-      size, carried(op.preserve))
+  /** declared label of an apply result: kept when the op preserves the
+    * domain, or — with unsigned tracking in play — when the output's
+    * physical type still equals this dtype's representation (the same
+    * rule promotedDeclared applies to ewise results, so
+    * apply(plus, 1) on UINT64 keeps the label exactly like ewise_add)
+    */
+  private def carriedOut(preserve: Boolean, out: DataFrame): Option[GrbType] =
+    if (preserve) declared
+    else if (declared.nonEmpty && out.schema("v").dataType == dtype.spark) declared
+    else None
+
+  def apply(op: UnaryOp): GrbVector = {
+    val outDF = df.select(col("i"), keepType(op.preserve, op(col("v"))).as("v"))
+    val d = carriedOut(op.preserve, outDF)
+    new GrbVector(Grb.uintGuard(outDF, d), size, d)
+  }
+  def applyLeft(op: BinaryOp, left: Column): GrbVector = {
+    val outDF = df.select(col("i"), keepType(op.preserve, op(left, col("v"))).as("v"))
+    val d = carriedOut(op.preserve, outDF)
+    new GrbVector(Grb.uintGuard(outDF, d), size, d)
+  }
+  def applyRight(op: BinaryOp, right: Column): GrbVector = {
+    val outDF = df.select(col("i"), keepType(op.preserve, op(col("v"), right)).as("v"))
+    val d = carriedOut(op.preserve, outDF)
+    new GrbVector(Grb.uintGuard(outDF, d), size, d)
+  }
   /** bind a LAZY scalar as the right operand (reference: lazy Scalar in
     * apply, tests/test_vector.py:269-369) — broadcast crossJoin with the
     * ≤1-row scalar frame, no driver materialization.
@@ -262,7 +279,8 @@ final class GrbVector(val df: DataFrame, val size: Long,
     val out = op(col("v"), col("_bv"))
     val outC = if (op.preserve) out.cast(promotedSpark(other)) else out
     val outDF = df.join(b, KEYS).select(col("i"), outC.as("v"))
-    new GrbVector(outDF, size, promotedDeclared(other, op.preserve, outDF))
+    val pd = promotedDeclared(other, op.preserve, outDF)
+    new GrbVector(Grb.uintGuard(outDF, pd), size, pd)
   }
 
   /** union of structures; op where both present (vector.py:360-363).
@@ -295,7 +313,8 @@ final class GrbVector(val df: DataFrame, val size: Long,
     val outDF = joined.select(col("i"),
       when(col("_av").isNotNull && col("_bv").isNotNull, outC)
         .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v"))
-    new GrbVector(outDF, size, promotedDeclared(other, op.preserve, outDF))
+    val pd = promotedDeclared(other, op.preserve, outDF)
+    new GrbVector(Grb.uintGuard(outDF, pd), size, pd)
   }
 
   // ---- products (SURVEY §2.5) ----
@@ -345,7 +364,8 @@ final class GrbVector(val df: DataFrame, val size: Long,
   def reduce(m: Monoid): GrbScalar = {
     val agged = m.agg(col("v"))
     val aggC = if (m.preserve) agged.cast(dtype.spark) else agged
-    new GrbScalar(df.agg(aggC.as("v")).filter(col("v").isNotNull),
+    new GrbScalar(Grb.uintGuard(
+      df.agg(aggC.as("v")).filter(col("v").isNotNull), carried(m.preserve)),
       carried(m.preserve))
   }
 
@@ -684,18 +704,30 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     else None
   }
 
-  def apply(op: UnaryOp): GrbMatrix =
-    new GrbMatrix(df.select(col("i"), col("j"),
-      keepType(op.preserve, op(col("v"))).as("v")), nrows, ncols,
-      carried(op.preserve))
-  def applyLeft(op: BinaryOp, left: Column): GrbMatrix =
-    new GrbMatrix(df.select(col("i"), col("j"),
-      keepType(op.preserve, op(left, col("v"))).as("v")), nrows, ncols,
-      carried(op.preserve))
-  def applyRight(op: BinaryOp, right: Column): GrbMatrix =
-    new GrbMatrix(df.select(col("i"), col("j"),
-      keepType(op.preserve, op(col("v"), right)).as("v")), nrows, ncols,
-      carried(op.preserve))
+  /** see GrbVector.carriedOut — the same label-retention rule */
+  private def carriedOut(preserve: Boolean, out: DataFrame): Option[GrbType] =
+    if (preserve) declared
+    else if (declared.nonEmpty && out.schema("v").dataType == dtype.spark) declared
+    else None
+
+  def apply(op: UnaryOp): GrbMatrix = {
+    val outDF = df.select(col("i"), col("j"),
+      keepType(op.preserve, op(col("v"))).as("v"))
+    val d = carriedOut(op.preserve, outDF)
+    new GrbMatrix(Grb.uintGuard(outDF, d), nrows, ncols, d)
+  }
+  def applyLeft(op: BinaryOp, left: Column): GrbMatrix = {
+    val outDF = df.select(col("i"), col("j"),
+      keepType(op.preserve, op(left, col("v"))).as("v"))
+    val d = carriedOut(op.preserve, outDF)
+    new GrbMatrix(Grb.uintGuard(outDF, d), nrows, ncols, d)
+  }
+  def applyRight(op: BinaryOp, right: Column): GrbMatrix = {
+    val outDF = df.select(col("i"), col("j"),
+      keepType(op.preserve, op(col("v"), right)).as("v"))
+    val d = carriedOut(op.preserve, outDF)
+    new GrbMatrix(Grb.uintGuard(outDF, d), nrows, ncols, d)
+  }
   /** positional: value = row index (positioni) or col index (positionj) */
   def applyPositional(rowIndex: Boolean): GrbMatrix =
     new GrbMatrix(df.select(col("i"), col("j"),
@@ -712,8 +744,8 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val out = op(col("v"), col("_bv"))
     val outC = if (op.preserve) out.cast(GrbType.promote(dtype, other.dtype).spark) else out
     val outDF = df.join(b, KEYS).select(col("i"), col("j"), outC.as("v"))
-    new GrbMatrix(outDF, nrows, ncols,
-      promotedDeclared(other, op.preserve, outDF))
+    val pd = promotedDeclared(other, op.preserve, outDF)
+    new GrbMatrix(Grb.uintGuard(outDF, pd), nrows, ncols, pd)
   }
 
   /** see GrbVector.ewiseAdd for the `requireMonoid` contract */
@@ -734,8 +766,8 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val outDF = joined.select(col("i"), col("j"),
       when(col("_av").isNotNull && col("_bv").isNotNull, outC)
         .otherwise(coalesce(col("_av"), col("_bv")).cast(outType)).as("v"))
-    new GrbMatrix(outDF, nrows, ncols,
-      promotedDeclared(other, op.preserve, outDF))
+    val pd = promotedDeclared(other, op.preserve, outDF)
+    new GrbMatrix(Grb.uintGuard(outDF, pd), nrows, ncols, pd)
   }
 
   // ---- products (SURVEY §2.5: the heart of the engine) ----
@@ -824,8 +856,9 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     new GrbVector(df.groupBy("j").agg(aggPreserve(m).as("v"))
       .withColumnRenamed("j", "i"), ncols)
   def reduceScalar(m: Monoid): GrbScalar =
-    new GrbScalar(df.agg(aggPreserve(m).as("v")).filter(col("v").isNotNull),
-      carried(m.preserve))
+    new GrbScalar(Grb.uintGuard(
+      df.agg(aggPreserve(m).as("v")).filter(col("v").isNotNull),
+      carried(m.preserve)), carried(m.preserve))
   def reduceScalarInto(target: GrbScalar, m: Monoid, accum: Option[BinaryOp]): GrbScalar =
     target.merge(reduceScalar(m), accum)
 
@@ -1111,4 +1144,28 @@ object Grb {
     * beyond it AQE still broadcasts at runtime when stats allow
     */
   val BroadcastGuard: Long = 32L * 1000 * 1000
+
+  /** Opt-in checked mode for UINT64 arithmetic. UINT64 is stored in a
+    * signed long (Spark has no unsigned types — documented deviation,
+    * Types.scala), so a genuine value past 2⁶³−1 wraps negative
+    * SILENTLY under the default C-wrap semantics. With this flag on,
+    * any operator result declared UINT64 that materializes a negative
+    * long raises instead (one codegen'd comparison per row — no plan
+    * change). Default off = the reference's C-wrap behavior.
+    */
+  @volatile var checkedUint64: Boolean = false
+
+  /** wrap a result frame's value column with the overflow check when
+    * checked mode is on and the result's declared dtype is UINT64
+    */
+  private[core] def uintGuard(out: DataFrame,
+      declared: Option[GrbType]): DataFrame =
+    if (checkedUint64 && declared.contains(GrbType.UINT64))
+      out.withColumn("v",
+        when(col("v") < 0, raise_error(concat(
+          lit("UINT64 overflow: value wrapped past 2^63-1 (stored as "),
+          col("v").cast("string"),
+          lit("); rerun with Grb.checkedUint64=false for C-wrap semantics"))))
+          .otherwise(col("v")))
+    else out
 }

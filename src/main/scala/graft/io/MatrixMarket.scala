@@ -221,12 +221,24 @@ object MatrixMarket {
     new GrbMatrix(coords, h.nrows, h.ncols, declared)
   }
 
-  /** write coordinate-format MM: header + 1-based triples. Single text
-    * file via coalesce(1) (matching to_MMfile's final concatenation,
-    * matrix.py:1005-1064); large matrices should prefer the Parquet
-    * sink (ParquetIO) — MM is an exchange format, not a scale format.
+  /** write coordinate-format MM: header + 1-based triples, sorted by
+    * (i, j). The sort is distributed either way; what varies is the
+    * text-write fan-in:
+    *   - small outputs (nnz ≤ singlePartMax): coalesce(1) — one part
+    *     file, header stitched in front (one task, no concat loop);
+    *   - large outputs: every sort partition writes its own part file
+    *     IN PARALLEL (orderBy range-partitions, so part-file name
+    *     order IS global row order), then the driver streams header +
+    *     parts into the final file — the reference's own
+    *     parallel-write-then-concatenate strategy
+    *     (matrix.py:75-112,1005-1064). The concat is sequential
+    *     byte-copy I/O, not a sort — the scale-sensitive work stays
+    *     distributed.
+    * Matrices at data scale should still prefer the Parquet sink
+    * (ParquetIO) — MM is an exchange format, not a scale format.
     */
-  def write(m: GrbMatrix, path: String): Unit = {
+  def write(m: GrbMatrix, path: String,
+      singlePartMax: Long = 8L * 1000 * 1000): Unit = {
     val field = m.dtype match {
       case GrbType.FP32 | GrbType.FP64 => "real"
       case GrbType.FC64                => "complex"
@@ -244,16 +256,22 @@ object MatrixMarket {
       .orderBy("i", "j")
       .select(concat_ws(" ", (Seq(col("i") + 1, col("j") + 1) ++ vOut): _*).as("value"))
     val tmp = path + ".tmp"
-    lines.coalesce(1).write.mode(SaveMode.Overwrite).text(tmp)
-    // stitch header + single part file into the final path
+    val sink = if (nnz <= singlePartMax) lines.coalesce(1) else lines
+    sink.write.mode(SaveMode.Overwrite).text(tmp)
+    // stitch header + part files (sorted by name = global row order,
+    // since orderBy range-partitions) into the final path
     val fs = org.apache.hadoop.fs.FileSystem.get(
       m.spark.sparkContext.hadoopConfiguration)
-    val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*")).head.getPath
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*"))
+      .map(_.getPath).sortBy(_.getName)
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     out.write((header + "\n").getBytes("UTF-8"))
-    val in = fs.open(part)
-    org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-    in.close(); out.close()
+    parts.foreach { part =>
+      val in = fs.open(part)
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      in.close()
+    }
+    out.close()
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 }

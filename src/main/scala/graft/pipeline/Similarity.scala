@@ -138,24 +138,28 @@ object Similarity {
     // lazy path stays uncached so nothing leaks.
     val base0 = quantized(emb)
     val base = if (materialize) base0.cache() else base0
+    // the band-signature frame feeds the guard's bucket stats AND both
+    // sides of the candidate self-join — cached (eager path) so the
+    // hyperplane dots run once.
     val bs0 = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
       .select("band", "sig", "vec_id")
+    val bsC = if (materialize) bs0.cache() else bs0
     // collapse guard (default AUTO — see scaladoc): buckets past the
     // cap are dropped from candidate generation before the quadratic
-    // self-join. The bucket-stats frame is bands × 2^rowsPerBand rows,
-    // so the per-band total (a window over it) is driver-cheap.
-    val bs1 = if (maxBucket == 0) bs0 else {
-      val stats = bs0.groupBy("band", "sig").agg(count(lit(1)).as("_n"))
-      val capped =
-        if (maxBucket > 0) stats.filter(col("_n") <= maxBucket)
-        else {
-          val perBand = Window.partitionBy("band")
-          stats.withColumn("_t", sum(col("_n")).over(perBand))
-            .filter(col("_n") <= greatest(lit(1000L), col("_t") / 4))
-        }
-      bs0.join(capped.select("band", "sig"), Seq("band", "sig"), "left_semi")
+    // self-join. Bucket size is a window count over the SAME
+    // (band, sig) partitioning the candidate join shuffles on — one
+    // pass, no stats side-plan recomputing the hyperplane dots. The
+    // AUTO cap needs the corpus total: a 1-row count aggregate
+    // broadcast onto every row (not a per-band window, which would
+    // buffer a whole band partition — n rows — per task at scale).
+    val bs = if (maxBucket == 0) bsC else {
+      val withN = bsC.withColumn("_n",
+        count(lit(1)).over(Window.partitionBy("band", "sig")))
+      if (maxBucket > 0) withN.filter(col("_n") <= maxBucket).drop("_n")
+      else withN.crossJoin(broadcast(emb.agg(count(lit(1)).as("_t"))))
+        .filter(col("_n") <= greatest(lit(1000L), col("_t") / 4))
+        .drop("_n", "_t")
     }
-    val bs = if (materialize) bs1.cache() else bs1
     val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
@@ -168,7 +172,7 @@ object Similarity {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      bs.unpersist(false)
+      bsC.unpersist(false)
       base.unpersist(false)
       out
     }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.expressions.Window
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -130,24 +131,32 @@ object TextDedup {
     */
   def lshCandidates(docs: DataFrame, bands: Int = 4,
       maxBucket: Int = defaultMaxBucket): DataFrame =
-    candidatesFromShingles(explodedShingles(docs), bands, maxBucket)
+    candidatesFromBands(
+      bandsFromShingles(explodedShingles(docs), bands), maxBucket)
 
-  private def candidatesFromShingles(sh: DataFrame, bands: Int,
+  /** hot-bucket guard (default ON, cap = defaultMaxBucket) + the
+    * candidate self-join. A band bucket with B members expands to
+    * B(B-1)/2 pairs, so one boilerplate cluster turns the equi-join
+    * quadratic. Capping drops buckets larger than maxBucket from
+    * CANDIDATE GENERATION only (standard practice in large-corpus
+    * dedup: an over-common signature carries no near-dup information;
+    * such clusters are handled by exact dedup).
+    *
+    * The bucket size comes from a window count over the SAME
+    * (band, sig) partitioning the candidate join shuffles on anyway —
+    * zero extra passes over the signature pipeline. (Expressing the
+    * guard as a stats-aggregate + anti-join re-planned the whole
+    * minhash pipeline once more per join side on the lazy path —
+    * plan-audited in round 6.) The window buffers one bucket per
+    * task — linear in bucket size, and the over-cap buckets it has to
+    * buffer are precisely the rows dropped immediately after.
+    */
+  private def candidatesFromBands(bs0: DataFrame,
       maxBucket: Int): DataFrame = {
-    val bs0 = bandsFromShingles(sh, bands)
-    // hot-bucket guard (default ON, cap = defaultMaxBucket): a band
-    // bucket with B members expands to B(B-1)/2 pairs, so one
-    // boilerplate cluster turns the equi-join quadratic. Capping drops
-    // buckets larger than maxBucket from CANDIDATE GENERATION only
-    // (standard practice in large-corpus dedup: an over-common
-    // signature carries no near-dup information; such clusters are
-    // handled by exact dedup).
-    val bs = if (maxBucket <= 0) bs0 else {
-      val small = bs0.groupBy("band", "sig")
-        .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
-        .select("band", "sig")
-      bs0.join(small, Seq("band", "sig"), "left_semi")
-    }
+    val bs = if (maxBucket <= 0) bs0 else
+      bs0.withColumn("_n",
+          count(lit(1)).over(Window.partitionBy("band", "sig")))
+        .filter(col("_n") <= maxBucket).drop("_n")
     val l = bs.select(col("band"), col("sig"), col("doc_id").as("a"))
     val r = bs.select(col("band"), col("sig"), col("doc_id").as("b"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
@@ -171,10 +180,15 @@ object TextDedup {
       maxBucket: Int = defaultMaxBucket): DataFrame = {
     // the exploded shingle set feeds signature building AND the
     // verification joins — one explode, cached (eager path only:
-    // a cache on the lazy path would outlive the call = a leak)
+    // a cache on the lazy path would outlive the call = a leak).
+    // The bands frame likewise feeds the guard's bucket stats AND the
+    // candidate join, so it is cached too — the minhash signature agg
+    // (the dominant cost) runs once, not twice.
     val sh0 = explodedShingles(docs)
     val sh = if (materialize) sh0.cache() else sh0
-    val cands = candidatesFromShingles(sh, bands, maxBucket)
+    val bs0 = bandsFromShingles(sh, bands)
+    val bs = if (materialize && maxBucket > 0) bs0.cache() else bs0
+    val cands = candidatesFromBands(bs, maxBucket)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
@@ -189,6 +203,7 @@ object TextDedup {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
+      if (maxBucket > 0) bs.unpersist(false)
       sh.unpersist(false)
       out
     }
@@ -215,16 +230,16 @@ object TextDedup {
   def contamination(train: DataFrame, bench: DataFrame,
       num: Int = 7, den: Int = 10, materialize: Boolean = true,
       maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
-    val shT0 = explodedShingles(train)
-    val shT1 = if (maxShingleDf <= 0) shT0 else {
-      val rare = shT0.groupBy("sh")
-        .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxShingleDf)
-        .select("sh")
-      shT0.join(rare, Seq("sh"), "left_semi")
-    }
     // caches only on the eager path (released before returning); the
-    // lazy path stays uncached so nothing leaks — see nearDuplicates
-    val shT = if (materialize) shT1.cache() else shT1
+    // lazy path stays uncached so nothing leaks — see nearDuplicates.
+    // The stop-shingle guard is a window count over the SAME sh key
+    // the contamination join shuffles on — one pass, no stats
+    // side-plan re-running the explode.
+    val shT0 = explodedShingles(train)
+    val shTr = if (materialize) shT0.cache() else shT0
+    val shT = if (maxShingleDf <= 0) shTr else
+      shTr.withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("_df") <= maxShingleDf).drop("_df")
     val shB0 = explodedShingles(bench)
     val shB = if (materialize) shB0.cache() else shB0
     val nb = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
@@ -238,7 +253,7 @@ object TextDedup {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      shT.unpersist(false); shB.unpersist(false)
+      shTr.unpersist(false); shB.unpersist(false)
       out
     }
   }

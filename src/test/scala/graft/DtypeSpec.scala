@@ -90,4 +90,38 @@ class DtypeSpec extends SparkSpec {
     // ewise promotion keeps the unsigned label when both sides carry it
     assert(v.ewiseMult(v, Ops.pair).dtype == GrbType.UINT64)
   }
+
+  test("checked UINT64 mode raises on wrap; default mode keeps C-wrap") {
+    val top = Long.MaxValue
+    val v = GrbVector.fromValues(spark,
+      Seq((0L, top), (1L, 1L)), GrbType.UINT64, 2L)
+    // default (checked off): wrap is silent — the documented deviation
+    assert(!Grb.checkedUint64)
+    assert(v.reduce(Ops.plusMonoid).value.get == Long.MinValue)
+    assert(v.applyRight(Ops.plus, org.apache.spark.sql.functions.lit(1L))
+      .toValues.map(_._2).contains(Long.MinValue: Any))
+    def overflowRaised(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+        .exists(t => Option(t.getMessage).exists(_.contains("UINT64 overflow")))
+    Grb.checkedUint64 = true
+    try {
+      // same computations now raise instead of wrapping
+      assert(overflowRaised(intercept[Exception](v.reduce(Ops.plusMonoid).value)))
+      assert(overflowRaised(intercept[Exception](
+        v.applyRight(Ops.plus, org.apache.spark.sql.functions.lit(1L)).toValues)))
+      assert(overflowRaised(intercept[Exception](v.ewiseAdd(v, Ops.plus).toValues)))
+      // in-range UINT64 arithmetic is untouched by the guard
+      val small = GrbVector.fromValues(spark,
+        Seq((0L, 10L), (1L, 20L)), GrbType.UINT64, 2L)
+      assert(small.reduce(Ops.plusMonoid).value.get == 30L)
+      assert(small.ewiseAdd(small, Ops.plus).toValues
+        .map(_._2).toSet == Set(20L: Any, 40L: Any))
+      // INT64 stays pure C-wrap even in checked mode (the flag is
+      // scoped to the UINT64 representation deviation)
+      val i64 = GrbVector.fromValues(spark,
+        Seq((0L, top)), GrbType.INT64, 1L)
+      assert(i64.applyRight(Ops.plus, org.apache.spark.sql.functions.lit(1L))
+        .toValues.map(_._2) == Seq(Long.MinValue: Any))
+    } finally Grb.checkedUint64 = false
+  }
 }

@@ -134,4 +134,24 @@ class MatrixMarketSpec extends SparkSpec {
     val m1 = MatrixMarket.read(spark, out)
     assert(m0.isequal(m1))
   }
+
+  test("parallel multi-part write round-trips and preserves global (i, j) order") {
+    // 200 entries, singlePartMax = 10 → the parallel path: each sort
+    // partition writes its own part file, driver concatenates
+    import org.apache.spark.sql.functions._
+    val df = spark.range(200).select(
+      (col("id") % 20).as("i"), floor(col("id") / 20).cast("long").as("j"),
+      (col("id") * 3 % 17).cast("long").as("v"))
+    val m0 = GrbMatrix.fromDF(df, 20L, 10L)
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft-mm-multipart.mtx").toString
+    MatrixMarket.write(m0, out, singlePartMax = 10L)
+    val m1 = MatrixMarket.read(spark, out, GrbType.INT64)
+    assert(m1.nvals == 200L && m0.isequal(m1))
+    // body must be globally sorted by (i, j) — the MM convention the
+    // single-part writer guaranteed
+    import scala.jdk.CollectionConverters._
+    val body = Files.readAllLines(Paths.get(out)).asScala.toSeq.drop(3)
+      .map { l => val t = l.split(" "); (t(0).toLong, t(1).toLong) }
+    assert(body == body.sorted)
+  }
 }

@@ -11,6 +11,7 @@ object TestSession {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // C/numpy-style wrap-around + null semantics (GraphBLAS reference
