@@ -11,9 +11,21 @@ import java.nio.file.{Files, Paths}
   * (same JVM); the per-session parquet-footer read is untimed.
   */
 object Bench {
+  /** Shuffle partitions = 4× cores, not 1×: measured on the A·A square
+    * (the suite's heaviest agg, ~640M product rows at sf0.1), 32
+    * partitions put ~20M rows in each task's aggregation hash — heap
+    * pressure, spill, GC churn: 42 s and degrading across reps; 128
+    * partitions keep per-task state comfortably in heap: 11 s, stable
+    * (PERF_NOTES §5). AQE's coalescePartitions (on by default) merges
+    * small stages back down, so light queries pay nothing for the
+    * higher initial number — exactly the sizing rule a 100 TB cluster
+    * run needs (partition count follows per-task STATE, not core
+    * count).
+    */
   private def mkSession(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 4).toString))
     .config("spark.local.dir", LocalDirs.sparkLocalDir)
     .config("spark.ui.enabled", "false")
     // C/numpy-style wrap-around + null semantics (GraphBLAS reference

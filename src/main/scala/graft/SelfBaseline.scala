@@ -99,7 +99,9 @@ object SelfBaseline {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× cores: per-task agg state must fit heap — see Bench.mkSession
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 4).toString))
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
