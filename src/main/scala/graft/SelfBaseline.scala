@@ -102,13 +102,23 @@ object SelfBaseline {
       // 4× cores: per-task agg state must fit heap — see Bench.mkSession
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 4).toString))
+      // single-JVM local mode: heavy stages monopolize the same threads
+      // that serve executor heartbeats; at the 100M-edge tier the
+      // default 10s heartbeat misses repeatedly and the executor gets
+      // declared dead mid-job (observed: RpcEndpointNotFoundException
+      // after ~28 min). A real cluster separates these JVMs; locally,
+      // widen the windows.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
-      else Seq(1000000L, 10000000L)
+    // pass `0` to skip the standard graph loop and run only the
+    // env-gated tiers (BIGGRAPH / SKEW / PIPELINE10X / CC_BAKEOFF)
+    val sizes = (if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(1000000L, 10000000L)).filter(_ > 0)
     for (nEdges <- sizes) {
       val a = new GrbMatrix(syntheticGraph(spark, nEdges).df.cache(),
         nEdges / 8, nEdges / 8)
@@ -175,6 +185,33 @@ object SelfBaseline {
       val (np, annSec) = timed(Similarity.annPairs(emb).count())
       println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np}""")
       docs.unpersist(); emb.unpersist()
+    }
+    // Big-graph tier (SPARK_GRAFT_BIGGRAPH=<edges>, e.g. 100000000):
+    // PregelCC + BFS only — the workloads whose 100 TB story rides on
+    // round count × message volume. The A·A square is deliberately
+    // excluded at this size (its ~6.4B product rows are the measured
+    // O(nnz·degree) envelope from the 1M/10M tiers, not new
+    // information). SPARK_GRAFT_BIGGRAPH_FASTSV=1 adds the FastSV
+    // comparison column. Reports persistent-RDD count after cleanup to
+    // pin the no-leak claim at scale.
+    sys.env.get("SPARK_GRAFT_BIGGRAPH").foreach { eStr =>
+      val nEdges = eStr.toLong
+      val a = new GrbMatrix(syntheticGraph(spark, nEdges).df.cache(),
+        nEdges / 8, nEdges / 8)
+      val nnz = a.nvals
+      val (nc, prSec) = timed(
+        PregelCC.connectedComponents(a).df.select(col("v")).distinct().count())
+      val (nReached, bfsSec) = timed(Bfs.levels(a, 0L).nvals)
+      val fsv =
+        if (!sys.env.contains("SPARK_GRAFT_BIGGRAPH_FASTSV")) ""
+        else {
+          val (c2, s) = timed(FastSV.connectedComponents(a)
+            .df.select(col("v")).distinct().count())
+          f""","fastsv_sec":$s%.2f,"components_fastsv":$c2"""
+        }
+      a.df.unpersist(true)
+      val leftover = spark.sparkContext.getPersistentRDDs.size
+      println(f"""{"edges":$nEdges,"nnz":$nnz,"pregel_sec":$prSec%.2f,"components":$nc,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"persistent_rdds_after":$leftover$fsv}""")
     }
     // Planted-skew tier (SPARK_GRAFT_SKEW=<nDocs>): a 10% boilerplate
     // cluster (one hot LSH bucket of n/10 docs per band) drives the
