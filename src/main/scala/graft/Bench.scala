@@ -73,32 +73,45 @@ object Bench {
       // across identical 48g runs with <0.7s total GC pause — the noise
       // is scheduling/IO, strictly additive, so min is the estimator of
       // true cost and one outlier can no longer flip the driver's gate.
-      // The heavy product/iteration trio gets a third rep: its absolute
+      // The heavy product/iteration queries get a third rep: absolute
       // noise (±5s draws on ~10s queries) still leaked through 2 reps.
-      val reps =
-        if (Set("q_mxm", "q_positional_mxm", "q_cc_events")(name)) 3
+      // q_ewise_add + p_dedup_minhash joined the 3-rep tier in round 7
+      // after their r6 regressions (6.2×/1.85×) proved 2 reps can't
+      // separate a real change from a host-bandwidth wave here.
+      // SPARK_GRAFT_REPS forces a fixed rep count for every selected
+      // query — the controlled-A/B hook (PERF_NOTES §6).
+      val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse {
+        if (Set("q_mxm", "q_positional_mxm", "q_cc_events",
+          "q_ewise_add", "p_dedup_minhash")(name)) 3
         else if (Headline(name)) 2 else 1
+      }
       val runs = (1 to reps).map(_ => once(name, fn))
       val ok = runs.filter(_._2.isEmpty).map(_._1)
       // a rep that errored while another succeeded is NOT silently
       // masked by min-of-reps: it's recorded in the `flaky` field
       val flaky = runs.zipWithIndex.collect {
         case ((_, Some(e)), i) if ok.nonEmpty => s"rep${i + 1}: $e" }
-      if (ok.nonEmpty) (name, ok.min, None, flaky)
-      else (name, -1.0, runs.head._2, Seq.empty[String])
+      if (ok.nonEmpty) (name, ok.min, None, flaky, ok)
+      else (name, -1.0, runs.head._2, Seq.empty[String], Seq.empty[Double])
     }
     def jq(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     def fmt(v: Double): String = f"$v%.3f"
-    def qmap(rs: Seq[(String, Double, Option[String], Seq[String])]): String =
-      rs.map { case (k, v, _, _) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Option[String], Seq[String], Seq[Double])]): String =
+      rs.map { case (k, v, _, _, _) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     // failures excluded from the headline total and marked -1 per query
-    val failed = results.collect { case (k, _, Some(e), _) => s"${jq(k)}:${jq(e)}" }
+    val failed = results.collect { case (k, _, Some(e), _, _) => s"${jq(k)}:${jq(e)}" }
     // intermittent failures (some rep errored, another succeeded)
-    val flakyAll = results.collect { case (k, _, None, fs) if fs.nonEmpty =>
+    val flakyAll = results.collect { case (k, _, None, fs, _) if fs.nonEmpty =>
       s"${jq(k)}:${jq(fs.mkString("; "))}" }
-    val total = results.collect { case (_, v, None, _) => v }.sum
+    val total = results.collect { case (_, v, None, _, _) => v }.sum
+    // every successful rep's wall-time, per query — min-of-reps hides
+    // the draw variance, and round 6 proved the variance IS the story
+    // (q_ewise_add swung 6× between rounds at min-of-2). File-only:
+    // the stdout line must stay small enough for tail capture.
+    val spread = results.collect { case (k, _, None, _, reps) if reps.size > 1 =>
+      jq(k) + ":" + reps.map(fmt).mkString("[", ",", "]") }.mkString("{", ",", "}")
     // stdout line carries only the HEADLINE queries: the driver's tail
     // capture is finite, and round-3's all-70-query line got its front
     // truncated (→ parsed: null). Full per-query detail goes to the
@@ -107,10 +120,11 @@ object Bench {
     val head = if (headRs.nonEmpty) headRs else results.take(16)
     // method: documents the min-of-reps change (round 5) so totals are
     // not compared apples-to-oranges against single-rep rounds 1-4
-    val mk = (qs: String) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:product-trio,2:headline,1:rest) since r5; r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/root/repo/BENCH_SELF.json"), mk(qmap(results)) + "\n")
-    println(mk(qmap(head)))
+    val mk = (qs: String, sp: String) =>
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sp,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest) since r5; spread=all reps since r7; r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("/root/repo/BENCH_SELF.json"),
+      mk(qmap(results), s""","spread":$spread""") + "\n")
+    println(mk(qmap(head), ""))
   }
 
   /** representative subset printed on stdout: the expensive products /

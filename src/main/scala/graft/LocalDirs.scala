@@ -13,17 +13,75 @@ package graft
   * shuffle-file placement is a deployment concern, not a plan
   * concern — no query plan changes).
   *
+  * tmpfs bytes are RAM, so occupancy must be BOUNDED: each JVM gets
+  * its own pid-stamped session dir (removed by a shutdown hook on
+  * clean exit), and at first use every sibling session dir whose JVM
+  * is gone is swept — a crashed run's shuffle files can't accumulate
+  * across the 81 fresh-context bench sessions or across rounds.
+  *
   * Override with SPARK_GRAFT_LOCAL_DIR; falls back to the JVM tmpdir
-  * when /dev/shm is missing or read-only.
+  * when /dev/shm (or the shared graft-spark root — e.g. owned by
+  * another user with no write bit) is missing or unwritable.
   */
 object LocalDirs {
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Delete sibling `pid-<n>` session dirs whose process no longer
+    * exists (/proc/<n> gone). Returns how many dirs were removed.
+    * Non-pid-stamped entries are never touched.
+    */
+  private[graft] def sweepStale(root: java.io.File,
+      pidAlive: Long => Boolean = p => new java.io.File(s"/proc/$p").isDirectory): Int = {
+    val stale = Option(root.listFiles()).getOrElse(Array.empty).filter { f =>
+      f.isDirectory && f.getName.startsWith("pid-") &&
+        f.getName.stripPrefix("pid-").toLongOption.exists(p => !pidAlive(p))
+    }
+    stale.foreach(deleteRecursively)
+    stale.length
+  }
+
+  /** bytes currently used under the graft-spark tmpfs root — the
+    * occupancy number PERF_NOTES tracks around a bench run
+    */
+  private[graft] def occupancyBytes(root: java.io.File): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+      else f.length()
+    if (root.exists()) sz(root) else 0L
+  }
+
   lazy val sparkLocalDir: String =
     sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
+      val fallback = System.getProperty("java.io.tmpdir")
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
-        val d = new java.io.File(shm, "graft-spark")
-        d.mkdirs()
-        d.getAbsolutePath
-      } else System.getProperty("java.io.tmpdir")
+      if (!(shm.isDirectory && shm.canWrite)) fallback
+      else {
+        val root = new java.io.File(shm, "graft-spark")
+        root.mkdirs()
+        // mkdirs() returns false when the dir pre-exists OR when
+        // creation failed — verify writability directly (a shared
+        // root owned by another user would otherwise fail every
+        // session at startup instead of falling back)
+        if (!(root.isDirectory && root.canWrite)) fallback
+        else {
+          sweepStale(root)
+          val mine = new java.io.File(root, s"pid-${ProcessHandle.current().pid()}")
+          mine.mkdirs()
+          if (!(mine.isDirectory && mine.canWrite)) fallback
+          else {
+            // clean exits leave nothing behind; hard kills are covered
+            // by the next JVM's sweepStale
+            Runtime.getRuntime.addShutdownHook(
+              new Thread(() => deleteRecursively(mine), "graft-localdir-cleanup"))
+            mine.getAbsolutePath
+          }
+        }
+      }
     })
 }

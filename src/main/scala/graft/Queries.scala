@@ -1016,12 +1016,19 @@ object Queries {
     }.mkString(" UNION ALL ")
     s"""mh AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
        bands AS ($bands),
-       bkeep AS (SELECT band, sig FROM (SELECT band, sig, COUNT(*) AS _n FROM bands GROUP BY 1, 2)
-                 WHERE _n <= ${TextDedup.defaultMaxBucket}),
+       bstat AS (SELECT band, sig, COUNT(*) AS _n, MIN(doc_id) AS _min
+                 FROM bands GROUP BY 1, 2),
        bandsk AS (SELECT b.doc_id, b.band, b.sig FROM bands b
-                  JOIN bkeep k ON k.band = b.band AND k.sig = b.sig),
-       cands AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-                 FROM bandsk l JOIN bandsk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)"""
+                  JOIN bstat k ON k.band = b.band AND k.sig = b.sig
+                  WHERE k._n <= ${TextDedup.defaultMaxBucket}),
+       cands AS (SELECT DISTINCT a, b FROM (
+                 SELECT l.doc_id AS a, r.doc_id AS b
+                 FROM bandsk l JOIN bandsk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+                 UNION ALL
+                 -- over-cap buckets: hub star around the min-id member (O(B), mirrors candidatesFromBands)
+                 SELECT k._min AS a, b.doc_id AS b FROM bands b
+                 JOIN bstat k ON k.band = b.band AND k.sig = b.sig
+                 WHERE k._n > ${TextDedup.defaultMaxBucket} AND b.doc_id > k._min))"""
   }
 
   private val simhashBitsSql: String = {
@@ -1186,13 +1193,17 @@ object Queries {
     "p_ann_lsh" ->
       s"""WITH $lshSimvSql
          SELECT a, b, CAST(FLOOR(sim * 1000) AS BIGINT) AS promille FROM simv WHERE sim >= 0.4""",
-    // dedup decision layer on the LSH-verified pairs: min-id
-    // representative rule — every b with a verified smaller-id
-    // neighbour maps to its smallest such neighbour
+    // dedup decision layer on the LSH-verified pairs UNIONed with the
+    // exact identical-embedding star (mirrors Similarity.exactPairs):
+    // min-id representative rule — every b with a qualifying
+    // smaller-id neighbour maps to its smallest such neighbour
     "p_dedup_embedding" ->
-      s"""WITH $lshSimvSql
+      s"""WITH $lshSimvSql,
+         exg AS (SELECT q, MIN(vec_id) AS a0 FROM en GROUP BY q HAVING COUNT(*) > 1),
+         exp_ AS (SELECT g.a0 AS a, e.vec_id AS b FROM exg g JOIN en e ON e.q = g.q AND e.vec_id > g.a0),
+         up AS (SELECT a, b FROM simv WHERE sim >= 0.4 UNION SELECT a, b FROM exp_)
          SELECT b AS vec_id, CAST(MIN(a) AS BIGINT) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_dups
-         FROM simv WHERE sim >= 0.4 GROUP BY 1""",
+         FROM up GROUP BY 1""",
     "p_ann_ivf" ->
       s"""WITH $annCommonSql,
          c AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en WHERE vec_id < 8),

@@ -258,12 +258,16 @@ object MatrixMarket {
     val tmp = path + ".tmp"
     val sink = if (nnz <= singlePartMax) lines.coalesce(1) else lines
     sink.write.mode(SaveMode.Overwrite).text(tmp)
-    // stitch header + part files (sorted by name = global row order,
-    // since orderBy range-partitions) into the final path
+    // stitch header + part files (sorted by NUMERIC part index =
+    // global row order, since orderBy range-partitions; a lexical name
+    // sort would misplace part-100000 before part-99999 once the task
+    // count outgrows the %05d zero-padding)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       m.spark.sparkContext.hadoopConfiguration)
+    val partIdx = "part-(\\d+)".r
     val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp + "/part-*"))
-      .map(_.getPath).sortBy(_.getName)
+      .map(_.getPath).sortBy(p => partIdx.findFirstMatchIn(p.getName)
+        .map(_.group(1).toLong).getOrElse(Long.MaxValue))
     val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
     out.write((header + "\n").getBytes("UTF-8"))
     parts.foreach { part =>

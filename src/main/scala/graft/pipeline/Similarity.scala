@@ -191,28 +191,61 @@ object Similarity {
       .filter(col("sim") >= simMilli / 1000.0)
       .select(col("a"), col("b"), floor(col("sim") * 1000).cast(LongType).as("promille"))
 
+  /** exact-duplicate embedding pairs: vectors whose QUANTIZED form is
+    * identical, linked as a star around the group's min vec_id —
+    * (min_id, member) for every other member, O(cluster) pairs. One
+    * shuffle on the md5 of the quantized vector (64-element arrays
+    * never shuffle), same shape as TextDedup.exact.
+    *
+    * This is the recall backstop for [[embeddingNearDuplicates]]'s
+    * bucket-collapse guard: a duplicate-embedding cluster larger than
+    * the LSH cap (repeated boilerplate embeddings, all-zero vectors
+    * from a failed encoder) is dropped from the quadratic candidate
+    * join, and zero-norm duplicates fail the cosine filter (NaN)
+    * even when kept — the exact path owns both cases.
+    */
+  def exactPairs(emb: DataFrame): DataFrame = {
+    val keyed = emb.select(col("vec_id"),
+      md5(concat_ws(",", transform(quantize(col("embedding")),
+        x => x.cast("string")))).as("k"))
+    val reps = keyed.groupBy("k")
+      .agg(min(col("vec_id")).as("a"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("k", "a")
+    keyed.join(reps, Seq("k")).filter(col("vec_id") > col("a"))
+      .select(col("a"), col("vec_id").as("b"))
+  }
+
   /** Embedding-cosine near-duplicate DEDUP decision — the semantic-
     * space member of the dedup family (exact / minhash / simhash work
     * on surface text; this one catches paraphrases that share no
     * shingles but embed nearby). Candidates come from the hyperplane
-    * LSH (`annPairs` — equi-join on band signatures, never all-pairs),
-    * verified with the exact integer cosine; the dedup sweep then maps
-    * every vector that has a verified neighbour with a SMALLER id to
-    * its smallest such neighbour — the standard min-id representative
-    * rule, so survivors = vectors absent from the output.
+    * LSH (`annPairs` — equi-join on band signatures, never all-pairs)
+    * verified with the exact integer cosine, UNIONed with the
+    * [[exactPairs]] identical-embedding path (round-7 addition: the
+    * LSH collapse guard caps hot buckets, so without the exact path a
+    * duplicate-embedding cluster past the cap — the prime dedup
+    * target — would silently produce zero dups). The dedup sweep then
+    * maps every vector that has a qualifying neighbour with a SMALLER
+    * id to its smallest such neighbour — the standard min-id
+    * representative rule, so survivors = vectors absent from the
+    * output.
     *
     * Output (vec_id, dup_of, n_dups): `dup_of` = min qualifying
-    * neighbour id, `n_dups` = how many smaller-id near-dups exist.
-    * Integers only — oracle-checkable bit-for-bit.
+    * neighbour id, `n_dups` = how many distinct smaller-id near-dups
+    * were found. Integers only — oracle-checkable bit-for-bit.
     *
-    * Scale shape: inherits annPairs' sum(bucket²) candidate bound and
-    * one extra hash aggregate on the pair's right id — no new shuffle
-    * risk at 100 TB; `maxBucket` caps hot LSH buckets as elsewhere.
+    * Scale shape: inherits annPairs' sum(bucket²) candidate bound
+    * plus one exact-dedup shuffle on a 32-char digest and one hash
+    * aggregate on the pair's right id — no new shuffle risk at
+    * 100 TB; `maxBucket` caps hot LSH buckets as elsewhere.
     */
   def embeddingNearDuplicates(emb: DataFrame, simMilli: Int = 400,
       bands: Int = 4, rowsPerBand: Int = 4, dims: Int = -1,
       materialize: Boolean = true, maxBucket: Int = -1): DataFrame =
     annPairs(emb, simMilli, bands, rowsPerBand, dims, materialize, maxBucket)
+      .select("a", "b")
+      .unionByName(exactPairs(emb))
+      .distinct()
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"), count(lit(1)).as("n_dups"))
 

@@ -104,9 +104,15 @@ object TextDedup {
     * the band's minhashes (a 128-bit space), so an honest bucket is a
     * true near-dup cluster — typically a handful of docs, never
     * thousands. A bucket past this cap is boilerplate (headers,
-    * license blocks, empty docs): it carries no near-dup information
-    * and its B(B-1)/2 pair expansion is the classic 100 TB dedup skew
-    * cliff. Measured on a planted 10% boilerplate cluster at the
+    * license blocks, empty docs) whose B(B-1)/2 pair expansion is the
+    * classic 100 TB dedup skew cliff. Over-cap buckets are NOT
+    * dropped: each is linked as a star around its min-doc_id member
+    * (O(B) candidate pairs — see [[lshCandidates]]), so even a
+    * near-identical-but-not-byte-identical cluster past the cap stays
+    * connected; only the quadratic pair enumeration is given up.
+    * Within-cluster pairs not through the hub are still omitted — for
+    * dedup decisions (keep one representative) the star is exactly
+    * enough. Measured on a planted 10% boilerplate cluster at the
     * 20k-doc tier (BASELINE_SELF.md skew table): uncapped the hot
     * bucket alone contributes ~2M candidate pairs; capped the profile
     * stays flat and every planted honest near-dup is still recovered
@@ -137,30 +143,47 @@ object TextDedup {
   /** hot-bucket guard (default ON, cap = defaultMaxBucket) + the
     * candidate self-join. A band bucket with B members expands to
     * B(B-1)/2 pairs, so one boilerplate cluster turns the equi-join
-    * quadratic. Capping drops buckets larger than maxBucket from
-    * CANDIDATE GENERATION only (standard practice in large-corpus
-    * dedup: an over-common signature carries no near-dup information;
-    * such clusters are handled by exact dedup).
+    * quadratic. For buckets larger than maxBucket the guard does NOT
+    * go quadratic — but it does not drop the cluster either (round-7
+    * change): every over-cap member is paired with the bucket's
+    * MIN-doc_id representative, linking the cluster in O(B) pairs
+    * instead of B(B-1)/2. Downstream Jaccard verification still
+    * applies, so a near-identical (templated) cluster past the cap
+    * survives into nearDuplicates / dedupClusters via its hub star,
+    * while a hash-collision bucket of unrelated docs is still filtered
+    * pair-by-pair. (Round 6 dropped over-cap buckets entirely, which
+    * silently lost >cap near-identical-but-not-byte-identical
+    * clusters — exact dedup only owns the byte-identical case.)
     *
-    * The bucket size comes from a window count over the SAME
-    * (band, sig) partitioning the candidate join shuffles on anyway —
-    * zero extra passes over the signature pipeline. (Expressing the
-    * guard as a stats-aggregate + anti-join re-planned the whole
-    * minhash pipeline once more per join side on the lazy path —
-    * plan-audited in round 6.) The window buffers one bucket per
-    * task — linear in bucket size, and the over-cap buckets it has to
-    * buffer are precisely the rows dropped immediately after.
+    * The bucket size and representative come from ONE window over the
+    * SAME (band, sig) partitioning the candidate join shuffles on
+    * anyway — zero extra passes over the signature pipeline.
+    * (Expressing the guard as a stats-aggregate + anti-join re-planned
+    * the whole minhash pipeline once more per join side on the lazy
+    * path — plan-audited in round 6.) The window buffers one bucket
+    * per task — linear in bucket size.
     */
   private def candidatesFromBands(bs0: DataFrame,
       maxBucket: Int): DataFrame = {
-    val bs = if (maxBucket <= 0) bs0 else
-      bs0.withColumn("_n",
-          count(lit(1)).over(Window.partitionBy("band", "sig")))
-        .filter(col("_n") <= maxBucket).drop("_n")
-    val l = bs.select(col("band"), col("sig"), col("doc_id").as("a"))
-    val r = bs.select(col("band"), col("sig"), col("doc_id").as("b"))
-    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    if (maxBucket <= 0) {
+      val l = bs0.select(col("band"), col("sig"), col("doc_id").as("a"))
+      val r = bs0.select(col("band"), col("sig"), col("doc_id").as("b"))
+      l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+    } else {
+      val w = Window.partitionBy("band", "sig")
+      val withN = bs0.withColumn("_n", count(lit(1)).over(w))
+        .withColumn("_min", min(col("doc_id")).over(w))
+      val ok = withN.filter(col("_n") <= maxBucket)
+      val l = ok.select(col("band"), col("sig"), col("doc_id").as("a"))
+      val r = ok.select(col("band"), col("sig"), col("doc_id").as("b"))
+      val joined = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+        .select("a", "b")
+      // over-cap buckets: hub star around the min-id member — O(B)
+      val hub = withN.filter(col("_n") > maxBucket && col("doc_id") > col("_min"))
+        .select(col("_min").as("a"), col("doc_id").as("b"))
+      joined.unionByName(hub).distinct()
+    }
   }
 
   /** near-duplicate pairs: LSH candidates verified by exact shingle

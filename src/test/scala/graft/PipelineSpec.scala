@@ -33,7 +33,7 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
   }
 
-  test("hot-bucket cap drops boilerplate clusters from candidate generation") {
+  test("hot-bucket cap collapses boilerplate clusters to an O(B) hub star") {
     // 30 identical boilerplate docs (one LSH bucket of 30 → 435 pairs)
     // plus one genuine near-dup pair in a small bucket
     val boiler = (0L until 30L).map(i =>
@@ -46,11 +46,15 @@ class PipelineSpec extends SparkSpec {
     val uncapped = TextDedup.nearDuplicates(corpus, maxBucket = 0)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.size >= 435 + 1)
-    // capped at 10: boilerplate buckets (30 members) are dropped; the
-    // small-bucket near-dup pair survives
+    // capped at 10: the 30-member bucket is linked as a star around its
+    // min id (29 pairs, not 435) — the cluster stays CONNECTED (a
+    // near-identical >cap cluster must not vanish from dedup), only
+    // the quadratic enumeration is given up; the small-bucket near-dup
+    // pair is untouched
     val capped = TextDedup.nearDuplicates(corpus, maxBucket = 10)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(capped == Set((100L, 101L)))
+    val star = (1L until 30L).map(i => (0L, i)).toSet
+    assert(capped == star + ((100L, 101L)))
     // same guard on the embedding LSH path: identical vectors land in
     // one bucket per band; the cap removes them
     val emb = spark.range(20).select(col("id").cast("long").as("vec_id"),
@@ -73,7 +77,10 @@ class PipelineSpec extends SparkSpec {
     val corpus = spark.createDataFrame(boiler ++ pair).toDF("doc_id", "text")
     val nd = TextDedup.nearDuplicates(corpus)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(nd == Set((9000L, 9001L)))
+    // the over-cap cluster collapses to its hub star (n-1 pairs around
+    // doc 0), never B(B-1)/2; the honest pair is untouched
+    val star = (1L until n.toLong).map(i => (0L, i)).toSet
+    assert(nd == star + ((9000L, 9001L)))
     val ex = TextDedup.exact(corpus).filter(col("cnt") === n.toLong).collect()
     assert(ex.length == 1 && ex(0).getAs[Long]("keep_id") == 0L)
     // annPairs AUTO collapse guard: every vector identical → each band
@@ -83,6 +90,13 @@ class PipelineSpec extends SparkSpec {
     val emb = spark.range(m).select(col("id").cast("long").as("vec_id"),
       expr("transform(sequence(0, 15), d -> float(1.0))").as("embedding"))
     assert(Similarity.annPairs(emb).count() == 0L)
+    // ...but the DEDUP decision layer must not lose that cluster: the
+    // exact identical-embedding path owns what the collapse guard
+    // dropped — every non-min member maps to vec 0
+    val dups = Similarity.embeddingNearDuplicates(emb)
+    assert(dups.count() == m - 1)
+    assert(dups.agg(max(col("dup_of")), min(col("dup_of"))).collect()(0)
+      .toSeq == Seq(0L, 0L))
     // contamination stop-shingle guard by DEFAULT: a bench doc made
     // only of corpus-boilerplate shingles (df > defaultMaxShingleDf)
     // is not flagged; a genuinely embedded bench item still is
@@ -223,6 +237,22 @@ class PipelineSpec extends SparkSpec {
     assert(r(0).getAs[Long]("vec_id") == 1L)
     assert(r(0).getAs[Long]("dup_of") == 0L)
     assert(r(0).getAs[Long]("n_dups") == 1L)
+  }
+
+  test("exactPairs links identical-embedding stars, including zero vectors") {
+    // two identical non-zero vectors (1, 3), two zero vectors (2, 4) —
+    // zero vectors have NaN cosine so the LSH-verified path can never
+    // link them; the exact path must
+    val emb = spark.createDataFrame(Seq(
+      (1L, Seq(0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.25f)), (4L, Seq(0.0f, 0.0f)),
+      (5L, Seq(0.9f, 0.1f)))).toDF("vec_id", "embedding")
+    val ex = Similarity.exactPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ex == Set((1L, 3L), (2L, 4L)))
+    val dups = Similarity.embeddingNearDuplicates(emb, simMilli = 990, dims = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(dups.contains((3L, 1L)) && dups.contains((4L, 2L)))
   }
 
   test("IVF ANN finds the near-parallel pair within a cell; never all-pairs") {
