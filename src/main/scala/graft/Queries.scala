@@ -891,7 +891,12 @@ object Queries {
 
   val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_dedup_exact" -> ((s, dir) => TextDedup.exact(pq(s, dir, "documents"))),
-    "p_dedup_minhash" -> ((s, dir) => TextDedup.nearDuplicates(pq(s, dir, "documents"))),
+    // SPARK_GRAFT_MINHASH_MAXBUCKET: measurement-only hook for the
+    // guard-cost A/B (PERF_NOTES §6) — the driver never sets it, so
+    // the correctness gate always sees the library default
+    "p_dedup_minhash" -> ((s, dir) => TextDedup.nearDuplicates(pq(s, dir, "documents"),
+      maxBucket = sys.env.get("SPARK_GRAFT_MINHASH_MAXBUCKET").map(_.toInt)
+        .getOrElse(TextDedup.defaultMaxBucket))),
     "p_dedup_simhash" -> ((s, dir) => TextDedup.simhashNearDuplicates(pq(s, dir, "documents"))),
     // train/test contamination: every 50th doc plays the benchmark set
     "p_contamination" -> ((s, dir) => {

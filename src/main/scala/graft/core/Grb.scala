@@ -94,7 +94,7 @@ object Ix {
   * compute-on-demand; SURVEY §7.4 hard part 8).
   */
 final class GrbScalar(val df: DataFrame,
-    private val declared: Option[GrbType] = None) {
+    private[core] val declared: Option[GrbType] = None) {
   lazy val value: Option[Any] = df.limit(1).collect().headOption.map(_.get(0))
   def isEmpty: Boolean = value.isEmpty
   def nvals: Long = if (isEmpty) 0L else 1L
@@ -109,7 +109,7 @@ final class GrbScalar(val df: DataFrame,
     case n: Number  => n.doubleValue() != 0.0
   }
   def dup(dtype: GrbType): GrbScalar =
-    new GrbScalar(df.select(col("v").cast(dtype.spark).as("v")), Some(dtype))
+    new GrbScalar(df.select(Grb.castTo(col("v"), dtype).as("v")), Some(dtype))
 
   /** `-s` (reference scalar.py:138-142) — empty stays empty */
   def neg: GrbScalar =
@@ -165,7 +165,7 @@ object GrbScalar {
   * from the (signed) schema — a documented deviation.
   */
 final class GrbVector(val df: DataFrame, val size: Long,
-    private val declared: Option[GrbType] = None) {
+    private[core] val declared: Option[GrbType] = None) {
   import GrbVector.KEYS
 
   def spark: SparkSession = df.sparkSession
@@ -184,7 +184,7 @@ final class GrbVector(val df: DataFrame, val size: Long,
     */
   def dup(dtype: GrbType = dtype, mask: Option[Mask] = None): GrbVector = {
     val d0 = mask.fold(df)(_.filter(df, KEYS))
-    new GrbVector(d0.select(col("i"), col("v").cast(dtype.spark).as("v")),
+    new GrbVector(d0.select(col("i"), Grb.castTo(col("v"), dtype).as("v")),
       size, Some(dtype))
   }
 
@@ -199,7 +199,7 @@ final class GrbVector(val df: DataFrame, val size: Long,
 
   // ---- element-wise apply (vector.py:430-442) ----
   private def keepType(preserve: Boolean, c: Column): Column =
-    if (preserve) c.cast(dtype.spark) else c
+    if (preserve) Grb.castTo(c, dtype) else c
 
   private def carried(preserve: Boolean): Option[GrbType] =
     if (preserve) declared else None
@@ -212,7 +212,7 @@ final class GrbVector(val df: DataFrame, val size: Long,
     */
   private def carriedOut(preserve: Boolean, out: DataFrame): Option[GrbType] =
     if (preserve) declared
-    else if (declared.nonEmpty && out.schema("v").dataType == dtype.spark) declared
+    else if (declared.nonEmpty && Grb.reprMatches(out.schema("v").dataType, dtype)) declared
     else None
 
   def apply(op: UnaryOp): GrbVector = {
@@ -267,7 +267,7 @@ final class GrbVector(val df: DataFrame, val size: Long,
     val promoted = GrbType.promote(dtype, other.dtype)
     if (preserve) Some(promoted)
     else if ((declared.nonEmpty || other.declared.nonEmpty) &&
-        outDF.schema("v").dataType == promoted.spark) Some(promoted)
+        Grb.reprMatches(outDF.schema("v").dataType, promoted)) Some(promoted)
     else None
   }
 
@@ -333,27 +333,32 @@ final class GrbVector(val df: DataFrame, val size: Long,
       case Some(pf) => pf(lit(0L), col("i"), col("j"))
       case None =>
         val p = sr.mult(col("_xv"), col("v"))
-        if (sr.mult.preserve) p.cast(GrbType.promote(dtype, a.dtype).spark) else p
+        if (sr.mult.preserve) Grb.castTo(p, GrbType.promote(dtype, a.dtype)) else p
     }
     val prod = a.df.join(self, KEYS).select(col("j").as("i"), mult.as("_p"))
     val agged = sr.add.agg(col("_p"))
-    val aggC = if (sr.add.preserve) agged.cast(prod.schema("_p").dataType) else agged
-    new GrbVector(prod.groupBy("i").agg(aggC.as("v")), a.ncols)
+    val aggC = if (sr.add.preserve) Grb.castToType(agged, prod.schema("_p").dataType) else agged
+    val out = prod.groupBy("i").agg(aggC.as("v"))
+    val pd = Grb.srDeclared(dtype, declared, a.dtype, a.declared, sr, out)
+    new GrbVector(Grb.uintGuard(out, pd), a.ncols, pd)
   }
 
   /** dot product (vector.py:371-392 declares `inner` as a stub; cheap
     * for us: intersection join + global fold)
     */
-  def inner(other: GrbVector, sr: Semiring): GrbScalar = {
-    val m = ewiseMult(other, sr.mult)
-    new GrbScalar(m.df.agg(sr.add.agg(col("v")).as("v")).filter(col("v").isNotNull))
-  }
+  def inner(other: GrbVector, sr: Semiring): GrbScalar =
+    // reduce applies the monoid's preserve cast + the UINT64 guard,
+    // so the wide store stays wrapped/labeled through the fold
+    ewiseMult(other, sr.mult).reduce(sr.add)
 
   /** outer product (vector.py:394-421 stub) */
   def outer(other: GrbVector, op: BinaryOp): GrbMatrix = {
     val b = other.df.select(col("i").as("j"), col("v").as("_bv"))
-    new GrbMatrix(df.crossJoin(b).select(col("i"), col("j"), op(col("v"), col("_bv")).as("v")),
-      size, other.size)
+    val out = op(col("v"), col("_bv"))
+    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
+    val outDF = df.crossJoin(b).select(col("i"), col("j"), outC.as("v"))
+    val pd = promotedDeclared(other, op.preserve, outDF)
+    new GrbMatrix(Grb.uintGuard(outDF, pd), size, other.size, pd)
   }
 
   // ---- reductions (SURVEY §2.6) ----
@@ -363,7 +368,7 @@ final class GrbVector(val df: DataFrame, val size: Long,
     */
   def reduce(m: Monoid): GrbScalar = {
     val agged = m.agg(col("v"))
-    val aggC = if (m.preserve) agged.cast(dtype.spark) else agged
+    val aggC = if (m.preserve) Grb.castTo(agged, dtype) else agged
     new GrbScalar(Grb.uintGuard(
       df.agg(aggC.as("v")).filter(col("v").isNotNull), carried(m.preserve)),
       carried(m.preserve))
@@ -617,7 +622,8 @@ object GrbVector {
     val schema = StructType(Seq(
       StructField("i", LongType, nullable = false),
       StructField("v", dtype.spark, nullable = false)))
-    val rows = pairs.map { case (i, v) => org.apache.spark.sql.Row(i, v) }
+    val rows = pairs.map { case (i, v) =>
+      org.apache.spark.sql.Row(i, Grb.hostValue(v, dtype)) }
     val df0 = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
     val built = fromDF(df0, size, dupAgg)
@@ -654,7 +660,7 @@ object GrbVector {
   * lazy projection (matrix.py:682-753 TransposedMatrix).
   */
 final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
-    private val declared: Option[GrbType] = None) {
+    private[core] val declared: Option[GrbType] = None) {
   import GrbMatrix.KEYS
 
   def spark: SparkSession = df.sparkSession
@@ -668,7 +674,7 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
 
   def dup(dtype: GrbType = dtype, mask: Option[Mask] = None): GrbMatrix = {
     val d0 = mask.fold(df)(_.filter(df, KEYS))
-    new GrbMatrix(d0.select(col("i"), col("j"), col("v").cast(dtype.spark).as("v")),
+    new GrbMatrix(d0.select(col("i"), col("j"), Grb.castTo(col("v"), dtype).as("v")),
       nrows, ncols, Some(dtype))
   }
 
@@ -689,7 +695,7 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
 
   // ---- apply ----
   private def keepType(preserve: Boolean, c: Column): Column =
-    if (preserve) c.cast(dtype.spark) else c
+    if (preserve) Grb.castTo(c, dtype) else c
 
   private def carried(preserve: Boolean): Option[GrbType] =
     if (preserve) declared else None
@@ -700,14 +706,14 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val promoted = GrbType.promote(dtype, other.dtype)
     if (preserve) Some(promoted)
     else if ((declared.nonEmpty || other.declared.nonEmpty) &&
-        outDF.schema("v").dataType == promoted.spark) Some(promoted)
+        Grb.reprMatches(outDF.schema("v").dataType, promoted)) Some(promoted)
     else None
   }
 
   /** see GrbVector.carriedOut — the same label-retention rule */
   private def carriedOut(preserve: Boolean, out: DataFrame): Option[GrbType] =
     if (preserve) declared
-    else if (declared.nonEmpty && out.schema("v").dataType == dtype.spark) declared
+    else if (declared.nonEmpty && Grb.reprMatches(out.schema("v").dataType, dtype)) declared
     else None
 
   def apply(op: UnaryOp): GrbMatrix = {
@@ -742,7 +748,7 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
       s"ewise_mult shapes $shape vs ${other.shape}")
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
     val out = op(col("v"), col("_bv"))
-    val outC = if (op.preserve) out.cast(GrbType.promote(dtype, other.dtype).spark) else out
+    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
     val outDF = df.join(b, KEYS).select(col("i"), col("j"), outC.as("v"))
     val pd = promotedDeclared(other, op.preserve, outDF)
     new GrbMatrix(Grb.uintGuard(outDF, pd), nrows, ncols, pd)
@@ -760,7 +766,7 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
     val joined = a.join(b, KEYS, "full_outer")
     val out = op(col("_av"), col("_bv"))
-    val outC = if (op.preserve) out.cast(GrbType.promote(dtype, other.dtype).spark) else out
+    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
     // analysis-only probe: pass-through cast to the op's output dtype
     val outType = joined.select(outC.as("_t")).schema("_t").dataType
     val outDF = joined.select(col("i"), col("j"),
@@ -789,14 +795,15 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
       case Some(pf) => pf(col("i"), col("_k"), col("j"))
       case None =>
         val p = sr.mult(col("_av"), col("_bv"))
-        if (sr.mult.preserve) p.cast(GrbType.promote(dtype, other.dtype).spark) else p
+        if (sr.mult.preserve) Grb.castTo(p, GrbType.promote(dtype, other.dtype)) else p
     }
     val prod0 = a.join(b, Seq("_k")).select(col("i"), col("j"), mult.as("_p"))
     val prod = mask.fold(prod0)(m => m.filter(prod0, KEYS))
     val agged = sr.add.agg(col("_p"))
-    val aggC = if (sr.add.preserve) agged.cast(prod0.schema("_p").dataType) else agged
-    new GrbMatrix(prod.groupBy("i", "j").agg(aggC.as("v")),
-      nrows, other.ncols)
+    val aggC = if (sr.add.preserve) Grb.castToType(agged, prod0.schema("_p").dataType) else agged
+    val out = prod.groupBy("i", "j").agg(aggC.as("v"))
+    val pd = Grb.srDeclared(dtype, declared, other.dtype, other.declared, sr, out)
+    new GrbMatrix(Grb.uintGuard(out, pd), nrows, other.ncols, pd)
   }
 
   /** matrix × column vector (matrix.py:449-454). broadcastVec hints the
@@ -818,13 +825,15 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
       case Some(pf) => pf(col("i"), col("j"), lit(0L))
       case None =>
         val p = sr.mult(col("v"), col("_xv"))
-        if (sr.mult.preserve) p.cast(GrbType.promote(dtype, vec.dtype).spark) else p
+        if (sr.mult.preserve) Grb.castTo(p, GrbType.promote(dtype, vec.dtype)) else p
     }
     val prod0 = df.join(v, Seq("j")).select(col("i"), mult.as("_p"))
     val prod = mask.fold(prod0)(m => m.filter(prod0, GrbVector.KEYS))
     val agged = sr.add.agg(col("_p"))
-    val aggC = if (sr.add.preserve) agged.cast(prod0.schema("_p").dataType) else agged
-    new GrbVector(prod.groupBy("i").agg(aggC.as("v")), nrows)
+    val aggC = if (sr.add.preserve) Grb.castToType(agged, prod0.schema("_p").dataType) else agged
+    val out = prod.groupBy("i").agg(aggC.as("v"))
+    val pd = Grb.srDeclared(dtype, declared, vec.dtype, vec.declared, sr, out)
+    new GrbVector(Grb.uintGuard(out, pd), nrows, pd)
   }
 
   /** Kronecker product — declared-but-unimplemented in the reference
@@ -833,12 +842,14 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     */
   def kronecker(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
     val b = other.df.select(col("i").as("_bi"), col("j").as("_bj"), col("v").as("_bv"))
-    new GrbMatrix(
-      df.crossJoin(b).select(
-        (col("i") * other.nrows + col("_bi")).as("i"),
-        (col("j") * other.ncols + col("_bj")).as("j"),
-        op(col("v"), col("_bv")).as("v")),
-      nrows * other.nrows, ncols * other.ncols)
+    val out = op(col("v"), col("_bv"))
+    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
+    val outDF = df.crossJoin(b).select(
+      (col("i") * other.nrows + col("_bi")).as("i"),
+      (col("j") * other.ncols + col("_bj")).as("j"),
+      outC.as("v"))
+    val pd = promotedDeclared(other, op.preserve, outDF)
+    new GrbMatrix(Grb.uintGuard(outDF, pd), nrows * other.nrows, ncols * other.ncols, pd)
   }
 
   // ---- reductions (SURVEY §2.6) ----
@@ -848,13 +859,19 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     */
   private def aggPreserve(m: Monoid): Column = {
     val agged = m.agg(col("v"))
-    if (m.preserve) agged.cast(dtype.spark) else agged
+    if (m.preserve) Grb.castTo(agged, dtype) else agged
   }
-  def reduceRowwise(m: Monoid): GrbVector =
-    new GrbVector(df.groupBy("i").agg(aggPreserve(m).as("v")), nrows)
-  def reduceColumnwise(m: Monoid): GrbVector =
-    new GrbVector(df.groupBy("j").agg(aggPreserve(m).as("v"))
-      .withColumnRenamed("j", "i"), ncols)
+  def reduceRowwise(m: Monoid): GrbVector = {
+    val out = df.groupBy("i").agg(aggPreserve(m).as("v"))
+    val pd = carriedOut(m.preserve, out)
+    new GrbVector(Grb.uintGuard(out, pd), nrows, pd)
+  }
+  def reduceColumnwise(m: Monoid): GrbVector = {
+    val out = df.groupBy("j").agg(aggPreserve(m).as("v"))
+      .withColumnRenamed("j", "i")
+    val pd = carriedOut(m.preserve, out)
+    new GrbVector(Grb.uintGuard(out, pd), ncols, pd)
+  }
   def reduceScalar(m: Monoid): GrbScalar =
     new GrbScalar(Grb.uintGuard(
       df.agg(aggPreserve(m).as("v")).filter(col("v").isNotNull),
@@ -1104,7 +1121,8 @@ object GrbMatrix {
       StructField("i", LongType, nullable = false),
       StructField("j", LongType, nullable = false),
       StructField("v", dtype.spark, nullable = false)))
-    val rows = triples.map { case (i, j, v) => org.apache.spark.sql.Row(i, j, v) }
+    val rows = triples.map { case (i, j, v) =>
+      org.apache.spark.sql.Row(i, j, Grb.hostValue(v, dtype)) }
     val df0 = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
     val built = fromDF(df0, nrows, ncols, dupAgg)
@@ -1155,17 +1173,107 @@ object Grb {
     */
   @volatile var checkedUint64: Boolean = false
 
+  /** Opt-in TRUE-RANGE UINT64: store the value column as Decimal(20,0)
+    * instead of signed long, so genuine values in [2⁶³, 2⁶⁴) are
+    * representable, and wrap every preserve-cast mod 2⁶⁴ — the
+    * reference's exact C semantics at full range (numpy uint64). The
+    * wrap happens BEFORE the downcast to Decimal(20,0) (castTo), so a
+    * two-operand product (< 2¹²⁸, inside Decimal(38)) never nulls out
+    * on overflow. Accumulating reductions hold partials at
+    * Decimal(30,0) (Spark's sum widening): sums beyond 10³⁰ are out
+    * of scope. Default off: the long-backed representation is faster
+    * (primitive vs 128-bit decimal per row) and covers every value
+    * the driver workloads produce.
+    */
+  @volatile var wideUint64: Boolean = false
+
+  /** 2⁶⁴ as an exact decimal literal — the wide-mode wrap modulus */
+  private val Two64 = new java.math.BigDecimal("18446744073709551616")
+
+  /** preserve-cast a result column to a dtype's physical store; in
+    * wide-UINT64 mode the cast wraps mod 2⁶⁴ first (C semantics),
+    * instead of Spark's overflow-to-null decimal downcast
+    */
+  private[core] def castTo(c: Column, t: GrbType): Column =
+    if (wideUint64 && t == GrbType.UINT64)
+      pmod(c, lit(Two64)).cast(DecimalType(20, 0))
+    else c.cast(t.spark)
+
+  /** cast to a raw physical type (the semiring-add paths cast partial
+    * products back to the mult output's physical type); a plain cast
+    * into the wide-UINT64 Decimal(20,0) store would overflow to NULL,
+    * so wrap mod 2⁶⁴ first — only ever reachable under wideUint64,
+    * since nothing else produces a Decimal(20,0) store
+    */
+  private[core] def castToType(c: Column, dt: DataType): Column =
+    if (wideUint64 && dt == DecimalType(20, 0))
+      pmod(c, lit(Two64)).cast(dt)
+    else c.cast(dt)
+
+  /** declared-label rule for semiring products (mxm/mxv/vxm), the
+    * ewise `promotedDeclared` convention lifted to semirings:
+    * positional semirings emit indices (no value label); a
+    * preserve-mult labels the result with the promoted operand dtype;
+    * a non-preserve mult keeps the label only when at least one
+    * operand was declared AND the physical result still carries the
+    * promoted store (reprMatches — in wide mode any decimal counts,
+    * uintGuard then normalizes it back into the wrapped store)
+    */
+  private[core] def srDeclared(aDtype: GrbType, aDecl: Option[GrbType],
+      bDtype: GrbType, bDecl: Option[GrbType],
+      sr: Semiring, out: DataFrame): Option[GrbType] =
+    if (sr.positional.nonEmpty) None
+    else {
+      val promoted = GrbType.promote(aDtype, bDtype)
+      if (sr.mult.preserve) Some(promoted)
+      else if ((aDecl.nonEmpty || bDecl.nonEmpty) &&
+          reprMatches(out.schema("v").dataType, promoted)) Some(promoted)
+      else None
+    }
+
+  /** normalize a host-provided value for the physical store: the
+    * wide-UINT64 Decimal(20,0) schema needs BigDecimal rows, but
+    * fixtures naturally pass Long/Int/BigInt — accept them all
+    */
+  private[core] def hostValue(v: Any, dtype: GrbType): Any =
+    if (wideUint64 && dtype == GrbType.UINT64) v match {
+      case b: java.math.BigDecimal => b
+      case b: scala.BigDecimal     => b.bigDecimal
+      case b: scala.BigInt         => new java.math.BigDecimal(b.bigInteger)
+      case n: Long                 => java.math.BigDecimal.valueOf(n)
+      case n: Int                  => java.math.BigDecimal.valueOf(n.toLong)
+      case other                   => other
+    } else v
+
+  /** does a physical result type still carry a dtype's store? Exact
+    * match normally; in wide-UINT64 mode any decimal counts for
+    * UINT64, because decimal arithmetic widens precision (20,0)+x →
+    * (21,0) on non-preserve ops exactly like long+long stays long —
+    * uintGuard then normalizes the value back into the wrapped store
+    */
+  private[core] def reprMatches(dt: DataType, t: GrbType): Boolean =
+    dt == t.spark ||
+      (wideUint64 && t == GrbType.UINT64 && dt.isInstanceOf[DecimalType])
+
   /** wrap a result frame's value column with the overflow check when
-    * checked mode is on and the result's declared dtype is UINT64
+    * checked mode is on and the result's declared dtype is UINT64.
+    * Long store: a wrapped value shows up negative. Wide store:
+    * normalize the (possibly precision-widened) decimal back into
+    * [0, 2⁶⁴) ∩ Decimal(20,0) — the mod-2⁶⁴ wrap IS the semantics,
+    * so the checked flag has nothing left to catch.
     */
   private[core] def uintGuard(out: DataFrame,
       declared: Option[GrbType]): DataFrame =
-    if (checkedUint64 && declared.contains(GrbType.UINT64))
+    if (wideUint64 && declared.contains(GrbType.UINT64) &&
+        out.schema("v").dataType != DecimalType(20, 0))
+      out.withColumn("v", castTo(col("v"), GrbType.UINT64))
+    else if (checkedUint64 && !wideUint64 && declared.contains(GrbType.UINT64))
       out.withColumn("v",
         when(col("v") < 0, raise_error(concat(
           lit("UINT64 overflow: value wrapped past 2^63-1 (stored as "),
           col("v").cast("string"),
-          lit("); rerun with Grb.checkedUint64=false for C-wrap semantics"))))
+          lit("); rerun with Grb.checkedUint64=false for C-wrap semantics, "),
+          lit("or Grb.wideUint64=true for the full-range Decimal(20,0) store"))))
           .otherwise(col("v")))
     else out
 }

@@ -138,12 +138,6 @@ object Similarity {
     // lazy path stays uncached so nothing leaks.
     val base0 = quantized(emb)
     val base = if (materialize) base0.cache() else base0
-    // the band-signature frame feeds the guard's bucket stats AND both
-    // sides of the candidate self-join — cached (eager path) so the
-    // hyperplane dots run once.
-    val bs0 = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
-      .select("band", "sig", "vec_id")
-    val bsC = if (materialize) bs0.cache() else bs0
     // collapse guard (default AUTO — see scaladoc): buckets past the
     // cap are dropped from candidate generation before the quadratic
     // self-join. Bucket size is a window count over the SAME
@@ -152,14 +146,21 @@ object Similarity {
     // AUTO cap needs the corpus total: a 1-row count aggregate
     // broadcast onto every row (not a per-band window, which would
     // buffer a whole band partition — n rows — per task at scale).
-    val bs = if (maxBucket == 0) bsC else {
-      val withN = bsC.withColumn("_n",
+    val bs0 = bandSignaturesFromQuantized(base, bands, rowsPerBand, d)
+      .select("band", "sig", "vec_id")
+    val guarded = if (maxBucket == 0) bs0 else {
+      val withN = bs0.withColumn("_n",
         count(lit(1)).over(Window.partitionBy("band", "sig")))
       if (maxBucket > 0) withN.filter(col("_n") <= maxBucket).drop("_n")
       else withN.crossJoin(broadcast(emb.agg(count(lit(1)).as("_t"))))
         .filter(col("_n") <= greatest(lit(1000L), col("_t") / 4))
         .drop("_n", "_t")
     }
+    // the POST-guard band frame feeds both sides of the candidate
+    // self-join — cache it (eager path) so the hyperplane dots AND the
+    // guard window run once, not per join side (PERF_NOTES §6: caching
+    // pre-window left the window executing once per consumer)
+    val bs = if (materialize) guarded.cache() else guarded
     val cand = bs.select(col("band"), col("sig"), col("vec_id").as("a"))
       .join(bs.select(col("band"), col("sig"), col("vec_id").as("b")), Seq("band", "sig"))
       .filter(col("a") < col("b"))
@@ -172,7 +173,7 @@ object Similarity {
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      bsC.unpersist(false)
+      bs.unpersist(false)
       base.unpersist(false)
       out
     }

@@ -163,27 +163,43 @@ object TextDedup {
     * path — plan-audited in round 6.) The window buffers one bucket
     * per task — linear in bucket size.
     */
+  /** bucket-annotate a bands frame: one window pass adds the bucket
+    * size and min member. The annotated frame feeds THREE consumers
+    * (both join sides + the hub star), so eager callers should cache
+    * the annotated frame, not the raw bands — measured in the Bench
+    * harness at sf0.1, caching pre-window left the window executing
+    * three times and cost ~3.5 s of the guard's ~3.5 s overhead
+    * (PERF_NOTES §6).
+    */
+  private def annotateBuckets(bs0: DataFrame): DataFrame = {
+    val w = Window.partitionBy("band", "sig")
+    bs0.withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_min", min(col("doc_id")).over(w))
+  }
+
   private def candidatesFromBands(bs0: DataFrame,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int): DataFrame =
     if (maxBucket <= 0) {
       val l = bs0.select(col("band"), col("sig"), col("doc_id").as("a"))
       val r = bs0.select(col("band"), col("sig"), col("doc_id").as("b"))
       l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
         .select("a", "b").distinct()
-    } else {
-      val w = Window.partitionBy("band", "sig")
-      val withN = bs0.withColumn("_n", count(lit(1)).over(w))
-        .withColumn("_min", min(col("doc_id")).over(w))
-      val ok = withN.filter(col("_n") <= maxBucket)
-      val l = ok.select(col("band"), col("sig"), col("doc_id").as("a"))
-      val r = ok.select(col("band"), col("sig"), col("doc_id").as("b"))
-      val joined = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
-        .select("a", "b")
-      // over-cap buckets: hub star around the min-id member — O(B)
-      val hub = withN.filter(col("_n") > maxBucket && col("doc_id") > col("_min"))
-        .select(col("_min").as("a"), col("doc_id").as("b"))
-      joined.unionByName(hub).distinct()
-    }
+    } else candidatesFromAnnotated(annotateBuckets(bs0), maxBucket)
+
+  /** candidate pairs from a bucket-annotated bands frame: the
+    * under-cap buckets self-join (quadratic within honest buckets),
+    * the over-cap buckets collapse to their min-id hub star — O(B)
+    */
+  private def candidatesFromAnnotated(bsA: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val ok = bsA.filter(col("_n") <= maxBucket)
+    val l = ok.select(col("band"), col("sig"), col("doc_id").as("a"))
+    val r = ok.select(col("band"), col("sig"), col("doc_id").as("b"))
+    val joined = l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b")
+    val hub = bsA.filter(col("_n") > maxBucket && col("doc_id") > col("_min"))
+      .select(col("_min").as("a"), col("doc_id").as("b"))
+    joined.unionByName(hub).distinct()
   }
 
   /** near-duplicate pairs: LSH candidates verified by exact shingle
@@ -210,8 +226,16 @@ object TextDedup {
     val sh0 = explodedShingles(docs)
     val sh = if (materialize) sh0.cache() else sh0
     val bs0 = bandsFromShingles(sh, bands)
-    val bs = if (materialize && maxBucket > 0) bs0.cache() else bs0
-    val cands = candidatesFromBands(bs, maxBucket)
+    // eager path caches the bucket-ANNOTATED bands (window already
+    // applied): its three consumers then share one window execution —
+    // see annotateBuckets
+    val (bs, cands) =
+      if (maxBucket <= 0) (bs0, candidatesFromBands(bs0, maxBucket))
+      else {
+        val bsA0 = annotateBuckets(bs0)
+        val bsA = if (materialize) bsA0.cache() else bsA0
+        (bsA, candidatesFromAnnotated(bsA, maxBucket))
+      }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))

@@ -124,4 +124,51 @@ class DtypeSpec extends SparkSpec {
         .toValues.map(_._2) == Seq(Long.MinValue: Any))
     } finally Grb.checkedUint64 = false
   }
+
+  test("wideUint64: Decimal(20,0) store carries true >2^63 values, wraps mod 2^64") {
+    def asBigInt(a: Any): BigInt =
+      BigInt(a.asInstanceOf[java.math.BigDecimal].toBigInteger)
+    Grb.wideUint64 = true
+    try {
+      val big = BigInt(2).pow(63) + 10 // genuinely past the signed-long range
+      val v = GrbVector.fromValues(spark,
+        Seq((0L, big), (1L, 5L)), GrbType.UINT64, 2L)
+      assert(v.dtype == GrbType.UINT64)
+      val vals = v.toValues.map { case (i, x) => i -> asBigInt(x) }.toMap
+      assert(vals == Map(0L -> big, 1L -> BigInt(5)))
+      // arithmetic stays EXACT above 2^63 (the long store wraps here)
+      val sum = v.reduce(Ops.plusMonoid).value.get
+      assert(asBigInt(sum) == big + 5)
+      val plus7 = v.applyRight(Ops.plus,
+        org.apache.spark.sql.functions.lit(7L)).toValues.map(p => asBigInt(p._2)).toSet
+      assert(plus7 == Set(big + 7, BigInt(12)))
+      // wrap at 2^64, C semantics: (2^64 - 1) + 2 == 1
+      val nearTop = GrbVector.fromValues(spark,
+        Seq((0L, BigInt(2).pow(64) - 1)), GrbType.UINT64, 1L)
+      assert(asBigInt(nearTop.applyRight(Ops.plus,
+        org.apache.spark.sql.functions.lit(2L)).toValues.head._2) == BigInt(1))
+      // product wrap: 2^32 * 2^32 == 2^64 == 0 (mod 2^64) — the wrap
+      // happens before the Decimal(20,0) downcast, never null
+      val p32 = GrbVector.fromValues(spark,
+        Seq((0L, BigInt(2).pow(32))), GrbType.UINT64, 1L)
+      assert(asBigInt(p32.ewiseMult(p32, Ops.times).toValues.head._2) == BigInt(0))
+      // semiring products wrap too: times is non-preserve, so the
+      // product column widens (Decimal 38,0) and the label+wrap must be
+      // restored through srDeclared + uintGuard, not the mult cast
+      val m32 = GrbMatrix.fromValues(spark,
+        Seq((0L, 0L, BigInt(2).pow(32): Any)), GrbType.UINT64, 1L, 1L)
+      val mv = m32.mxv(p32, Ops.plusTimes)
+      assert(mv.dtype == GrbType.UINT64)
+      assert(asBigInt(mv.toValues.head._2) == BigInt(0))
+      val mm = m32.mxm(m32, Ops.plusTimes)
+      assert(mm.dtype == GrbType.UINT64)
+      assert(asBigInt(mm.toValues.head._3) == BigInt(0))
+      assert(asBigInt(p32.inner(p32, Ops.plusTimes).value.get) == BigInt(0))
+      assert(asBigInt(p32.outer(p32, Ops.times).toValues.head._3) == BigInt(0))
+      // rowwise reduce keeps the wide store labeled through the agg
+      val rr = m32.reduceRowwise(Ops.plusMonoid)
+      assert(rr.dtype == GrbType.UINT64)
+      assert(asBigInt(rr.toValues.head._2) == BigInt(2).pow(32))
+    } finally Grb.wideUint64 = false
+  }
 }
