@@ -92,8 +92,9 @@ object Merge {
     t.join(r, keys, "full_outer")
       .select(keys.map(col) :+
         when(col("_tv").isNotNull && col("_rv").isNotNull,
-          accum(col("_tv"), col("_rv")).cast(outType))
-          .otherwise(coalesce(col("_rv"), col("_tv")).cast(outType)).as("v"): _*)
+          Grb.castToType(accum(col("_tv"), col("_rv")), outType))
+          .otherwise(Grb.castToType(coalesce(col("_rv"), col("_tv")), outType))
+          .as("v"): _*)
   }
 
   /** merge `result` into `target` under the descriptor. `keys` is
@@ -103,7 +104,8 @@ object Merge {
   def apply(target: DataFrame, result: DataFrame, keys: Seq[String],
       desc: Desc): DataFrame = {
     val outType = target.schema("v").dataType
-    val resultC = result.select(keys.map(col) :+ col("v").cast(outType).as("v"): _*)
+    val resultC = result.select(
+      keys.map(col) :+ Grb.castToType(col("v"), outType).as("v"): _*)
     desc.mask match {
       case None =>
         desc.accum match {

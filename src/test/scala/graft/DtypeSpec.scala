@@ -169,6 +169,12 @@ class DtypeSpec extends SparkSpec {
       val rr = m32.reduceRowwise(Ops.plusMonoid)
       assert(rr.dtype == GrbType.UINT64)
       assert(asBigInt(rr.toValues.head._2) == BigInt(2).pow(32))
+      // assign-accum wraps: (2^64-1) + 5 fits Decimal(20,0) unwrapped,
+      // so the merge cast must apply the mod, not a plain downcast
+      val acc = nearTop.assign(Ix.All,
+        Right(GrbVector.fromValues(spark, Seq((0L, 5L: Any)), GrbType.UINT64, 1L)),
+        Desc(accum = Some(Ops.plus)))
+      assert(asBigInt(acc.toValues.head._2) == BigInt(4))
     } finally Grb.wideUint64 = false
   }
 }
