@@ -1037,12 +1037,15 @@ object Queries {
   }
 
   private val simhashBitsSql: String = {
-    val sums = (0 until 32).map(b =>
+    // mirrors TextDedup.simhash exactly: 60-bit token hash (15 md5 hex
+    // chars), one ±1 sum per bit — simhashBits is the shared constant
+    val nb = TextDedup.simhashBits
+    val sums = (0 until nb).map(b =>
       s"CAST(SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s_$b").mkString(", ")
-    val value = (0 until 32).map(b =>
+    val value = (0 until nb).map(b =>
       s"(CASE WHEN s_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString(" + ")
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
-       th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM tok),
+       th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, ${nb / 4}))::BIGINT AS h FROM tok),
        bs AS (SELECT doc_id, $sums FROM th GROUP BY 1),
        sh AS (SELECT doc_id, $value AS simhash FROM bs)"""
   }
@@ -1135,7 +1138,8 @@ object Queries {
          WHERE i.inter * 10 >= z.nb * 7""",
     "p_dedup_simhash" ->
       s"""WITH $simhashBitsSql,
-         banded AS (SELECT doc_id, simhash, b.band AS band, (simhash >> (b.band * 8)) % 256 AS key
+         banded AS (SELECT doc_id, simhash, b.band AS band,
+                           (simhash >> (b.band * ${TextDedup.simhashBits / 4})) % ${1 << (TextDedup.simhashBits / 4)} AS key
                     FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
                           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming

@@ -305,33 +305,59 @@ object TextDedup {
     }
   }
 
-  /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b
-    * is set when sum over tokens of ±1 (by bit b of the token hash)
-    * is positive.
+  /** SimHash width in bits. 60 = 15 md5 hex chars per token — the
+    * widest value both engines hold exactly in a signed 64-bit
+    * integer (2^60−1 < 2^63) and DuckDB reproduces verbatim
+    * (('0x' || substr(md5(t),1,15))::BIGINT). Width is a scale
+    * parameter, not just precision: the candidate join keys on
+    * simhashBits/4-bit bands, so band key space — and therefore how
+    * late the structural bucket-collision quadratic arrives — grows
+    * 2^(width/4).
+    */
+  val simhashBits = 60
+
+  /** 60-bit token hash: first 15 md5 hex chars (see simhashBits) */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** SimHash over whitespace tokens (with multiplicity): bit b is set
+    * when sum over tokens of ±1 (by bit b of the token hash) is
+    * positive. 60-bit (simhashBits).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", hash32(col("t")))
-    val bitSums = (0 until 32).map { b =>
+      .withColumn("h", hash60(col("t")))
+    val bitSums = (0 until simhashBits).map { b =>
       sum(when(shiftright(col("h"), b) % 2 === 1, 1L).otherwise(-1L)).as(s"s_$b")
     }
     val agged = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val value = (0 until 32).map { b =>
+    val value = (0 until simhashBits).map { b =>
       when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agged.select(col("doc_id"), value.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 32-bit simhash into 4 bytes; a
-    * pair matching on any byte is a candidate (Hamming <= 3 guarantees
-    * at least one of 4 bands is clean); verify bit_count(xor) <= maxHamming.
+  /** SimHash near-dup pairs: band the 60-bit simhash into 4 × 15-bit
+    * keys; a pair matching on any band is a candidate (Hamming <= 3
+    * guarantees at least one of 4 bands is clean — the bands cover
+    * all 60 bits); verify bit_count(xor) <= maxHamming.
     * Output (a, b, hamming).
+    *
+    * Scale note: band buckets here are STRUCTURAL (a fixed 2^15 =
+    * 32,768-key space per band), so the expected bucket is n/32768
+    * and the candidate self-join is Σbucket² — the previous byte-band
+    * layout (256 keys) hit the same quadratic 128× earlier. Unlike
+    * the MinHash hot-bucket guard (boilerplate skew), capping these
+    * buckets would drop honest near-dups; widening the key space is
+    * the correct mitigation, bounded by what the 64-bit integer
+    * carries.
     */
   def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandBits = simhashBits / 4
     val shd = simhash(docs)
     val banded = shd.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), (shiftright(col("simhash"), b * 8) % 256).as("key"))): _*)).as("bk"))
+        struct(lit(b).as("band"),
+          (shiftright(col("simhash"), b * bandBits) % (1 << bandBits)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("simhash").as("hb"))
