@@ -183,7 +183,17 @@ object SelfBaseline {
         .withColumnRenamed("doc_id", "vec_id").cache()
       emb.count()
       val (np, annSec) = timed(Similarity.annPairs(emb).count())
-      println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np}""")
+      // the rest of the dedup family at the same volume: exact (md5
+      // groupBy), simhash (60-bit, 15-bit structural bands), and
+      // train/test contamination with a 0.1% bench slice (every bench
+      // doc's near-copy successor sits in train, so containment should
+      // flag ~all of them — a recall signal, not just throughput)
+      val (ne, exactSec) = timed(TextDedup.exact(docs).filter(col("cnt") > 1).count())
+      val (ns, simhashSec) = timed(TextDedup.simhashNearDuplicates(docs).count())
+      val bench = docs.filter(col("doc_id") % 1000 === 0)
+      val train = docs.filter(col("doc_id") % 1000 =!= 0)
+      val (ncont, contSec) = timed(TextDedup.contamination(train, bench).count())
+      println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np,"exact_sec":$exactSec%.2f,"exact_dup_groups":$ne,"simhash_sec":$simhashSec%.2f,"simhash_pairs":$ns,"contamination_sec":$contSec%.2f,"contaminated":$ncont}""")
       docs.unpersist(); emb.unpersist()
     }
     // Big-graph tier (SPARK_GRAFT_BIGGRAPH=<edges>, e.g. 100000000):
