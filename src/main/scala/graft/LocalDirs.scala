@@ -19,9 +19,10 @@ package graft
   * is gone is swept — a crashed run's shuffle files can't accumulate
   * across the 81 fresh-context bench sessions or across rounds.
   *
-  * Override with SPARK_GRAFT_LOCAL_DIR; falls back to the JVM tmpdir
-  * when /dev/shm (or the shared graft-spark root — e.g. owned by
-  * another user with no write bit) is missing or unwritable.
+  * Override with SPARK_GRAFT_LOCAL_DIR; the tmpfs root is per-user
+  * (graft-spark-<user.name>) so one user's ownership never blocks
+  * another's sessions; falls back to the JVM tmpdir when /dev/shm
+  * (or this user's root) is missing or unwritable.
   */
 object LocalDirs {
 
@@ -62,12 +63,15 @@ object LocalDirs {
       val shm = new java.io.File("/dev/shm")
       if (!(shm.isDirectory && shm.canWrite)) fallback
       else {
-        val root = new java.io.File(shm, "graft-spark")
+        // per-user root: on a multi-user host a foreign-owned shared
+        // dir would force the fallback to the (slow) JVM tmpdir; a
+        // user-suffixed root keeps each user on tmpfs independently
+        val root = new java.io.File(shm,
+          s"graft-spark-${sys.props.getOrElse("user.name", "anon")}")
         root.mkdirs()
         // mkdirs() returns false when the dir pre-exists OR when
-        // creation failed — verify writability directly (a shared
-        // root owned by another user would otherwise fail every
-        // session at startup instead of falling back)
+        // creation failed — verify writability directly instead of
+        // failing every session at startup
         if (!(root.isDirectory && root.canWrite)) fallback
         else {
           sweepStale(root)

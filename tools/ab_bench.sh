@@ -21,7 +21,7 @@ run_cell() {
   local cell=$1 pass=$2
   local dir shuffle
   case $cell in
-    tmpfs_*) dir=/dev/shm/graft-spark/ab ;;
+    tmpfs_*) dir=/dev/shm/graft-spark-$(id -un)/ab ;;
     disk_*)  dir=/tmp/graft-ab-disk ;;
   esac
   case $cell in
@@ -31,7 +31,7 @@ run_cell() {
   mkdir -p "$dir"
   echo "=== cell=$cell pass=$pass $(date +%H:%M:%S)" >> "$OUT"
   python3 tools/mem_probe.py 8 >> "$OUT"
-  echo "shm_occupancy_mb_before: $(du -sm /dev/shm/graft-spark 2>/dev/null | cut -f1)" >> "$OUT"
+  echo "shm_occupancy_mb_before: $(du -sm /dev/shm/graft-spark-$(id -un) 2>/dev/null | cut -f1)" >> "$OUT"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_ONLY=$QUERIES \
   SPARK_GRAFT_REPS=3 \
@@ -42,7 +42,7 @@ run_cell() {
   cp BENCH_SELF.json /tmp/ab_cells/$cell.$pass.json
   python3 tools/mem_probe.py 8 >> "$OUT"
   # leave tmpfs clean between cells so occupancy can't compound
-  rm -rf /dev/shm/graft-spark/ab /tmp/graft-ab-disk/*
+  rm -rf /dev/shm/graft-spark-$(id -un)/ab /tmp/graft-ab-disk/*
   git checkout -q BENCH_SELF.json
 }
 
