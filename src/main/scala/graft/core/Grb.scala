@@ -95,6 +95,10 @@ object Ix {
   */
 final class GrbScalar(val df: DataFrame,
     private[core] val declared: Option[GrbType] = None) {
+  /** UINT64 semantics come from the owning session's conf, resolved
+    * fresh at each op build — see [[Grb.Uint64ModeKey]]
+    */
+  private implicit def u64m: Grb.U64Mode = Grb.u64Mode(df.sparkSession)
   lazy val value: Option[Any] = df.limit(1).collect().headOption.map(_.get(0))
   def isEmpty: Boolean = value.isEmpty
   def nvals: Long = if (isEmpty) 0L else 1L
@@ -133,20 +137,23 @@ final class GrbScalar(val df: DataFrame,
       val rr = r.df.select(lit(1).as("_k"), col("v").as("_rv"))
       new GrbScalar(t.join(rr, Seq("_k"), "full_outer")
         .select(when(col("_tv").isNotNull && col("_rv").isNotNull,
-          acc(col("_tv"), col("_rv")).cast(outType))
-          .otherwise(coalesce(col("_rv"), col("_tv")).cast(outType)).as("v"))
+          Grb.castToType(Grb.accumOp(acc, col("_tv"), col("_rv"), outType), outType))
+          .otherwise(Grb.castToType(coalesce(col("_rv"), col("_tv")), outType)).as("v"))
         .filter(col("v").isNotNull), declared)
   }
 }
 
 object GrbScalar {
   def fromValue(spark: SparkSession, v: Any, dtype: GrbType): GrbScalar = {
-    val schema = StructType(Seq(StructField("v", dtype.spark, nullable = false)))
+    implicit val m: Grb.U64Mode = Grb.u64Mode(spark)
+    val schema = StructType(Seq(StructField("v", Grb.store(dtype), nullable = false)))
     new GrbScalar(spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(v)), schema), Some(dtype))
+      java.util.Arrays.asList(org.apache.spark.sql.Row(Grb.hostValue(v, dtype))),
+      schema), Some(dtype))
   }
   def empty(spark: SparkSession, dtype: GrbType): GrbScalar = {
-    val schema = StructType(Seq(StructField("v", dtype.spark, nullable = false)))
+    implicit val m: Grb.U64Mode = Grb.u64Mode(spark)
+    val schema = StructType(Seq(StructField("v", Grb.store(dtype), nullable = false)))
     new GrbScalar(spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
       Some(dtype))
@@ -169,6 +176,10 @@ final class GrbVector(val df: DataFrame, val size: Long,
   import GrbVector.KEYS
 
   def spark: SparkSession = df.sparkSession
+  /** UINT64 semantics come from the owning session's conf, resolved
+    * fresh at each op build — see [[Grb.Uint64ModeKey]]
+    */
+  private implicit def u64m: Grb.U64Mode = Grb.u64Mode(df.sparkSession)
   def dtype: GrbType =
     declared.getOrElse(GrbType.fromSpark(df.schema("v").dataType))
   lazy val nvals: Long = df.count()
@@ -221,12 +232,14 @@ final class GrbVector(val df: DataFrame, val size: Long,
     new GrbVector(Grb.uintGuard(outDF, d), size, d)
   }
   def applyLeft(op: BinaryOp, left: Column): GrbVector = {
-    val outDF = df.select(col("i"), keepType(op.preserve, op(left, col("v"))).as("v"))
+    val outDF = df.select(col("i"),
+      keepType(op.preserve, Grb.binOp(op, left, col("v"), dtype)).as("v"))
     val d = carriedOut(op.preserve, outDF)
     new GrbVector(Grb.uintGuard(outDF, d), size, d)
   }
   def applyRight(op: BinaryOp, right: Column): GrbVector = {
-    val outDF = df.select(col("i"), keepType(op.preserve, op(col("v"), right)).as("v"))
+    val outDF = df.select(col("i"),
+      keepType(op.preserve, Grb.binOp(op, col("v"), right, dtype)).as("v"))
     val d = carriedOut(op.preserve, outDF)
     new GrbVector(Grb.uintGuard(outDF, d), size, d)
   }
@@ -241,10 +254,12 @@ final class GrbVector(val df: DataFrame, val size: Long,
     */
   def applyRightScalar(op: BinaryOp, s: GrbScalar): GrbVector =
     new GrbVector(df.crossJoin(broadcast(s.df.select(col("v").as("_sv"))))
-      .select(col("i"), keepType(op.preserve, op(col("v"), col("_sv"))).as("v")), size)
+      .select(col("i"),
+        keepType(op.preserve, Grb.binOp(op, col("v"), col("_sv"), dtype)).as("v")), size)
   def applyLeftScalar(op: BinaryOp, s: GrbScalar): GrbVector =
     new GrbVector(df.crossJoin(broadcast(s.df.select(col("v").as("_sv"))))
-      .select(col("i"), keepType(op.preserve, op(col("_sv"), col("v"))).as("v")), size)
+      .select(col("i"),
+        keepType(op.preserve, Grb.binOp(op, col("_sv"), col("v"), dtype)).as("v")), size)
   /** positional op: value = index (unary.positioni etc.) */
   def applyPositional: GrbVector = new GrbVector(df.select(col("i"), col("i").as("v")), size)
 
@@ -255,8 +270,6 @@ final class GrbVector(val df: DataFrame, val size: Long,
     new GrbVector(df.filter(pred(col("v"))), size, declared)
 
   // ---- element-wise joins (SURVEY §2.4) ----
-  private def promotedSpark(other: GrbVector): DataType =
-    GrbType.promote(dtype, other.dtype).spark
   /** declared dtype of an ewise result: the GraphBLAS-promoted type
     * when the op preserves the domain, or — with unsigned tracking in
     * play — when the output's physical type already equals the
@@ -276,8 +289,9 @@ final class GrbVector(val df: DataFrame, val size: Long,
     if (size != other.size) GraphblasException.dimensionMismatch(
       s"ewise_mult sizes $size vs ${other.size}")
     val b = other.df.select(col("i"), col("v").as("_bv"))
-    val out = op(col("v"), col("_bv"))
-    val outC = if (op.preserve) out.cast(promotedSpark(other)) else out
+    val promoted = GrbType.promote(dtype, other.dtype)
+    val out = Grb.binOp(op, col("v"), col("_bv"), promoted)
+    val outC = if (op.preserve) Grb.castTo(out, promoted) else out
     val outDF = df.join(b, KEYS).select(col("i"), outC.as("v"))
     val pd = promotedDeclared(other, op.preserve, outDF)
     new GrbVector(Grb.uintGuard(outDF, pd), size, pd)
@@ -306,8 +320,9 @@ final class GrbVector(val df: DataFrame, val size: Long,
     val a = df.select(col("i"), col("v").as("_av"))
     val b = other.df.select(col("i"), col("v").as("_bv"))
     val joined = a.join(b, KEYS, "full_outer")
-    val out = op(col("_av"), col("_bv"))
-    val outC = if (op.preserve) out.cast(promotedSpark(other)) else out
+    val promoted = GrbType.promote(dtype, other.dtype)
+    val out = Grb.binOp(op, col("_av"), col("_bv"), promoted)
+    val outC = if (op.preserve) Grb.castTo(out, promoted) else out
     // analysis-only probe for the op's output type (no job is run)
     val outType = joined.select(outC.as("_t")).schema("_t").dataType
     val outDF = joined.select(col("i"),
@@ -332,8 +347,9 @@ final class GrbVector(val df: DataFrame, val size: Long,
     val mult = sr.positional match {
       case Some(pf) => pf(lit(0L), col("i"), col("j"))
       case None =>
-        val p = sr.mult(col("_xv"), col("v"))
-        if (sr.mult.preserve) Grb.castTo(p, GrbType.promote(dtype, a.dtype)) else p
+        val promoted = GrbType.promote(dtype, a.dtype)
+        val p = Grb.binOp(sr.mult, col("_xv"), col("v"), promoted)
+        if (sr.mult.preserve) Grb.castTo(p, promoted) else p
     }
     val prod = a.df.join(self, KEYS).select(col("j").as("i"), mult.as("_p"))
     val agged = sr.add.agg(col("_p"))
@@ -354,8 +370,9 @@ final class GrbVector(val df: DataFrame, val size: Long,
   /** outer product (vector.py:394-421 stub) */
   def outer(other: GrbVector, op: BinaryOp): GrbMatrix = {
     val b = other.df.select(col("i").as("j"), col("v").as("_bv"))
-    val out = op(col("v"), col("_bv"))
-    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
+    val promoted = GrbType.promote(dtype, other.dtype)
+    val out = Grb.binOp(op, col("v"), col("_bv"), promoted)
+    val outC = if (op.preserve) Grb.castTo(out, promoted) else out
     val outDF = df.crossJoin(b).select(col("i"), col("j"), outC.as("v"))
     val pd = promotedDeclared(other, op.preserve, outDF)
     new GrbMatrix(Grb.uintGuard(outDF, pd), size, other.size, pd)
@@ -599,9 +616,10 @@ object GrbVector {
   val KEYS: Seq[String] = Seq("i")
 
   def empty(spark: SparkSession, dtype: GrbType, size: Long): GrbVector = {
+    implicit val m: Grb.U64Mode = Grb.u64Mode(spark)
     val schema = StructType(Seq(
       StructField("i", LongType, nullable = false),
-      StructField("v", dtype.spark, nullable = false)))
+      StructField("v", Grb.store(dtype), nullable = false)))
     new GrbVector(spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
       size, Some(dtype))
@@ -619,9 +637,10 @@ object GrbVector {
     if (dupAgg.isEmpty && pairs.map(_._1).distinct.size != pairs.size)
       throw new GraphblasException(
         "Duplicate indices found, must provide `dup_op` BinaryOp")
+    implicit val m: Grb.U64Mode = Grb.u64Mode(spark)
     val schema = StructType(Seq(
       StructField("i", LongType, nullable = false),
-      StructField("v", dtype.spark, nullable = false)))
+      StructField("v", Grb.store(dtype), nullable = false)))
     val rows = pairs.map { case (i, v) =>
       org.apache.spark.sql.Row(i, Grb.hostValue(v, dtype)) }
     val df0 = spark.createDataFrame(
@@ -664,6 +683,10 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
   import GrbMatrix.KEYS
 
   def spark: SparkSession = df.sparkSession
+  /** UINT64 semantics come from the owning session's conf, resolved
+    * fresh at each op build — see [[Grb.Uint64ModeKey]]
+    */
+  private implicit def u64m: Grb.U64Mode = Grb.u64Mode(df.sparkSession)
   def dtype: GrbType =
     declared.getOrElse(GrbType.fromSpark(df.schema("v").dataType))
   lazy val nvals: Long = df.count()
@@ -724,13 +747,13 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
   }
   def applyLeft(op: BinaryOp, left: Column): GrbMatrix = {
     val outDF = df.select(col("i"), col("j"),
-      keepType(op.preserve, op(left, col("v"))).as("v"))
+      keepType(op.preserve, Grb.binOp(op, left, col("v"), dtype)).as("v"))
     val d = carriedOut(op.preserve, outDF)
     new GrbMatrix(Grb.uintGuard(outDF, d), nrows, ncols, d)
   }
   def applyRight(op: BinaryOp, right: Column): GrbMatrix = {
     val outDF = df.select(col("i"), col("j"),
-      keepType(op.preserve, op(col("v"), right)).as("v"))
+      keepType(op.preserve, Grb.binOp(op, col("v"), right, dtype)).as("v"))
     val d = carriedOut(op.preserve, outDF)
     new GrbMatrix(Grb.uintGuard(outDF, d), nrows, ncols, d)
   }
@@ -747,8 +770,9 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     if (shape != other.shape) GraphblasException.dimensionMismatch(
       s"ewise_mult shapes $shape vs ${other.shape}")
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
-    val out = op(col("v"), col("_bv"))
-    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
+    val promoted = GrbType.promote(dtype, other.dtype)
+    val out = Grb.binOp(op, col("v"), col("_bv"), promoted)
+    val outC = if (op.preserve) Grb.castTo(out, promoted) else out
     val outDF = df.join(b, KEYS).select(col("i"), col("j"), outC.as("v"))
     val pd = promotedDeclared(other, op.preserve, outDF)
     new GrbMatrix(Grb.uintGuard(outDF, pd), nrows, ncols, pd)
@@ -765,8 +789,9 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val a = df.select(col("i"), col("j"), col("v").as("_av"))
     val b = other.df.select(col("i"), col("j"), col("v").as("_bv"))
     val joined = a.join(b, KEYS, "full_outer")
-    val out = op(col("_av"), col("_bv"))
-    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
+    val promoted = GrbType.promote(dtype, other.dtype)
+    val out = Grb.binOp(op, col("_av"), col("_bv"), promoted)
+    val outC = if (op.preserve) Grb.castTo(out, promoted) else out
     // analysis-only probe: pass-through cast to the op's output dtype
     val outType = joined.select(outC.as("_t")).schema("_t").dataType
     val outDF = joined.select(col("i"), col("j"),
@@ -794,8 +819,9 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val mult = sr.positional match {
       case Some(pf) => pf(col("i"), col("_k"), col("j"))
       case None =>
-        val p = sr.mult(col("_av"), col("_bv"))
-        if (sr.mult.preserve) Grb.castTo(p, GrbType.promote(dtype, other.dtype)) else p
+        val promoted = GrbType.promote(dtype, other.dtype)
+        val p = Grb.binOp(sr.mult, col("_av"), col("_bv"), promoted)
+        if (sr.mult.preserve) Grb.castTo(p, promoted) else p
     }
     val prod0 = a.join(b, Seq("_k")).select(col("i"), col("j"), mult.as("_p"))
     val prod = mask.fold(prod0)(m => m.filter(prod0, KEYS))
@@ -824,8 +850,9 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val mult = sr.positional match {
       case Some(pf) => pf(col("i"), col("j"), lit(0L))
       case None =>
-        val p = sr.mult(col("v"), col("_xv"))
-        if (sr.mult.preserve) Grb.castTo(p, GrbType.promote(dtype, vec.dtype)) else p
+        val promoted = GrbType.promote(dtype, vec.dtype)
+        val p = Grb.binOp(sr.mult, col("v"), col("_xv"), promoted)
+        if (sr.mult.preserve) Grb.castTo(p, promoted) else p
     }
     val prod0 = df.join(v, Seq("j")).select(col("i"), mult.as("_p"))
     val prod = mask.fold(prod0)(m => m.filter(prod0, GrbVector.KEYS))
@@ -842,8 +869,9 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     */
   def kronecker(other: GrbMatrix, op: BinaryOp): GrbMatrix = {
     val b = other.df.select(col("i").as("_bi"), col("j").as("_bj"), col("v").as("_bv"))
-    val out = op(col("v"), col("_bv"))
-    val outC = if (op.preserve) Grb.castTo(out, GrbType.promote(dtype, other.dtype)) else out
+    val promoted = GrbType.promote(dtype, other.dtype)
+    val out = Grb.binOp(op, col("v"), col("_bv"), promoted)
+    val outC = if (op.preserve) Grb.castTo(out, promoted) else out
     val outDF = df.crossJoin(b).select(
       (col("i") * other.nrows + col("_bi")).as("i"),
       (col("j") * other.ncols + col("_bj")).as("j"),
@@ -1098,10 +1126,11 @@ object GrbMatrix {
   val KEYS: Seq[String] = Seq("i", "j")
 
   def empty(spark: SparkSession, dtype: GrbType, nrows: Long, ncols: Long): GrbMatrix = {
+    implicit val m: Grb.U64Mode = Grb.u64Mode(spark)
     val schema = StructType(Seq(
       StructField("i", LongType, nullable = false),
       StructField("j", LongType, nullable = false),
-      StructField("v", dtype.spark, nullable = false)))
+      StructField("v", Grb.store(dtype), nullable = false)))
     new GrbMatrix(spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema),
       nrows, ncols, Some(dtype))
@@ -1117,10 +1146,11 @@ object GrbMatrix {
         triples.map(t => (t._1, t._2)).distinct.size != triples.size)
       throw new GraphblasException(
         "Duplicate indices found, must provide `dup_op` BinaryOp")
+    implicit val m: Grb.U64Mode = Grb.u64Mode(spark)
     val schema = StructType(Seq(
       StructField("i", LongType, nullable = false),
       StructField("j", LongType, nullable = false),
-      StructField("v", dtype.spark, nullable = false)))
+      StructField("v", Grb.store(dtype), nullable = false)))
     val rows = triples.map { case (i, j, v) =>
       org.apache.spark.sql.Row(i, j, Grb.hostValue(v, dtype)) }
     val df0 = spark.createDataFrame(
@@ -1156,59 +1186,132 @@ object GrbMatrix {
   }
 }
 
-/** engine-wide tuning constants */
+/** engine-wide tuning constants + the per-session UINT64 mode */
 object Grb {
   /** forced-broadcast hints are suppressed above this dimension —
     * beyond it AQE still broadcasts at runtime when stats allow
     */
   val BroadcastGuard: Long = 32L * 1000 * 1000
 
-  /** Opt-in checked mode for UINT64 arithmetic. UINT64 is stored in a
-    * signed long (Spark has no unsigned types — documented deviation,
-    * Types.scala), so a genuine value past 2⁶³−1 wraps negative
-    * SILENTLY under the default C-wrap semantics. With this flag on,
-    * any operator result declared UINT64 that materializes a negative
-    * long raises instead (one codegen'd comparison per row — no plan
-    * change). Default off = the reference's C-wrap behavior.
+  /** Session conf key selecting UINT64 semantics — `wrap` (default),
+    * `checked`, or `wide`. UINT64 is stored in a signed long (Spark
+    * has no unsigned types — documented deviation, Types.scala), so a
+    * genuine value past 2⁶³−1 wraps negative SILENTLY under the
+    * default C-wrap semantics.
+    *
+    *  - `wrap`: the reference's C-wrap behavior on the long store.
+    *  - `checked`: any operator result declared UINT64 that
+    *    materializes a negative long raises instead (one codegen'd
+    *    comparison per row — no plan change).
+    *  - `wide`: TRUE-RANGE UINT64 — the value column is stored as
+    *    Decimal(20,0), so genuine values in [2⁶³, 2⁶⁴) are
+    *    representable, and every preserve-cast wraps mod 2⁶⁴ — the
+    *    reference's exact C semantics at full range (numpy uint64).
+    *    Binary `times` is computed by 32-bit limb decomposition
+    *    ([[mulMod64]]): a naive Decimal(20,0)×Decimal(20,0) is capped
+    *    at Decimal(38,0) ≈ 10³⁸−1, but the max two-operand product
+    *    (2⁶⁴−1)² ≈ 3.4·10³⁸ — large products would overflow to NULL
+    *    before any wrap could run. Plus-accumulating reductions hold
+    *    partials at Decimal(30,0) (Spark's sum widening): sums beyond
+    *    10³⁰ are out of scope; times-monoid REDUCTIONS use Spark's
+    *    double-typed product aggregate and are only exact below 2⁵³.
+    *    Default `wrap`: the long-backed representation is faster
+    *    (primitive vs 128-bit decimal per row) and covers every value
+    *    the driver workloads produce.
+    *
+    * The mode is resolved from the owning DataFrame's session conf at
+    * op-build time — two sessions in one JVM (`spark.newSession()`)
+    * can run different modes concurrently without cross-talk, and a
+    * conf flip never rewrites the semantics of already-built frames.
     */
-  @volatile var checkedUint64: Boolean = false
+  val Uint64ModeKey = "spark.graft.uint64Mode"
 
-  /** Opt-in TRUE-RANGE UINT64: store the value column as Decimal(20,0)
-    * instead of signed long, so genuine values in [2⁶³, 2⁶⁴) are
-    * representable, and wrap every preserve-cast mod 2⁶⁴ — the
-    * reference's exact C semantics at full range (numpy uint64). The
-    * wrap happens BEFORE the downcast to Decimal(20,0) (castTo), so a
-    * two-operand product (< 2¹²⁸, inside Decimal(38)) never nulls out
-    * on overflow. Accumulating reductions hold partials at
-    * Decimal(30,0) (Spark's sum widening): sums beyond 10³⁰ are out
-    * of scope. Default off: the long-backed representation is faster
-    * (primitive vs 128-bit decimal per row) and covers every value
-    * the driver workloads produce.
-    */
-  @volatile var wideUint64: Boolean = false
+  /** resolved UINT64 semantics for one op build — see [[Uint64ModeKey]] */
+  final case class U64Mode(wide: Boolean, checked: Boolean)
+
+  def u64Mode(spark: SparkSession): U64Mode =
+    spark.conf.get(Uint64ModeKey, "wrap") match {
+      case "wrap"    => U64Mode(wide = false, checked = false)
+      case "checked" => U64Mode(wide = false, checked = true)
+      case "wide"    => U64Mode(wide = true, checked = false)
+      case other => throw new IllegalArgumentException(
+        s"$Uint64ModeKey must be one of wrap|checked|wide, got '$other'")
+    }
 
   /** 2⁶⁴ as an exact decimal literal — the wide-mode wrap modulus */
   private val Two64 = new java.math.BigDecimal("18446744073709551616")
+
+  /** physical store for a dtype under the session's UINT64 mode —
+    * LongType for UINT64 normally, Decimal(20,0) in wide mode
+    */
+  private[graft] def store(t: GrbType)(implicit m: U64Mode): DataType =
+    if (m.wide && t == GrbType.UINT64) DecimalType(20, 0) else t.spark
 
   /** preserve-cast a result column to a dtype's physical store; in
     * wide-UINT64 mode the cast wraps mod 2⁶⁴ first (C semantics),
     * instead of Spark's overflow-to-null decimal downcast
     */
-  private[core] def castTo(c: Column, t: GrbType): Column =
-    if (wideUint64 && t == GrbType.UINT64)
+  private[core] def castTo(c: Column, t: GrbType)(implicit m: U64Mode): Column =
+    if (m.wide && t == GrbType.UINT64)
       pmod(c, lit(Two64)).cast(DecimalType(20, 0))
     else c.cast(t.spark)
 
   /** cast to a raw physical type (the semiring-add paths cast partial
     * products back to the mult output's physical type); a plain cast
     * into the wide-UINT64 Decimal(20,0) store would overflow to NULL,
-    * so wrap mod 2⁶⁴ first — only ever reachable under wideUint64,
+    * so wrap mod 2⁶⁴ first — only ever reachable under wide mode,
     * since nothing else produces a Decimal(20,0) store
     */
-  private[core] def castToType(c: Column, dt: DataType): Column =
-    if (wideUint64 && dt == DecimalType(20, 0))
+  private[core] def castToType(c: Column, dt: DataType)(implicit m: U64Mode): Column =
+    // any decimal target counts: only wide-UINT64 produces decimal
+    // stores, and intermediates widen precision (sum partials are
+    // Decimal(30,0)) — a plain cast would overflow to NULL instead of
+    // wrapping
+    if (m.wide && dt.isInstanceOf[DecimalType])
       pmod(c, lit(Two64)).cast(dt)
     else c.cast(dt)
+
+  /** exact a·b mod 2⁶⁴ for wide-UINT64 operands, by 32-bit limb
+    * decomposition. Needed because Spark caps decimal multiply results
+    * at Decimal(38,0) ≈ 10³⁸−1 while (2⁶⁴−1)² ≈ 3.4·10³⁸ — a naive
+    * product of large operands overflows to NULL (non-ANSI) before the
+    * wrap cast can run, silently dropping entries.
+    *
+    * With a = ah·2³² + al and b = bh·2³² + bl:
+    *   a·b ≡ al·bl + (ah·bl + al·bh)·2³²  (mod 2⁶⁴)
+    * All limb products run in LONG arithmetic whose natural mod-2⁶⁴
+    * wrap (ANSI off) is exactly the semantics wanted; the signed-long
+    * bit pattern is then lifted back to [0, 2⁶⁴) as Decimal. Stays
+    * fully inside whole-stage codegen — no UDF.
+    */
+  private[core] def mulMod64(a: Column, b: Column): Column = {
+    val t32 = lit(new java.math.BigDecimal("4294967296")) // 2^32
+    def lo(x: Column): Column = pmod(x, t32).cast(LongType)
+    def hi(x: Column): Column = ((x - pmod(x, t32)) / t32).cast(LongType)
+    val r = lo(a) * lo(b) + shiftleft(hi(a) * lo(b) + lo(a) * hi(b), 32)
+    // lift the signed-long bit pattern back to [0, 2⁶⁴); the value
+    // always fits 20 digits, so the final cast can never overflow
+    when(r < 0, r.cast(DecimalType(21, 0)) + lit(Two64))
+      .otherwise(r.cast(DecimalType(21, 0)))
+      .cast(DecimalType(20, 0))
+  }
+
+  /** dispatch a binary op over two value columns whose GraphBLAS
+    * result domain is `promoted` — routes wide-UINT64 `times` through
+    * the overflow-safe limb multiply, everything else straight through
+    */
+  private[core] def binOp(op: BinaryOp, a: Column, b: Column,
+      promoted: GrbType)(implicit m: U64Mode): Column =
+    if (m.wide && promoted == GrbType.UINT64 && op.name == "times") mulMod64(a, b)
+    else op(a, b)
+
+  /** accumulator dispatch keyed on the target's physical type (merges
+    * fix the output domain from C's store, not a promoted dtype)
+    */
+  private[core] def accumOp(accum: BinaryOp, a: Column, b: Column,
+      outType: DataType)(implicit m: U64Mode): Column =
+    if (m.wide && outType == DecimalType(20, 0) && accum.name == "times") mulMod64(a, b)
+    else accum(a, b)
 
   /** declared-label rule for semiring products (mxm/mxv/vxm), the
     * ewise `promotedDeclared` convention lifted to semirings:
@@ -1221,7 +1324,7 @@ object Grb {
     */
   private[core] def srDeclared(aDtype: GrbType, aDecl: Option[GrbType],
       bDtype: GrbType, bDecl: Option[GrbType],
-      sr: Semiring, out: DataFrame): Option[GrbType] =
+      sr: Semiring, out: DataFrame)(implicit m: U64Mode): Option[GrbType] =
     if (sr.positional.nonEmpty) None
     else {
       val promoted = GrbType.promote(aDtype, bDtype)
@@ -1235,8 +1338,8 @@ object Grb {
     * wide-UINT64 Decimal(20,0) schema needs BigDecimal rows, but
     * fixtures naturally pass Long/Int/BigInt — accept them all
     */
-  private[core] def hostValue(v: Any, dtype: GrbType): Any =
-    if (wideUint64 && dtype == GrbType.UINT64) v match {
+  private[core] def hostValue(v: Any, dtype: GrbType)(implicit m: U64Mode): Any =
+    if (m.wide && dtype == GrbType.UINT64) v match {
       case b: java.math.BigDecimal => b
       case b: scala.BigDecimal     => b.bigDecimal
       case b: scala.BigInt         => new java.math.BigDecimal(b.bigInteger)
@@ -1251,9 +1354,9 @@ object Grb {
     * (21,0) on non-preserve ops exactly like long+long stays long —
     * uintGuard then normalizes the value back into the wrapped store
     */
-  private[core] def reprMatches(dt: DataType, t: GrbType): Boolean =
-    dt == t.spark ||
-      (wideUint64 && t == GrbType.UINT64 && dt.isInstanceOf[DecimalType])
+  private[core] def reprMatches(dt: DataType, t: GrbType)(implicit m: U64Mode): Boolean =
+    if (m.wide && t == GrbType.UINT64) dt.isInstanceOf[DecimalType]
+    else dt == t.spark
 
   /** wrap a result frame's value column with the overflow check when
     * checked mode is on and the result's declared dtype is UINT64.
@@ -1263,17 +1366,17 @@ object Grb {
     * so the checked flag has nothing left to catch.
     */
   private[core] def uintGuard(out: DataFrame,
-      declared: Option[GrbType]): DataFrame =
-    if (wideUint64 && declared.contains(GrbType.UINT64) &&
+      declared: Option[GrbType])(implicit m: U64Mode): DataFrame =
+    if (m.wide && declared.contains(GrbType.UINT64) &&
         out.schema("v").dataType != DecimalType(20, 0))
       out.withColumn("v", castTo(col("v"), GrbType.UINT64))
-    else if (checkedUint64 && !wideUint64 && declared.contains(GrbType.UINT64))
+    else if (m.checked && declared.contains(GrbType.UINT64))
       out.withColumn("v",
         when(col("v") < 0, raise_error(concat(
           lit("UINT64 overflow: value wrapped past 2^63-1 (stored as "),
           col("v").cast("string"),
-          lit("); rerun with Grb.checkedUint64=false for C-wrap semantics, "),
-          lit("or Grb.wideUint64=true for the full-range Decimal(20,0) store"))))
+          lit(s"); set $Uint64ModeKey=wrap for C-wrap semantics, "),
+          lit(s"or $Uint64ModeKey=wide for the full-range Decimal(20,0) store"))))
           .otherwise(col("v")))
     else out
 }

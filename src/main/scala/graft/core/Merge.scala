@@ -83,6 +83,7 @@ object Merge {
     */
   def outerAccum(target: DataFrame, result: DataFrame, keys: Seq[String],
       accum: BinaryOp): DataFrame = {
+    implicit val m: Grb.U64Mode = Grb.u64Mode(target.sparkSession)
     // output domain = the target's dtype (GraphBLAS: accum results are
     // cast into C's domain) — also keeps the when/otherwise branches
     // type-compatible for boolean-returning accum ops.
@@ -92,7 +93,7 @@ object Merge {
     t.join(r, keys, "full_outer")
       .select(keys.map(col) :+
         when(col("_tv").isNotNull && col("_rv").isNotNull,
-          Grb.castToType(accum(col("_tv"), col("_rv")), outType))
+          Grb.castToType(Grb.accumOp(accum, col("_tv"), col("_rv"), outType), outType))
           .otherwise(Grb.castToType(coalesce(col("_rv"), col("_tv")), outType))
           .as("v"): _*)
   }
@@ -103,6 +104,7 @@ object Merge {
     */
   def apply(target: DataFrame, result: DataFrame, keys: Seq[String],
       desc: Desc): DataFrame = {
+    implicit val m: Grb.U64Mode = Grb.u64Mode(target.sparkSession)
     val outType = target.schema("v").dataType
     val resultC = result.select(
       keys.map(col) :+ Grb.castToType(col("v"), outType).as("v"): _*)

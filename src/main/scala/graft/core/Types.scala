@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * are widened to the next signed type (documented deviation).
   */
 sealed abstract class GrbType(val name: String, sparkRepr: DataType, val rank: Int) {
-  /** physical Spark type. Overridden by UINT64, whose representation
-    * switches to Decimal(20,0) under [[Grb.wideUint64]].
+  /** default physical Spark type. UINT64's store additionally depends
+    * on the session's UINT64 mode (Decimal(20,0) under `wide`) —
+    * schema-building sites resolve it through [[Grb.store]].
     */
   def spark: DataType = sparkRepr
   override def toString: String = name
@@ -27,17 +28,15 @@ object GrbType {
   case object UINT8 extends GrbType("UINT8", ShortType, 2)
   case object UINT16 extends GrbType("UINT16", IntegerType, 3)
   case object UINT32 extends GrbType("UINT32", LongType, 4)
-  case object UINT64 extends GrbType("UINT64", LongType, 4) {
-    /** default: signed-long store with C-wrap past 2⁶³−1 (documented
-      * deviation; opt-in raise via Grb.checkedUint64). With
-      * Grb.wideUint64 on, the store widens to Decimal(20,0) so the
-      * FULL unsigned range [0, 2⁶⁴) is representable, and arithmetic
-      * wraps mod 2⁶⁴ exactly like the reference's C semantics
-      * (Grb.castTo applies the wrap at every preserve-cast site).
-      */
-    override def spark: DataType =
-      if (Grb.wideUint64) DecimalType(20, 0) else LongType
-  }
+  /** default: signed-long store with C-wrap past 2⁶³−1 (documented
+    * deviation; opt-in raise via the session conf
+    * `spark.graft.uint64Mode=checked`). Under `wide` the store widens
+    * to Decimal(20,0) so the FULL unsigned range [0, 2⁶⁴) is
+    * representable, and arithmetic wraps mod 2⁶⁴ exactly like the
+    * reference's C semantics (Grb.castTo applies the wrap at every
+    * preserve-cast site; Grb.store resolves the schema type).
+    */
+  case object UINT64 extends GrbType("UINT64", LongType, 4)
   case object FP32 extends GrbType("FP32", FloatType, 5)
   case object FP64 extends GrbType("FP64", DoubleType, 6)
   // --- engine extensions beyond the GraphBLAS numeric core ---
@@ -75,7 +74,7 @@ object GrbType {
     case StringType  => STRING
     case StructType(Array(StructField("re", DoubleType, _, _),
       StructField("im", DoubleType, _, _))) => FC64
-    // wide-UINT64 store (only ever produced under Grb.wideUint64)
+    // wide-UINT64 store (only ever produced under uint64Mode=wide)
     case d: DecimalType if d.precision == 20 && d.scale == 0 => UINT64
     case other => throw new IllegalArgumentException(s"unsupported value type: $other")
   }
