@@ -80,11 +80,15 @@ object Bench {
       // separate a real change from a host-bandwidth wave here.
       // SPARK_GRAFT_REPS forces a fixed rep count for every selected
       // query — the controlled-A/B hook (PERF_NOTES §6).
-      val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse {
-        if (Set("q_mxm", "q_positional_mxm", "q_cc_events",
-          "q_ewise_add", "p_dedup_minhash")(name)) 3
-        else if (Headline(name)) 2 else 1
-      }
+      // toIntOption + max(1, _): a non-numeric value falls back to the
+      // default tiering, a 0/negative value is clamped — either way the
+      // runs list can never be empty (runs.head would throw)
+      val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+        .map(n => math.max(1, n)).getOrElse {
+          if (Set("q_mxm", "q_positional_mxm", "q_cc_events",
+            "q_ewise_add", "p_dedup_minhash")(name)) 3
+          else if (Headline(name)) 2 else 1
+        }
       val runs = (1 to reps).map(_ => once(name, fn))
       val ok = runs.filter(_._2.isEmpty).map(_._1)
       // a rep that errored while another succeeded is NOT silently

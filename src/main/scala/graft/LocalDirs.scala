@@ -33,11 +33,18 @@ object LocalDirs {
   }
 
   /** Delete sibling `pid-<n>` session dirs whose process no longer
-    * exists (/proc/<n> gone). Returns how many dirs were removed.
-    * Non-pid-stamped entries are never touched.
+    * exists. Returns how many dirs were removed. Non-pid-stamped
+    * entries are never touched.
+    *
+    * Default liveness is `ProcessHandle.of(pid)`, not a /proc lookup:
+    * on a platform without procfs a path check would declare every
+    * sibling pid dead and delete the live shuffle dirs of concurrently
+    * running sessions. ProcessHandle is portable; the parameter stays
+    * injectable for tests.
     */
   private[graft] def sweepStale(root: java.io.File,
-      pidAlive: Long => Boolean = p => new java.io.File(s"/proc/$p").isDirectory): Int = {
+      pidAlive: Long => Boolean =
+        p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false)): Int = {
     val stale = Option(root.listFiles()).getOrElse(Array.empty).filter { f =>
       f.isDirectory && f.getName.startsWith("pid-") &&
         f.getName.stripPrefix("pid-").toLongOption.exists(p => !pidAlive(p))
@@ -57,12 +64,33 @@ object LocalDirs {
     if (root.exists()) sz(root) else 0L
   }
 
+  /** Occupancy guard: tmpfs bytes are RAM, so a shuffle tier whose
+    * spill exceeds the tmpfs headroom must NOT land there — at the
+    * 100M-edge graph tier a 5× larger run would eat the 125 GB budget
+    * and OOM the host mid-job (BASELINE_SELF round-7 note). A caller
+    * that knows its expected peak shuffle footprint declares it via
+    * `SPARK_GRAFT_SHUFFLE_GB`; when the declared footprint does not
+    * fit the tmpfs usable space, placement falls back to the (slow
+    * but disk-backed) JVM tmpdir and says so on stderr — the failure
+    * mode becomes a visible placement decision, not an OOM. With no
+    * declaration the behavior is unchanged (tmpfs preferred).
+    */
+  private[graft] def fitsTmpfs(usableBytes: Long, declaredGb: Option[Long]): Boolean =
+    declaredGb.forall(gb => usableBytes >= gb * (1L << 30))
+
   lazy val sparkLocalDir: String =
     sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", {
       val fallback = System.getProperty("java.io.tmpdir")
       val shm = new java.io.File("/dev/shm")
+      val declaredGb = sys.env.get("SPARK_GRAFT_SHUFFLE_GB").flatMap(_.toLongOption)
       if (!(shm.isDirectory && shm.canWrite)) fallback
-      else {
+      else if (!fitsTmpfs(shm.getUsableSpace, declaredGb)) {
+        System.err.println(
+          s"graft: declared shuffle footprint ${declaredGb.get} GiB exceeds tmpfs " +
+            s"headroom ${shm.getUsableSpace >> 30} GiB - spark.local.dir falls " +
+            s"back to disk ($fallback); expect slower shuffles instead of an OOM")
+        fallback
+      } else {
         // per-user root: on a multi-user host a foreign-owned shared
         // dir would force the fallback to the (slow) JVM tmpdir; a
         // user-suffixed root keeps each user on tmpfs independently

@@ -45,6 +45,37 @@ class LocalDirsSpec extends AnyFunSuite {
     assert(LocalDirs.occupancyBytes(new java.io.File(root, "nope")) === 0L)
   }
 
+  test("default pidAlive is portable process liveness, not a /proc path probe") {
+    // ADVICE r7: on a platform without procfs a /proc/<pid> check
+    // declares every sibling alive-JVM dead and deletes its live
+    // shuffle dirs. The default must see THIS process as alive and a
+    // never-allocated pid as dead, via ProcessHandle.
+    val root = mkTree()
+    val self = ProcessHandle.current().pid()
+    val selfDir = new java.io.File(root, s"pid-$self")
+    selfDir.mkdirs()
+    LocalDirs.sweepStale(root) // default pidAlive
+    assert(selfDir.exists(), "live JVM's own dir must survive the default sweep")
+    // pid-11/pid-22 from the fixture are almost certainly dead pids on
+    // a fresh container, but don't assert on host pid-table contents —
+    // only the guaranteed-dead giant pid
+    val dead = new java.io.File(root, "pid-4194304999")
+    dead.mkdirs()
+    LocalDirs.sweepStale(root)
+    assert(!dead.exists(), "a never-allocated pid's dir must be swept")
+  }
+
+  test("fitsTmpfs: declared shuffle footprint gates tmpfs placement") {
+    val gib = 1L << 30
+    // no declaration -> today's behavior, tmpfs preferred
+    assert(LocalDirs.fitsTmpfs(0L, None))
+    // declared footprint within headroom -> stay on tmpfs
+    assert(LocalDirs.fitsTmpfs(100L * gib, Some(64L)))
+    // over-cap -> the run is redirected to disk, not OOM'd
+    assert(!LocalDirs.fitsTmpfs(100L * gib, Some(128L)))
+    assert(!LocalDirs.fitsTmpfs(0L, Some(1L)))
+  }
+
   test("sparkLocalDir is writable and honors the env override contract") {
     // can't fork a JVM per env combination here; assert the resolved
     // default is a usable directory (pid-stamped under /dev/shm when
