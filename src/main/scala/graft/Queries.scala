@@ -1136,15 +1136,18 @@ object Queries {
                 CAST(i.inter AS BIGINT) AS inter, CAST(z.nb AS BIGINT) AS nb
          FROM ix i JOIN szb z ON z.doc_id = i.bench_id
          WHERE i.inter * 10 >= z.nb * 7""",
+    // brute-force all-pairs oracle, DELIBERATELY not mirroring the
+    // block-combination banding: simhashNearDuplicates' contract is
+    // "exactly the pairs at Hamming <= 3" (candidate generation is
+    // recall-complete by pigeonhole), so an O(n^2) scan at oracle
+    // scale independently VERIFIES the banding's recall-completeness
+    // instead of assuming it
     "p_dedup_simhash" ->
-      s"""WITH $simhashBitsSql,
-         banded AS (SELECT doc_id, simhash, b.band AS band,
-                           (simhash >> (b.band * ${TextDedup.simhashBits / 4})) % ${1 << (TextDedup.simhashBits / 4)} AS key
-                    FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
-         pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-                          CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-                   FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
-         SELECT a, b, hamming FROM pairs WHERE hamming <= 3""",
+      s"""WITH $simhashBitsSql
+         SELECT l.doc_id AS a, r.doc_id AS b,
+                CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+         WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""",
     "p_fingerprint" ->
       s"WITH $shinglesSql SELECT DISTINCT doc_id, h AS fp FROM hs WHERE h % 8 = 0",
     "p_text_stats" -> {
@@ -1213,16 +1216,38 @@ object Queries {
          up AS (SELECT a, b FROM simv WHERE sim >= 0.4 UNION SELECT a, b FROM exp_)
          SELECT b AS vec_id, CAST(MIN(a) AS BIGINT) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_dups
          FROM up GROUP BY 1""",
+    // mirrors ivfPairs end-to-end: auto-k = max(8, floor(sqrt(n))),
+    // hash-spread seed sample (k smallest by (md5(vec_id), vec_id)),
+    // ONE Lloyd round recentring each cell at the per-dimension
+    // floor(mean) of its members' quantized values (exact integer
+    // sums, one double division — engine-reproducible), then 2-probe
+    // assignment + candidate join + exact-cosine verify. range(64) is
+    // the fixed testdata embedding dim (DuckDB's range() cannot
+    // lateral-join on len(q)).
     "p_ann_ivf" ->
       s"""WITH $annCommonSql,
-         c AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en WHERE vec_id < 8),
-         scored AS (SELECT en.vec_id, c.cid,
-                           CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
-                             / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c.cn2 AS DOUBLE)) AS csim
-                    FROM en CROSS JOIN c),
+         kv AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k FROM en),
+         sd AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en
+                QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT k FROM kv)),
+         s1 AS (SELECT en.vec_id, sd.cid,
+                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(sd.cn2 AS DOUBLE)) AS csim
+                FROM en CROSS JOIN sd),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s1)
+                WHERE rnk = 1),
+         dims AS (SELECT a1.cid, t.i AS d, CAST(FLOOR(SUM(en.q[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v
+                  FROM a1 JOIN en ON en.vec_id = a1.vec_id, range(64) t(i)
+                  GROUP BY 1, 2),
+         c2 AS (SELECT cid, list(v ORDER BY d) AS cq FROM dims GROUP BY 1),
+         c3 AS (SELECT cid, cq, CAST(list_sum(list_transform(range(len(cq)), i -> cq[i+1] * cq[i+1])) AS BIGINT) AS cn2 FROM c2),
+         s2 AS (SELECT en.vec_id, c3.cid,
+                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c3.cn2 AS DOUBLE)) AS csim
+                FROM en CROSS JOIN c3),
          asg AS (SELECT vec_id, cid FROM (
-                   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk
-                   FROM scored) WHERE rnk <= 2),
+                   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s2)
+                 WHERE rnk <= 2),
          cands AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
                    FROM asg l JOIN asg r ON l.cid = r.cid AND l.vec_id < r.vec_id),
          simv AS (SELECT c.a, c.b,

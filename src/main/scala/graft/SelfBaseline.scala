@@ -80,6 +80,24 @@ object SelfBaseline {
         .otherwise(col("text")).as("text"))
   }
 
+  /** the simhash-tier corpus: same planted-pair structure as
+    * syntheticDocs (doc 10k+1 shares doc 10k's 60-token body; the one
+    * id-derived tail token differs), but over an ~100k-word synthetic
+    * vocabulary so simhashes are near-uniform over the 60-bit space —
+    * the 20-word vocabulary makes unrelated docs collide at low
+    * Hamming and the measurement output-bound instead of banding-bound.
+    */
+  def syntheticDocsWide(spark: SparkSession, nDocs: Long): DataFrame =
+    spark.range(nDocs).select(
+      col("id").cast("long").as("doc_id"),
+      when(col("id") % 10 === 1, col("id") - 1).otherwise(col("id")).as("_seed"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          expr("transform(sequence(1, 60), x -> " +
+            "concat('w', pmod(hash(_seed * 131 + x), 100000)))")).as("_body"),
+        expr("concat('w', pmod(hash(doc_id * 17 + 7), 100000))").as("_tail"))
+      .select(col("doc_id"), concat_ws(" ", col("_body"), col("_tail")).as("text"))
+
   /** deterministic synthetic embeddings: dim-d float vectors with
     * hash-valued components in [-1, 1)
     */
@@ -195,6 +213,65 @@ object SelfBaseline {
       val (ncont, contSec) = timed(TextDedup.contamination(train, bench).count())
       println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np,"exact_sec":$exactSec%.2f,"exact_dup_groups":$ne,"simhash_sec":$simhashSec%.2f,"simhash_pairs":$ns,"contamination_sec":$contSec%.2f,"contaminated":$ncont}""")
       docs.unpersist(); emb.unpersist()
+    }
+    // SimHash banding tier (SPARK_GRAFT_SIMHASH=<nDocs>, round-8 lead
+    // item): planted near-dups over a wide-vocabulary corpus, measured
+    // for BOTH the legacy single-table banding (blocks=4, 15-bit keys)
+    // and the scale default (blocks=6, C(6,3)=20 tables of 30-bit
+    // keys). Reports structural candidate volume, wall-clock, and
+    // recall against per-pair ground truth (the planted pairs' true
+    // Hamming, computed directly from the simhash frame) — the claim
+    // under test: blocks=6 keeps candidates ~O(n) at unchanged recall
+    // while blocks=4 grows them n^2/2^15.
+    sys.env.get("SPARK_GRAFT_SIMHASH").foreach { nStr =>
+      val nDocs = nStr.toLong
+      val docs = syntheticDocsWide(spark, nDocs).cache()
+      docs.count()
+      val shd = TextDedup.simhash(docs).localCheckpoint(true)
+      // ground truth over the planted pairs (10k, 10k+1): how many sit
+      // at true Hamming <= 3 (the one-token diff flips a varying
+      // number of simhash bits)
+      val a = shd.select(col("doc_id").as("a"), col("simhash").as("ha"))
+      val b = shd.select(col("doc_id").as("b"), col("simhash").as("hb"))
+      val plantedTrue = a.join(b, expr("b = a + 1 AND b % 10 = 1"))
+        .filter(expr("bit_count(ha ^ hb) <= 3")).count()
+      val cols = Seq(4, 6).map { blocks =>
+        val (cand, candSec) = timed(
+          TextDedup.simhashCandidates(shd, 3, blocks).count())
+        val (nd, ndSec) = timed {
+          val p = TextDedup.simhashNearDuplicates(docs, blocks = blocks)
+            .localCheckpoint(true)
+          p.count(); p
+        }
+        val pairs = nd.count()
+        val recovered = nd
+          .filter(col("b") === col("a") + 1 && col("b") % 10 === 1).count()
+        f""""blocks$blocks":{"candidates":$cand,"cand_sec":$candSec%.2f,"pairs":$pairs,"sec":$ndSec%.2f,"planted_recovered":$recovered}"""
+      }
+      println(s"""{"simhash_docs":$nDocs,"planted_true":$plantedTrue,${cols.mkString(",")}}""")
+      docs.unpersist()
+    }
+    // IVF sizing tier (SPARK_GRAFT_IVF=<nVecs>, round-8 item 4): the
+    // Σcell² claim measured. Candidate volume + wall-clock at the old
+    // fixed default (k=8, n²/8 candidate bound), an intermediate k,
+    // and the auto rule k=⌊√n⌋ (n^1.5 bound, the classical IVF
+    // operating point). Verified pair counts are reported so recall
+    // effects of the cell granularity are visible next to the cost.
+    sys.env.get("SPARK_GRAFT_IVF").foreach { nStr =>
+      val nVecs = nStr.toLong
+      val emb = syntheticEmbeddings(spark, nVecs, 64)
+        .withColumnRenamed("doc_id", "vec_id").cache()
+      emb.count()
+      val base = Similarity.quantized(emb).localCheckpoint(true)
+      val auto = math.max(8L, math.sqrt(nVecs.toDouble).toLong).toInt
+      val cols = Seq(8, 64, auto).distinct.map { k =>
+        val (cand, candSec) = timed(Similarity.ivfCandidates(base, k, 2).count())
+        val (pairs, pairSec) = timed(
+          Similarity.ivfPairs(emb, k = k).count())
+        f""""k$k":{"candidates":$cand,"cand_sec":$candSec%.2f,"pairs":$pairs,"sec":$pairSec%.2f}"""
+      }
+      println(s"""{"ivf_vecs":$nVecs,"auto_k":$auto,${cols.mkString(",")}}""")
+      emb.unpersist()
     }
     // Big-graph tier (SPARK_GRAFT_BIGGRAPH=<edges>, e.g. 100000000):
     // PregelCC + BFS only — the workloads whose 100 TB story rides on

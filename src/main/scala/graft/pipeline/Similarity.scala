@@ -39,7 +39,7 @@ object Similarity {
   def cosineQ(dot: Column, na: Column, nb: Column): Column =
     dot / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
 
-  private def quantized(emb: DataFrame): DataFrame =
+  private[graft] def quantized(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("n2", dotQ(col("q"), col("q")))
 
@@ -250,12 +250,83 @@ object Similarity {
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"), count(lit(1)).as("n_dups"))
 
+  /** cell assignments for a quantized corpus against a (small)
+    * centroid table: each vector's `probes` nearest centroids by
+    * exact-integer cosine, centroid-id tie-break — IEEE-deterministic,
+    * reproducible by an external oracle bit-for-bit. The centroid
+    * table broadcasts (k rows); cost = n·k integer dots, no shuffle
+    * of the corpus.
+    */
+  private def nearestCells(base: DataFrame, cents: DataFrame,
+      probes: Int): DataFrame = {
+    val scored = base.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= probes)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** IVF centroids: a deterministic hash-spread sample of k vectors
+    * (the k smallest by (md5(vec_id), vec_id) — corpus order carries
+    * source locality, so "first k rows" seeds can all land in one
+    * region of the space and leave a giant far-away cell), refined by
+    * `lloydRounds` Lloyd iterations: assign every vector to its
+    * nearest seed, recentre each cell at the per-dimension
+    * floor(mean) of its members' quantized values. All arithmetic is
+    * exact integers + one double division per dimension (sums < 2⁵³),
+    * so the refinement is engine-reproducible. Cells that end a round
+    * empty drop out (k shrinks — deterministic in any engine).
+    */
+  private[graft] def ivfCentroids(base: DataFrame, k: Int,
+      lloydRounds: Int = 1): DataFrame = {
+    val seeds = base
+      .withColumn("_h", md5(col("vec_id").cast("string")))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
+    (1 to lloydRounds).foldLeft(seeds) { (cents, _) =>
+      val members = nearestCells(base, cents, probes = 1)
+      val refined = members.join(base, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        // floor of the exact mean; * 1.0 forces the double division in
+        // both engines (matches CAST(FLOOR(SUM(x)*1.0/COUNT(*)) AS BIGINT))
+        .agg(floor(sum(col("x")) * lit(1.0) / count(lit(1))).cast(LongType).as("v"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+          s => s.getField("v")).as("cq"))
+      refined.withColumn("cn2", dotQ(col("cq"), col("cq")))
+    }
+  }
+
+  /** IVF candidate pairs: vectors sharing any of their `probes`
+    * closest cells (multi-probe catches boundary pairs). DISTINCT
+    * (a, b), unverified.
+    */
+  private[graft] def ivfCandidates(base: DataFrame, k: Int, probes: Int,
+      lloydRounds: Int = 1): DataFrame = {
+    val assigned = nearestCells(base, ivfCentroids(base, k, lloydRounds), probes)
+    assigned.select(col("cid"), col("vec_id").as("a"))
+      .join(assigned.select(col("cid"), col("vec_id").as("b")), Seq("cid"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+  }
+
   /** IVF (inverted-file) ANN pairs — the clustering-flavored scale
     * path next to the hyperplane LSH: vectors are coarse-quantized to
-    * their nearest of `k` seed centroids (deterministic seeds: the
-    * first k vec_ids), candidates are pairs sharing any of each
-    * vector's `probes` closest cells (multi-probe catches boundary
-    * pairs), then exact integer-cosine verified.
+    * their nearest centroid cells ([[ivfCentroids]]: deterministic
+    * hash-spread seeds + Lloyd refinement), candidates are pairs
+    * sharing any of each vector's `probes` closest cells, then exact
+    * integer-cosine verified.
+    *
+    * Sizing (k = -1, the default, AUTO): k = max(8, ⌊√n⌋). The math:
+    * uniform cells hold n/k members, so the candidate self-join is
+    * Σcell² ≈ probes²·n²/k pairs while assignment costs n·k dots —
+    * k = √n balances both at ~n^1.5, the classical IVF operating
+    * point. A fixed small k (the old default, k=8) leaves Σcell² at
+    * n²/8 — quadratic in the corpus, fine for a correctness demo and
+    * wrong at 100 TB; a caller-supplied k still wins when the corpus
+    * size is known upfront (no count job).
     *
     * Scale shape: the centroid table is k rows broadcast everywhere
     * (one narrow pass to assign cells — no shuffle of the corpus
@@ -263,25 +334,18 @@ object Similarity {
     * ∝ Σ cell² like the LSH path, never all-pairs. Centroid ordering
     * is IEEE-deterministic (exact-integer dots, fixed op order,
     * centroid-id tie-break) so an external oracle reproduces the
-    * assignment bit-for-bit.
+    * assignment bit-for-bit; the SelfBaseline SPARK_GRAFT_IVF tier
+    * records measured candidate volume vs k.
     */
-  def ivfPairs(emb: DataFrame, simMilli: Int = 400, k: Int = 8,
-      probes: Int = 2, materialize: Boolean = true): DataFrame = {
+  def ivfPairs(emb: DataFrame, simMilli: Int = 400, k: Int = -1,
+      probes: Int = 2, materialize: Boolean = true,
+      lloydRounds: Int = 1): DataFrame = {
     val base0 = quantized(emb)
     val base = if (materialize) base0.cache() else base0
-    val cents = base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2"))
-    val scored = base.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    val assigned = scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= probes)
-      .select(col("vec_id"), col("cid"))
-    val cand = assigned.select(col("cid"), col("vec_id").as("a"))
-      .join(assigned.select(col("cid"), col("vec_id").as("b")), Seq("cid"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").dropDuplicates("a", "b")
+    val kEff =
+      if (k > 0) k
+      else math.max(8L, math.sqrt(base.count().toDouble).toLong).toInt
+    val cand = ivfCandidates(base, kEff, probes, lloydRounds)
     val result = verifiedPairs(base, cand, simMilli)
     if (!materialize) result
     else {

@@ -143,6 +143,44 @@ class PipelineSpec extends SparkSpec {
     assert(pairs((0L, 1L)) == 0L)
   }
 
+  test("simhash block-combination banding is recall-complete at every blocks setting") {
+    import spark.implicits._
+    // a corpus with planted near-dup structure: pairs (2i, 2i+1) share
+    // a body and differ by one trailing token — simhash Hamming is
+    // small but varied; plus unrelated docs with distinct bodies
+    val corpus = (0L until 60L).map { i =>
+      val body = (1 to 40).map(t => s"tok${(i / 2) * 997 + t * 131}").mkString(" ")
+      (i, s"$body tail${i * 31}")
+    }.toDF("doc_id", "text")
+    // ground truth: brute-force all-pairs Hamming from the simhash frame
+    val shd = TextDedup.simhash(corpus).cache()
+    val sh = shd.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield ((a, b), h.toLong)).toMap
+    assert(truth.nonEmpty, "fixture must contain Hamming<=3 pairs")
+    // every blocks setting that satisfies the pigeonhole must produce
+    // EXACTLY the truth set — blocks=4 is the legacy single-block
+    // banding, blocks=6 the scale default, blocks=10 the next tier up
+    for (blocks <- Seq(4, 6, 10)) {
+      val got = TextDedup.simhashNearDuplicates(corpus, blocks = blocks).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got == truth, s"blocks=$blocks must match brute force")
+    }
+    // structural candidate volume SHRINKS as blocks grow (bigger keys,
+    // same recall) — the whole point of the multi-table scheme
+    val cand4 = TextDedup.simhashCandidates(shd, 3, 4).count()
+    val cand6 = TextDedup.simhashCandidates(shd, 3, 6).count()
+    assert(cand6 <= cand4, s"blocks=6 candidates ($cand6) must not exceed blocks=4 ($cand4)")
+    shd.unpersist()
+    // invalid parameterizations refuse loudly
+    intercept[IllegalArgumentException](
+      TextDedup.simhashNearDuplicates(corpus, maxHamming = 4, blocks = 4))
+    intercept[IllegalArgumentException](
+      TextDedup.simhashNearDuplicates(corpus, blocks = 7))
+  }
+
   test("fingerprint is deterministic and subset-stable") {
     val fp1 = TextDedup.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val fp2 = TextDedup.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
