@@ -251,6 +251,41 @@ object SelfBaseline {
       println(s"""{"simhash_docs":$nDocs,"planted_true":$plantedTrue,${cols.mkString(",")}}""")
       docs.unpersist()
     }
+    // Wide-UINT64 cost tier (SPARK_GRAFT_WIDEUINT=<nnz>, round-8 item
+    // 3): the Decimal(20,0) store falls off the primitive-long fast
+    // path (and the limb multiply adds ~5 decimal ops per product);
+    // this tier records the premium of uint64Mode=wide vs the default
+    // wrap store on identical data — mxm(plus_times) and the
+    // plus-monoid scalar reduce at the given nnz. Values stay small
+    // (<= 1000) so both modes compute identical results; the delta is
+    // pure representation cost.
+    sys.env.get("SPARK_GRAFT_WIDEUINT").foreach { nStr =>
+      val nnz = nStr.toLong
+      val n = math.max(1L, nnz / 8)
+      def mat(s: SparkSession, decimal: Boolean): GrbMatrix = {
+        val df0 = s.range(nnz).select(
+          pmod(hash(col("id") * 7), lit(n)).cast("long").as("i"),
+          pmod(hash(col("id") * 13 + 3), lit(n)).cast("long").as("j"),
+          (pmod(hash(col("id")), lit(1000)) + 1).cast("long").as("v"))
+          .dropDuplicates("i", "j")
+        val df = if (decimal)
+          df0.withColumn("v",
+            col("v").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+        else df0
+        new GrbMatrix(df.localCheckpoint(true), n, n, Some(GrbType.UINT64))
+      }
+      val wrapM = mat(spark, decimal = false)
+      val wide = spark.newSession()
+      wide.conf.set(Grb.Uint64ModeKey, "wide")
+      val wideM = mat(wide, decimal = true)
+      val (mmWrap, mmWrapSec) = timed(wrapM.mxm(wrapM, Ops.plusTimes).nvals)
+      val (mmWide, mmWideSec) = timed(wideM.mxm(wideM, Ops.plusTimes).nvals)
+      val (rWrap, redWrapSec) = timed(wrapM.reduceScalar(Ops.plusMonoid).value.get)
+      val (rWide, redWideSec) = timed(wideM.reduceScalar(Ops.plusMonoid).value.get)
+      val same = BigInt(rWrap.toString) ==
+        BigInt(rWide.asInstanceOf[java.math.BigDecimal].toBigInteger)
+      println(f"""{"wideuint_nnz":$nnz,"mxm_wrap_sec":$mmWrapSec%.2f,"mxm_wide_sec":$mmWideSec%.2f,"mxm_rows_wrap":$mmWrap,"mxm_rows_wide":$mmWide,"reduce_wrap_sec":$redWrapSec%.2f,"reduce_wide_sec":$redWideSec%.2f,"reduce_equal":$same}""")
+    }
     // IVF sizing tier (SPARK_GRAFT_IVF=<nVecs>, round-8 item 4): the
     // Σcell² claim measured. Candidate volume + wall-clock at the old
     // fixed default (k=8, n²/8 candidate bound), an intermediate k,

@@ -188,7 +188,23 @@ object TextDedup {
 
   /** candidate pairs from a bucket-annotated bands frame: the
     * under-cap buckets self-join (quadratic within honest buckets),
-    * the over-cap buckets collapse to their min-id hub star — O(B)
+    * the over-cap buckets collapse to their min-id hub star — O(B).
+    *
+    * HUB-STAR CONTRACT (what the pair list does and does not contain
+    * for an over-cap cluster): every member is a candidate WITH THE
+    * HUB (the bucket's min doc_id), so after Jaccard verification the
+    * pair list links the whole templated cluster through its hub —
+    * cluster-level recall is preserved and [[nearDuplicates]] maps
+    * every member to a representative. What is OMITTED is the
+    * member×member pairs that don't involve the hub: a pair whose
+    * similarity qualifies only via a non-hub path appears in
+    * dedupClusters' transitive closure (the hub links both members)
+    * but NOT in nearDuplicates' explicit pair list. For dedup
+    * decisions — keep one representative per cluster — the star is
+    * exactly sufficient; consumers that need the complete pairwise
+    * similarity graph within giant clusters must raise `maxBucket`
+    * and pay the quadratic. PipelineSpec pins this contract on an
+    * over-cap templated cluster.
     */
   private def candidatesFromAnnotated(bsA: DataFrame,
       maxBucket: Int): DataFrame = {

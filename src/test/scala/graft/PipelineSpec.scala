@@ -143,6 +143,43 @@ class PipelineSpec extends SparkSpec {
     assert(pairs((0L, 1L)) == 0L)
   }
 
+  test("hub star preserves cluster-level recall on an over-cap templated cluster") {
+    import spark.implicits._
+    // a 30-member TEMPLATED cluster (shared 40-token body, one unique
+    // trailing token each — near-identical but NOT byte-identical, so
+    // exact dedup does not own it; pairwise Jaccard ~0.9) plus
+    // unrelated docs. maxBucket=10 puts the cluster's shared band
+    // buckets far over cap.
+    val body = (1 to 40).map(t => s"tmpl${t * 17}").mkString(" ")
+    val cluster = (100L to 129L).map(i => (i, s"$body extra$i"))
+    val others = (0L until 5L).map(i =>
+      (i, (1 to 40).map(t => s"other${i}x${t * 31}").mkString(" ")))
+    val docs = (cluster ++ others).toDF("doc_id", "text")
+    val nd = TextDedup.nearDuplicates(docs, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // contract part 1 — cluster recall through the hub: every member
+    // is Jaccard-linked to the min-id hub (100), so a dedup sweep maps
+    // the whole cluster to one representative
+    val missing = (101L to 129L).filterNot(m => nd.contains((100L, m)))
+    assert(missing.isEmpty, s"members not linked to hub: $missing")
+    // contract part 2 — the pair list is the O(B) star, not the
+    // B(B-1)/2 quadratic: far fewer pairs than the full clique
+    assert(nd.size < 200, s"expected ~star-sized pair list, got ${nd.size}")
+    // contract part 3 — transitive closure unifies the cluster: a
+    // driver-side union-find over the pair list (30 nodes) yields one
+    // component holding every member
+    val parent = scala.collection.mutable.Map((100L to 129L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    nd.foreach { case (a, b) =>
+      if (parent.contains(a) && parent.contains(b)) parent(find(a)) = find(b) }
+    assert((100L to 129L).map(find).toSet.size == 1,
+      "cluster must be one component via the hub star")
+    // no unrelated doc leaks into the cluster's pairs (a < b, and the
+    // unrelated ids 0-4 are the smallest, so they'd appear as `a`)
+    assert(!nd.exists(_._1 < 100L))
+  }
+
   test("simhash block-combination banding is recall-complete at every blocks setting") {
     import spark.implicits._
     // a corpus with planted near-dup structure: pairs (2i, 2i+1) share
