@@ -254,8 +254,14 @@ object Similarity {
     * centroid table: each vector's `probes` nearest centroids by
     * exact-integer cosine, centroid-id tie-break — IEEE-deterministic,
     * reproducible by an external oracle bit-for-bit. The centroid
-    * table broadcasts (k rows); cost = n·k integer dots, no shuffle
-    * of the corpus.
+    * table broadcasts (k rows); scoring = n·k integer dots with no
+    * shuffle, but the top-`probes` selection is a window over the
+    * scored frame — ONE shuffle of n·k (vec_id, cid, csim) rows. At
+    * the auto rule k = √n that shuffle is n^1.5 rows: the binding
+    * cost at extreme corpus sizes (10⁹ vectors → ~3·10¹³ rows), where
+    * the right move is a caller-chosen smaller k (cells get fatter,
+    * candidate work grows ∝ n²/k — the documented trade) or the LSH
+    * path, whose bucketing needs no per-vector top-k at all.
     */
   private def nearestCells(base: DataFrame, cents: DataFrame,
       probes: Int): DataFrame = {
