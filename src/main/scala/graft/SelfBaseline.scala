@@ -278,13 +278,22 @@ object SelfBaseline {
       val wide = spark.newSession()
       wide.conf.set(Grb.Uint64ModeKey, "wide")
       val wideM = mat(wide, decimal = true)
-      val (mmWrap, mmWrapSec) = timed(wrapM.mxm(wrapM, Ops.plusTimes).nvals)
-      val (mmWide, mmWideSec) = timed(wideM.mxm(wideM, Ops.plusTimes).nvals)
+      // interleaved ABBA order (wrap,wide,wide,wrap) so neither mode
+      // systematically pays the first-draw warm-up (JIT, shuffle dirs,
+      // page cache); report the per-mode min like Bench does
+      def mm(m: GrbMatrix) = timed(m.mxm(m, Ops.plusTimes).nvals)
+      val draws = Seq(("wrap", wrapM), ("wide", wideM),
+        ("wide", wideM), ("wrap", wrapM)).map { case (tag, m) =>
+        val (rows, sec) = mm(m); (tag, rows, sec)
+      }
+      def best(tag: String) = draws.filter(_._1 == tag).map(_._3).min
+      val mmWrap = draws.find(_._1 == "wrap").get._2
+      val mmWide = draws.find(_._1 == "wide").get._2
       val (rWrap, redWrapSec) = timed(wrapM.reduceScalar(Ops.plusMonoid).value.get)
       val (rWide, redWideSec) = timed(wideM.reduceScalar(Ops.plusMonoid).value.get)
       val same = BigInt(rWrap.toString) ==
         BigInt(rWide.asInstanceOf[java.math.BigDecimal].toBigInteger)
-      println(f"""{"wideuint_nnz":$nnz,"mxm_wrap_sec":$mmWrapSec%.2f,"mxm_wide_sec":$mmWideSec%.2f,"mxm_rows_wrap":$mmWrap,"mxm_rows_wide":$mmWide,"reduce_wrap_sec":$redWrapSec%.2f,"reduce_wide_sec":$redWideSec%.2f,"reduce_equal":$same}""")
+      println(f"""{"wideuint_nnz":$nnz,"mxm_wrap_sec":${best("wrap")}%.2f,"mxm_wide_sec":${best("wide")}%.2f,"mxm_rows_wrap":$mmWrap,"mxm_rows_wide":$mmWide,"reduce_wrap_sec":$redWrapSec%.2f,"reduce_wide_sec":$redWideSec%.2f,"reduce_equal":$same}""")
     }
     // IVF sizing tier (SPARK_GRAFT_IVF=<nVecs>, round-8 item 4): the
     // Σcell² claim measured. Candidate volume + wall-clock at the old
@@ -301,9 +310,15 @@ object SelfBaseline {
       val auto = math.max(8L, math.sqrt(nVecs.toDouble).toLong).toInt
       val cols = Seq(8, 64, auto).distinct.map { k =>
         val (cand, candSec) = timed(Similarity.ivfCandidates(base, k, 2).count())
-        val (pairs, pairSec) = timed(
-          Similarity.ivfPairs(emb, k = k).count())
-        f""""k$k":{"candidates":$cand,"cand_sec":$candSec%.2f,"pairs":$pairs,"sec":$pairSec%.2f}"""
+        // the end-to-end verified run only at k where Σcell² is sane:
+        // at k=8 / 50k vectors the candidate set alone is ~C(n,2)/4 —
+        // attaching 64-long vectors to a billion pairs is an hour-class
+        // job whose only lesson is already in the candidate count
+        val full = if (cand < 50_000_000L) {
+          val (pairs, pairSec) = timed(Similarity.ivfPairs(emb, k = k).count())
+          f""","pairs":$pairs,"sec":$pairSec%.2f"""
+        } else ""
+        f""""k$k":{"candidates":$cand,"cand_sec":$candSec%.2f$full}"""
       }
       println(s"""{"ivf_vecs":$nVecs,"auto_k":$auto,${cols.mkString(",")}}""")
       emb.unpersist()
