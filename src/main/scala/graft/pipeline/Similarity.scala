@@ -46,6 +46,15 @@ object Similarity {
   /** brute-force top-k cosine neighbours for the query set
     * `vec_id < nQueries`. Queries are broadcast; the corpus streams.
     * Output (q, n, rank) — integers only.
+    *
+    * Top-k selection is the map-side-truncating
+    * [[org.apache.spark.sql.graft.TopKPairs]] aggregate: the scored
+    * frame is corpus × queries rows, but each partition reduces to one
+    * ≤k-entry buffer per query before the exchange — the shuffle
+    * carries partitions·queries·k entries, not corpus·queries rows
+    * (the window formulation this replaces). Rank = position in the
+    * aggregate's sorted output, identical to
+    * ROW_NUMBER() (sim DESC, vec_id ASC, NaN greatest).
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Long = 20L, k: Int = 5): DataFrame = {
     val base = quantized(emb)
@@ -54,10 +63,11 @@ object Similarity {
     val scored = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .withColumn("dot", dotQ(col("qq"), col("q")))
       .withColumn("sim", cosineQ(col("dot"), col("qn2"), col("n2")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("q"), col("vec_id").as("n"), col("rank").cast(LongType))
+    scored.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("sim"), col("vec_id"), k).as("top"))
+      .select(col("qid").as("q"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q"), col("t").getField("id").as("n"),
+        (col("pos") + 1).cast(LongType).as("rank"))
   }
 
   /** deterministic pseudo-random hyperplanes: integer weight
@@ -255,22 +265,25 @@ object Similarity {
     * exact-integer cosine, centroid-id tie-break — IEEE-deterministic,
     * reproducible by an external oracle bit-for-bit. The centroid
     * table broadcasts (k rows); scoring = n·k integer dots with no
-    * shuffle, but the top-`probes` selection is a window over the
-    * scored frame — ONE shuffle of n·k (vec_id, cid, csim) rows. At
-    * the auto rule k = √n that shuffle is n^1.5 rows: the binding
-    * cost at extreme corpus sizes (10⁹ vectors → ~3·10¹³ rows), where
-    * the right move is a caller-chosen smaller k (cells get fatter,
-    * candidate work grows ∝ n²/k — the documented trade) or the LSH
-    * path, whose bucketing needs no per-vector top-k at all.
+    * shuffle, and the top-`probes` selection is a map-side-truncating
+    * aggregate ([[org.apache.spark.sql.graft.TopKPairs]]): each
+    * partition reduces its vectors' k scored rows to one ≤probes-entry
+    * buffer per vec_id before the exchange, so the selection shuffles
+    * O(n·probes) bytes — NOT the n·k scored rows a
+    * `row_number() OVER (PARTITION BY vec_id)` window would move
+    * (n^1.5 rows at the auto rule k = √n, which was the binding cost
+    * of this path through round 8). Ordering semantics are identical
+    * to the window it replaced (csim DESC, cid ASC, NaN greatest), so
+    * the DuckDB oracle's ROW_NUMBER formulation still matches
+    * bit-for-bit.
     */
   private def nearestCells(base: DataFrame, cents: DataFrame,
       probes: Int): DataFrame = {
     val scored = base.crossJoin(broadcast(cents))
       .withColumn("csim", cosineQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= probes)
-      .select(col("vec_id"), col("cid"))
+    scored.groupBy("vec_id")
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("csim"), col("cid"), probes).as("top"))
+      .select(col("vec_id"), explode(col("top").getField("id")).as("cid"))
   }
 
   /** IVF centroids: a deterministic hash-spread sample of k vectors
