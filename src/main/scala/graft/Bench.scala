@@ -32,6 +32,13 @@ object Bench {
     // behavior); ANSI mode would throw on narrowing-cast overflow
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TopKPairs (ANN top-k selection) is a TypedImperativeAggregate:
+    // ObjectHashAggregate's default sort-based fallback fires at 128
+    // groups per partition, silently re-sorting the scored slice. Its
+    // buffers are tiny (<=k 17-byte entries), so a high threshold
+    // keeps the hash path: 1M groups x ~50 B/group ~ 50 MB/partition
+    // worst case. Cluster deployments should carry this conf too.
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
 

@@ -17,6 +17,13 @@ object Verify {
       // behavior); ANSI mode would throw on narrowing-cast overflow
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TopKPairs (ANN top-k selection) is a TypedImperativeAggregate:
+      // ObjectHashAggregate's default sort-based fallback fires at 128
+      // groups per partition, silently re-sorting the scored slice. Its
+      // buffers are tiny (<=k 17-byte entries), so a high threshold
+      // keeps the hash path: 1M groups x ~50 B/group ~ 50 MB/partition
+      // worst case. Cluster deployments should carry this conf too.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
