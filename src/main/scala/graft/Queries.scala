@@ -933,6 +933,9 @@ object Queries {
     "p_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDuplicates(pq(s, dir, "embeddings"))),
     "p_ann_ivf" -> ((s, dir) => Similarity.ivfPairs(pq(s, dir, "embeddings"))),
+    // IVF-accelerated top-k search: the scale path beside p_ann_topk's
+    // brute-force baseline (same output shape, probed-cells candidates)
+    "p_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(pq(s, dir, "embeddings"))),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
     "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
@@ -1053,6 +1056,37 @@ object Queries {
   private def annCommonSql: String =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q FROM embeddings),
        en AS (SELECT vec_id, q, CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * q[i+1])) AS BIGINT) AS n2 FROM e)"""
+
+  /** mirrors Similarity.ivfCentroids end-to-end: auto-k =
+    * max(8, floor(sqrt(n))), hash-spread seed sample (k smallest by
+    * (md5(vec_id), vec_id)), ONE Lloyd round recentring each cell at
+    * the per-dimension floor(mean) of its members' quantized values
+    * (exact integer sums, one double division — engine-reproducible).
+    * Ends at `s2`: every vector scored against the refined centroids.
+    * range(64) is the fixed testdata embedding dim (DuckDB's range()
+    * cannot lateral-join on len(q)).
+    */
+  private def ivfScoredSql: String =
+    s"""$annCommonSql,
+         kv AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k FROM en),
+         sd AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en
+                QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT k FROM kv)),
+         s1 AS (SELECT en.vec_id, sd.cid,
+                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(sd.cn2 AS DOUBLE)) AS csim
+                FROM en CROSS JOIN sd),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s1)
+                WHERE rnk = 1),
+         dims AS (SELECT a1.cid, t.i AS d, CAST(FLOOR(SUM(en.q[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v
+                  FROM a1 JOIN en ON en.vec_id = a1.vec_id, range(64) t(i)
+                  GROUP BY 1, 2),
+         c2 AS (SELECT cid, list(v ORDER BY d) AS cq FROM dims GROUP BY 1),
+         c3 AS (SELECT cid, cq, CAST(list_sum(list_transform(range(len(cq)), i -> cq[i+1] * cq[i+1])) AS BIGINT) AS cn2 FROM c2),
+         s2 AS (SELECT en.vec_id, c3.cid,
+                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c3.cn2 AS DOUBLE)) AS csim
+                FROM en CROSS JOIN c3)"""
 
   private def lshWeightsSql: String = {
     val ws = Similarity.hyperplaneWeights(16, 64)
@@ -1216,35 +1250,10 @@ object Queries {
          up AS (SELECT a, b FROM simv WHERE sim >= 0.4 UNION SELECT a, b FROM exp_)
          SELECT b AS vec_id, CAST(MIN(a) AS BIGINT) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_dups
          FROM up GROUP BY 1""",
-    // mirrors ivfPairs end-to-end: auto-k = max(8, floor(sqrt(n))),
-    // hash-spread seed sample (k smallest by (md5(vec_id), vec_id)),
-    // ONE Lloyd round recentring each cell at the per-dimension
-    // floor(mean) of its members' quantized values (exact integer
-    // sums, one double division — engine-reproducible), then 2-probe
-    // assignment + candidate join + exact-cosine verify. range(64) is
-    // the fixed testdata embedding dim (DuckDB's range() cannot
-    // lateral-join on len(q)).
+    // mirrors ivfPairs end-to-end: trained centroids (ivfScoredSql),
+    // then 2-probe assignment + candidate join + exact-cosine verify
     "p_ann_ivf" ->
-      s"""WITH $annCommonSql,
-         kv AS (SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k FROM en),
-         sd AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en
-                QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT k FROM kv)),
-         s1 AS (SELECT en.vec_id, sd.cid,
-                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
-                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(sd.cn2 AS DOUBLE)) AS csim
-                FROM en CROSS JOIN sd),
-         a1 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s1)
-                WHERE rnk = 1),
-         dims AS (SELECT a1.cid, t.i AS d, CAST(FLOOR(SUM(en.q[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v
-                  FROM a1 JOIN en ON en.vec_id = a1.vec_id, range(64) t(i)
-                  GROUP BY 1, 2),
-         c2 AS (SELECT cid, list(v ORDER BY d) AS cq FROM dims GROUP BY 1),
-         c3 AS (SELECT cid, cq, CAST(list_sum(list_transform(range(len(cq)), i -> cq[i+1] * cq[i+1])) AS BIGINT) AS cn2 FROM c2),
-         s2 AS (SELECT en.vec_id, c3.cid,
-                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
-                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c3.cn2 AS DOUBLE)) AS csim
-                FROM en CROSS JOIN c3),
+      s"""WITH $ivfScoredSql,
          asg AS (SELECT vec_id, cid FROM (
                    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s2)
                  WHERE rnk <= 2),
@@ -1255,6 +1264,24 @@ object Queries {
                            / sqrt(CAST(ea.n2 AS DOUBLE)) / sqrt(CAST(eb.n2 AS DOUBLE)) AS sim
                   FROM cands c JOIN en ea ON ea.vec_id = c.a JOIN en eb ON eb.vec_id = c.b)
          SELECT a, b, CAST(FLOOR(sim * 1000) AS BIGINT) AS promille FROM simv WHERE sim >= 0.4""",
+    // mirrors ivfTopK: same trained centroids; corpus in its single
+    // nearest cell, queries (vec_id < 20) probe their 2 closest cells,
+    // exact cosine ranks the probed cells' members (a corpus vector
+    // sits in exactly one cell, so candidate pairs are already unique)
+    "p_ann_ivf_topk" ->
+      s"""WITH $ivfScoredSql,
+         rs AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s2),
+         corpus AS (SELECT vec_id AS nid, cid FROM rs WHERE rnk = 1),
+         qcells AS (SELECT vec_id AS qid, cid FROM rs WHERE rnk <= 2 AND vec_id < 20),
+         cand AS (SELECT q.qid, c.nid FROM qcells q JOIN corpus c ON c.cid = q.cid AND c.nid != q.qid),
+         scored AS (SELECT cand.qid, cand.nid,
+                           CAST(list_sum(list_transform(range(len(eq.q)), i -> eq.q[i+1] * en_.q[i+1])) AS BIGINT)
+                             / sqrt(CAST(eq.n2 AS DOUBLE)) / sqrt(CAST(en_.n2 AS DOUBLE)) AS sim
+                    FROM cand JOIN en eq ON eq.vec_id = cand.qid JOIN en en_ ON en_.vec_id = cand.nid),
+         ranked AS (SELECT qid, nid,
+                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+                    FROM scored)
+         SELECT qid AS q, nid AS n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""",
     "p_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
          lagged AS (SELECT user_id, es, LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC) AS prev FROM e),

@@ -331,6 +331,62 @@ object Similarity {
       .select("a", "b").dropDuplicates("a", "b")
   }
 
+  /** IVF-accelerated top-k cosine search — the scale path next to
+    * [[bruteForceTopK]]'s exact baseline (the reference point: brute
+    * force scores queries × corpus; this scores queries × their
+    * probed cells only). Corpus vectors live in their single nearest
+    * cell ([[ivfCentroids]]: hash-spread seeds + Lloyd refinement);
+    * each query probes its `probes` closest cells; candidates are the
+    * corpus vectors in any probed cell (each corpus vector sits in
+    * exactly one cell, so a (query, candidate) pair arises at most
+    * once — no dedup shuffle); exact integer-cosine top-k ranks them.
+    * Approximate by design: a true neighbour assigned to an unprobed
+    * cell is missed — the recall/cost dial is `probes` (recall
+    * measured in the SelfBaseline IVF tier).
+    *
+    * Scale shape: centroids broadcast (k rows); assignment is the
+    * map-side-truncating [[org.apache.spark.sql.graft.TopKPairs]]
+    * aggregate (O(n) shuffle, see [[nearestCells]]); the candidate
+    * join touches ~nQueries·probes·n/k rows, never queries × corpus;
+    * top-k selection again truncates map-side. Deterministic
+    * end-to-end (integer dots, cid/id tie-breaks), so DuckDB
+    * reproduces the result bit-for-bit.
+    *
+    * Output (q, n, rank) like [[bruteForceTopK]]; a query returns
+    * fewer than k rows when its probed cells hold fewer candidates.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Long = 20L, k: Int = 5,
+      kCells: Int = -1, probes: Int = 2, materialize: Boolean = true,
+      lloydRounds: Int = 1): DataFrame = {
+    val base0 = quantized(emb)
+    val base = if (materialize) base0.cache() else base0
+    val kEff =
+      if (kCells > 0) kCells
+      else math.max(8L, math.sqrt(base.count().toDouble).toLong).toInt
+    val cents = ivfCentroids(base, kEff, lloydRounds)
+    val corpusCells = nearestCells(base, cents, probes = 1)
+    val queryCells = nearestCells(base.filter(col("vec_id") < nQueries), cents, probes)
+    val cand = queryCells.select(col("vec_id").as("qid"), col("cid"))
+      .join(corpusCells.select(col("cid"), col("vec_id").as("nid")), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val scored = cand
+      .join(base.select(col("vec_id").as("qid"), col("q").as("qq"), col("n2").as("qn2")), Seq("qid"))
+      .join(base.select(col("vec_id").as("nid"), col("q").as("nq"), col("n2").as("nn2")), Seq("nid"))
+      .withColumn("sim", cosineQ(dotQ(col("qq"), col("nq")), col("qn2"), col("nn2")))
+    val result = scored.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("sim"), col("nid"), k).as("top"))
+      .select(col("qid").as("q"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q"), col("t").getField("id").as("n"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      base.unpersist(false)
+      out
+    }
+  }
+
   /** IVF (inverted-file) ANN pairs — the clustering-flavored scale
     * path next to the hyperplane LSH: vectors are coarse-quantized to
     * their nearest centroid cells ([[ivfCentroids]]: deterministic

@@ -344,6 +344,33 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("ivfTopK: probed-cell search agrees with brute force on clustered vectors") {
+    // 60 vectors in 3 well-separated clusters (axes 0, 1, 2 of 8 dims,
+    // small deterministic jitter on a non-cluster axis): any sane cell
+    // split keeps clusters together, so the probed-cells search must
+    // reproduce brute force exactly at k=3 for within-cluster queries
+    val rows = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      val v = Array.fill(8)(0f)
+      v(c) = 1f
+      v(4 + c) = ((i / 3) % 7).toFloat / 100f
+      (i, v)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 6L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, nQueries = 6L, k = 3, kCells = 3, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+    // candidate generation goes through the cell equi-join, not a
+    // queries x corpus product (the broadcast exchanges are the k-row
+    // centroid table and the small query side — never the corpus)
+    val plan = Similarity.ivfTopK(emb, nQueries = 6L, k = 3, kCells = 3,
+      probes = 1, materialize = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Window"))
+  }
+
   test("QuantizedDot: values, length mismatch -> null, null input -> null") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
