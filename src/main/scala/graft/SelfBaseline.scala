@@ -328,6 +328,30 @@ object SelfBaseline {
         f""""k$k":{"candidates":$cand,"cand_sec":$candSec%.2f$full}"""
       }
       println(s"""{"ivf_vecs":$nVecs,"auto_k":$auto,${cols.mkString(",")}}""")
+      // planted-neighbour recall for the probed-cell SEARCH path
+      // (ivfTopK): queries 0..nq-1 each get a true near-duplicate
+      // partner planted at id+nVecs (dimension 0 nudged by 0.005 —
+      // cosine ≈ 0.9999 vs ~uniform noise elsewhere, so an exact
+      // search always ranks the partner first). recall@10 = fraction
+      // of planted partners recovered; brute force is the exactness
+      // control, and probes = 2 vs 8 shows the recall/cost dial on
+      // embeddings with NO cluster structure — the hard case for IVF
+      // (uniform vectors sit near cell boundaries; real embedding
+      // corpora cluster and probe far better).
+      val nq = math.min(1000L, nVecs / 10)
+      val partners = emb.filter(col("vec_id") < nq).select(
+        (col("vec_id") + nVecs).as("vec_id"),
+        expr("transform(embedding, (x, d) -> CASE WHEN d = 0 THEN float(x + 0.005) ELSE x END)")
+          .as("embedding"))
+      val emb2 = emb.unionByName(partners).cache()
+      emb2.count()
+      def plantedHits(top: org.apache.spark.sql.DataFrame): Long =
+        top.filter(col("n") === col("q") + nVecs).count()
+      val (bHits, bSec) = timed(plantedHits(Similarity.bruteForceTopK(emb2, nq, 10)))
+      val (i2Hits, i2Sec) = timed(plantedHits(Similarity.ivfTopK(emb2, nq, 10, probes = 2)))
+      val (i8Hits, i8Sec) = timed(plantedHits(Similarity.ivfTopK(emb2, nq, 10, probes = 8)))
+      println(f"""{"ivf_recall_vecs":${nVecs + nq},"planted_queries":$nq,"brute_recall10":${bHits.toDouble / nq}%.3f,"brute_sec":$bSec%.2f,"ivf_p2_recall10":${i2Hits.toDouble / nq}%.3f,"ivf_p2_sec":$i2Sec%.2f,"ivf_p8_recall10":${i8Hits.toDouble / nq}%.3f,"ivf_p8_sec":$i8Sec%.2f}""")
+      emb2.unpersist()
       emb.unpersist()
     }
     // Big-graph tier (SPARK_GRAFT_BIGGRAPH=<edges>, e.g. 100000000):
