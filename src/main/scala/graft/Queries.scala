@@ -245,6 +245,27 @@ object Queries {
       m.mxm(m2, Ops.plusTimes).df
     }),
 
+    // q_mxm through bucketed operands: both sides persisted
+    // bucketed+sorted on their contraction key (io/BucketedCoo), so
+    // the product join needs no exchange — the shuffle is paid once
+    // at write time, the 100 TB pattern for a matrix contracted
+    // repeatedly. Same result (and oracle) as q_mxm; the no-exchange
+    // plan shape is pinned by BucketedCooSpec.
+    "q_mxm_bucketed" -> ((s, dir) => {
+      val m = liMat(s, dir)
+      val m2 = GrbMatrix.fromDF(
+        pq(s, dir, "lineitem").select(col("l_partkey").as("i"),
+          col("l_suppkey").as("j"), col("l_quantity").cast(LongType).as("v")),
+        nrows = m.ncols, dupAgg = Some(c => sum(c)))
+      val bm = GrbMatrix.fromDF(
+        graft.io.BucketedCoo.saveLoad(s, m.df, "graft_q_mxm_a", "j", 8),
+        m.nrows, m.ncols)
+      val bm2 = GrbMatrix.fromDF(
+        graft.io.BucketedCoo.saveLoad(s, m2.df, "graft_q_mxm_b", "i", 8),
+        m2.nrows, m2.ncols)
+      bm.mxm(bm2, Ops.plusTimes).df
+    }),
+
     // reduce_rowwise over the max monoid (§2.6)
     "q_reduce_rowwise" -> ((s, dir) => liMat(s, dir).reduceRowwise(Ops.maxMonoid).df),
 
@@ -703,6 +724,11 @@ object Queries {
          o AS (SELECT o_orderkey AS i, CAST(1 AS BIGINT) AS v FROM orders WHERE o_orderstatus = 'F')
          SELECT m.j AS i, CAST(SUM(o.v * m.v) AS BIGINT) AS v FROM o JOIN m ON o.i = m.i GROUP BY 1""",
     "q_mxm" ->
+      s"""WITH $liMatSql,
+         m2 AS (SELECT l_partkey AS i, l_suppkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2)
+         SELECT m.i AS i, m2.j AS j, CAST(SUM(m.v * m2.v) AS BIGINT) AS v FROM m JOIN m2 ON m.j = m2.i GROUP BY 1, 2""",
+    // bucketed persistence changes the physical plan, not the result
+    "q_mxm_bucketed" ->
       s"""WITH $liMatSql,
          m2 AS (SELECT l_partkey AS i, l_suppkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2)
          SELECT m.i AS i, m2.j AS j, CAST(SUM(m.v * m2.v) AS BIGINT) AS v FROM m JOIN m2 ON m.j = m2.i GROUP BY 1, 2""",

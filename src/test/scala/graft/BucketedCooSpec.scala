@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GrbMatrix, Ops}
+import graft.io.BucketedCoo
+
+/** Bucketed COO persistence: the co-located-join lever. The value
+  * claim is physical — with both mxm operands bucketed on their
+  * contraction key into the same bucket count, the product join plans
+  * with NO exchange on either side (only the final (i, j) aggregate
+  * shuffles) — so it is pinned at the plan level with broadcast joins
+  * disabled (at test scale everything broadcasts otherwise, hiding
+  * the shuffle the bucketing removes).
+  */
+class BucketedCooSpec extends SparkSpec {
+
+  private def coo(rows: Seq[(Long, Long, Long)]) =
+    spark.createDataFrame(rows).toDF("i", "j", "v")
+
+  test("bucketed operands contract without a join-side exchange; results unchanged") {
+    val a = coo(Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 0L, 3L), (2L, 3L, 4L)))
+    val b = coo(Seq((0L, 1L, 10L), (1L, 0L, 20L), (3L, 2L, 30L)))
+    val ba = BucketedCoo.saveLoad(spark, a, "graft_spec_a", "j", 4)
+    val bb = BucketedCoo.saveLoad(spark, b, "graft_spec_b", "i", 4)
+
+    val plain = GrbMatrix.fromDF(a, 3L, 4L).mxm(GrbMatrix.fromDF(b, 4L, 3L), Ops.plusTimes)
+    val bucketed = GrbMatrix.fromDF(ba, 3L, 4L).mxm(GrbMatrix.fromDF(bb, 4L, 3L), Ops.plusTimes)
+    assert(bucketed.toValues.toSet == plain.toValues.toSet)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val plainPlan = GrbMatrix.fromDF(a, 3L, 4L)
+        .mxm(GrbMatrix.fromDF(b, 4L, 3L), Ops.plusTimes).df
+      val bucketedPlan = GrbMatrix.fromDF(ba, 3L, 4L)
+        .mxm(GrbMatrix.fromDF(bb, 4L, 3L), Ops.plusTimes).df
+      // plain: both join sides shuffle onto the contraction key, plus
+      // the final (i, j) aggregate — 3 exchanges. Bucketed: the scans
+      // already hash-cluster on the key (alias-tracked through the
+      // product's projections), leaving only the aggregate exchange.
+      assert(exchanges(plainPlan) == 3)
+      assert(exchanges(bucketedPlan) == 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("saveLoad replaces a previous table of the same name") {
+    val first = coo(Seq((0L, 0L, 1L)))
+    val second = coo(Seq((5L, 6L, 7L), (8L, 9L, 10L)))
+    BucketedCoo.saveLoad(spark, first, "graft_spec_replace", "j", 2)
+    val r = BucketedCoo.saveLoad(spark, second, "graft_spec_replace", "j", 2)
+    assert(r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set((5L, 6L, 7L), (8L, 9L, 10L)))
+  }
+}
