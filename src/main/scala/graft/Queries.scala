@@ -924,6 +924,9 @@ object Queries {
       maxBucket = sys.env.get("SPARK_GRAFT_MINHASH_MAXBUCKET").map(_.toInt)
         .getOrElse(TextDedup.defaultMaxBucket))),
     "p_dedup_simhash" -> ((s, dir) => TextDedup.simhashNearDuplicates(pq(s, dir, "documents"))),
+    // direct inverted-index n-gram Jaccard: the deterministic dedup
+    // path (candidate-complete for pairs sharing any sub-cap shingle)
+    "p_dedup_jaccard" -> ((s, dir) => TextDedup.jaccardNearDuplicates(pq(s, dir, "documents"))),
     // train/test contamination: every 50th doc plays the benchmark set
     "p_contamination" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
@@ -1173,6 +1176,25 @@ object Queries {
       "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
     "p_dedup_minhash" ->
       s"WITH $minhashPairsSql SELECT a, b, inter, uni FROM nd",
+    // inverted-index candidates (stop-shingle df cap mirrored from
+    // TextDedup.defaultMaxShingleDf), exact Jaccard on FULL shingle
+    // sets — the cap prunes candidate generation only
+    "p_dedup_jaccard" ->
+      s"""WITH $shinglesSql,
+         capped AS (SELECT doc_id, sh FROM (
+             SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS _df FROM shd)
+           WHERE _df <= ${TextDedup.defaultMaxShingleDf}),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                  FROM capped l JOIN capped r ON r.sh = l.sh AND l.doc_id < r.doc_id),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+         ix AS (SELECT c.a, c.b, COUNT(*) AS inter
+                FROM cand c JOIN shd sa ON sa.doc_id = c.a
+                JOIN shd sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+                GROUP BY 1, 2)
+         SELECT i.a AS a, i.b AS b, CAST(i.inter AS BIGINT) AS inter,
+                CAST(za.n + zb.n - i.inter AS BIGINT) AS uni
+         FROM ix i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+         WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 7""",
     // transitive closure over the near-dup pairs: hook+jump CC, label
     // = min doc_id of the duplicate cluster
     "p_dedup_clusters" ->

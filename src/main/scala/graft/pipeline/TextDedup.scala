@@ -252,21 +252,75 @@ object TextDedup {
         val bsA = if (materialize) bsA0.cache() else bsA0
         (bsA, candidatesFromAnnotated(bsA, maxBucket))
       }
+    val result = verifyJaccard(sh, cands, num, den)
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      if (maxBucket > 0) bs.unpersist(false)
+      sh.unpersist(false)
+      out
+    }
+  }
+
+  /** exact-Jaccard verification of candidate pairs against the full
+    * shingle sets: inter via two joins on the exploded shingles,
+    * union by |A|+|B|−inter, kept when inter/union ≥ num/den
+    * (integer cross-multiplication — no float thresholds).
+    * Output (a, b, inter, uni).
+    */
+  private def verifyJaccard(sh: DataFrame, cands: DataFrame,
+      num: Int, den: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    val result = inter
+    inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
       .select(col("a"), col("b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
       .filter(col("inter") * den >= col("uni") * num)
+  }
+
+  /** DIRECT n-gram Jaccard near-duplicates — the deterministic member
+    * of the dedup family next to [[nearDuplicates]]'s MinHash path.
+    * Candidates are pairs sharing ≥1 shingle whose document frequency
+    * is within `maxShingleDf` (an inverted-index equi-join on the
+    * shingle — same stop-shingle guard and same one-pass
+    * window-on-the-join-key idiom as [[contamination]]); verification
+    * is the exact Jaccard on the FULL shingle sets (capped shingles
+    * still count toward inter/union — the cap only prunes candidate
+    * GENERATION). Output (a, b, inter, uni) like [[nearDuplicates]].
+    *
+    * vs MinHash: banded signatures admit false-negative candidates
+    * with probability (1−s^r)^b per pair — the direct join is
+    * candidate-complete for every pair sharing any sub-cap shingle.
+    * The price is candidate volume Σ df² over sub-cap shingles
+    * (bounded by maxShingleDf·Σdf = maxShingleDf·corpus-shingles)
+    * against MinHash's Σ bucket² — the right trade for modest corpora
+    * or compliance-grade dedup where a missed near-dup is worse than
+    * extra verify work; at 100 TB the MinHash path's constant
+    * per-doc index cost wins.
+    */
+  def jaccardNearDuplicates(docs: DataFrame, num: Int = 7, den: Int = 10,
+      materialize: Boolean = true,
+      maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
+    val sh0 = explodedShingles(docs)
+    val sh = if (materialize) sh0.cache() else sh0
+    val capped =
+      if (maxShingleDf <= 0) sh
+      else sh.withColumn("_df",
+          count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("_df") <= maxShingleDf).drop("_df")
+    val cands = capped.select(col("sh"), col("doc_id").as("a"))
+      .join(capped.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val result = verifyJaccard(sh, cands, num, den)
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)
-      if (maxBucket > 0) bs.unpersist(false)
       sh.unpersist(false)
       out
     }

@@ -302,6 +302,34 @@ class PipelineSpec extends SparkSpec {
     assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
   }
 
+  test("jaccardNearDuplicates equals a driver-side exact Jaccard scan") {
+    // 20 docs: pairs (2i, 2i+1) one token apart (J = 29/31 ≈ 0.935 on
+    // 3-shingles ≥ 0.7 bar); everything else shares nothing
+    val base = (1 to 32).map(i => s"w${i}")
+    val docs = spark.createDataFrame((0L until 20L).map { i =>
+      val toks = if (i % 2 == 0) base else base.updated(15, s"u${i / 2}")
+      (i, toks.map(t => s"g${i / 2}_$t").mkString(" "))
+    }).toDF("doc_id", "text")
+    val got = TextDedup.jaccardNearDuplicates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side truth: exact Jaccard over all pairs
+    def sh(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = docs.collect().map(r => (r.getLong(0), sh(r.getString(1))))
+    val want = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if inter * 10 >= uni * 7
+    } yield (a, b)).toSet
+    assert(want.nonEmpty && got == want)
+    // the stop-shingle cap prunes candidate GENERATION only: with a
+    // tiny cap every shared shingle (df = 2 per planted pair... > 1)
+    // survives df <= 2, and disabling the cap changes nothing here
+    val uncapped = TextDedup.jaccardNearDuplicates(docs, maxShingleDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == want)
+  }
+
   test("embedding near-dup sweep maps the duplicate to its min-id representative") {
     // (0,1) is the only verified pair at 900‰ — so 1 is the sole
     // duplicate and its representative is 0; survivors (0, 2, 3)
