@@ -149,5 +149,6 @@ object Bench {
     "q_extract_slice", "q_assign_merge", "q_kron",
     "q_triangle", "q_bfs", "q_sssp", "q_pagerank",
     "p_dedup_exact", "p_dedup_minhash", "p_dedup_embedding",
-    "p_ann_lsh", "p_ann_ivf", "p_tfidf_stats", "p_sessionize")
+    "p_dedup_jaccard", "p_ann_lsh", "p_ann_ivf", "p_ann_ivf_topk",
+    "q_mxm_bucketed", "p_tfidf_stats", "p_sessionize")
 }
