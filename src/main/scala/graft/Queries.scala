@@ -7,7 +7,7 @@ import graft.core._
 import graft.ops.Structure
 import graft.algo.{Bfs, FastSV, PageRank, PregelCC}
 import graft.io.MatrixMarket
-import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal}
+import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal}
 import graft.streaming.{DocsStream, EventsStream}
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
@@ -968,6 +968,11 @@ object Queries {
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
     "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
+    // as-of join (union+running-window, ONE shuffle on user_id) and
+    // range join (bucketized equi-join, never a cartesian) — the two
+    // temporal join shapes Spark lacks natively; see pipeline/Temporal
+    "p_asof_join" -> ((s, dir) => Temporal.asofClickAttribution(pq(s, dir, "events"))),
+    "p_range_join" -> ((s, dir) => Temporal.rangeActivity(pq(s, dir, "events"))),
     // the STREAMING path end-to-end: file-source readStream over the
     // events table -> watermarked tumbling-window agg -> memory sink,
     // drained with Trigger.AvailableNow. Complete mode emits every
@@ -1330,6 +1335,40 @@ object Queries {
                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
                     FROM scored)
          SELECT qid AS q, nid AS n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""",
+    // as-of join oracle: the same union+running-window formulation in
+    // ANSI SQL (LAST_VALUE IGNORE NULLS over (es, side, id) order) —
+    // right rows sort before left at the same second (<= semantics),
+    // greatest event_id wins among same-second clicks, -1 sentinels
+    // for never-clicked (NULLs would come back as NaN-float frames)
+    "p_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, event_type FROM events),
+         u AS (SELECT user_id, es, CAST(1 AS BIGINT) AS is_l, event_id AS oid,
+                      CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_es
+               FROM e WHERE event_type = 'purchase'
+               UNION ALL
+               SELECT user_id, es, CAST(0 AS BIGINT), event_id, event_id, es
+               FROM e WHERE event_type = 'click'),
+         w AS (SELECT user_id, es, is_l, oid,
+                      LAST_VALUE(r_id IGNORE NULLS) OVER win AS click_id,
+                      LAST_VALUE(r_es IGNORE NULLS) OVER win AS click_es
+               FROM u
+               WINDOW win AS (PARTITION BY user_id ORDER BY es ASC, is_l ASC, oid ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT oid AS purchase_id, user_id, es,
+                COALESCE(click_id, -1) AS click_id,
+                COALESCE(es - click_es, -1) AS click_lag_s
+         FROM w WHERE is_l = 1""",
+    // range join oracle: the declarative BETWEEN join (DuckDB plans an
+    // IEJoin); the engine's bucketized equi-join must agree exactly
+    "p_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+                           CAST(FLOOR(value * 100) AS BIGINT) AS cents, event_type FROM events),
+         l AS (SELECT event_id AS error_id, user_id, es FROM e WHERE event_type = 'error')
+         SELECT l.error_id, l.user_id, CAST(COUNT(r.event_id) AS BIGINT) AS n_win,
+                CAST(COALESCE(SUM(r.cents), 0) AS BIGINT) AS cents_win
+         FROM l LEFT JOIN e r
+           ON r.user_id = l.user_id AND r.es >= l.es - 300 AND r.es <= l.es AND r.event_id <> l.error_id
+         GROUP BY 1, 2""",
     "p_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
          lagged AS (SELECT user_id, es, LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC) AS prev FROM e),

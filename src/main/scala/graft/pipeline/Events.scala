@@ -23,7 +23,7 @@ object Events {
     * exact (ns values exceed 2^53, double math would corrupt them).
     * A true timestamp column is handled via the UTC-session cast.
     */
-  private def epochS(df: DataFrame): Column = df.schema("ts").dataType match {
+  private[pipeline] def epochS(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType => expr("ts DIV 1000000000")
     case _ => unix_timestamp(date_trunc("second", col("ts")).cast("timestamp"))
   }
