@@ -150,5 +150,6 @@ object Bench {
     "q_triangle", "q_bfs", "q_sssp", "q_pagerank",
     "p_dedup_exact", "p_dedup_minhash", "p_dedup_embedding",
     "p_dedup_jaccard", "p_ann_lsh", "p_ann_ivf", "p_ann_ivf_topk",
-    "q_mxm_bucketed", "p_tfidf_stats", "p_sessionize")
+    "q_mxm_bucketed", "p_tfidf_stats", "p_sessionize",
+    "p_asof_join", "p_range_join")
 }
