@@ -7,7 +7,7 @@ import graft.core._
 import graft.ops.Structure
 import graft.algo.{Bfs, FastSV, PageRank, PregelCC}
 import graft.io.MatrixMarket
-import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal}
+import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch}
 import graft.streaming.{DocsStream, EventsStream}
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
@@ -973,6 +973,11 @@ object Queries {
     // temporal join shapes Spark lacks natively; see pipeline/Temporal
     "p_asof_join" -> ((s, dir) => Temporal.asofClickAttribution(pq(s, dir, "events"))),
     "p_range_join" -> ((s, dir) => Temporal.rangeActivity(pq(s, dir, "events"))),
+    // deterministic HLL sketch (custom mergeable-register aggregate,
+    // single shuffle of 256-byte states) beside the exact count —
+    // approximate yet hash-matching: see pipeline/Sketch determinism
+    // contract
+    "p_hll_users" -> ((s, dir) => Sketch.hllUsersByType(pq(s, dir, "events"))),
     // the STREAMING path end-to-end: file-source readStream over the
     // events table -> watermarked tumbling-window agg -> memory sink,
     // drained with Trigger.AvailableNow. Complete mode emits every
@@ -1358,6 +1363,29 @@ object Queries {
                 COALESCE(click_id, -1) AS click_id,
                 COALESCE(es - click_es, -1) AS click_lag_s
          FROM w WHERE is_l = 1""",
+    // deterministic-HLL oracle: mirrors Sketch.hllDistinctComposed's
+    // register algebra — 60-bit md5 hash, bucket = top 8 bits, rho =
+    // 53 - bitlen of the 52-bit rank field, per-bucket MAX, indicator
+    // sum in integer space scaled by 2^53 (empty buckets contribute
+    // 2^53), raw estimator with the identical left-associated DOUBLE
+    // expression tree (decimal literals cast — DuckDB would otherwise
+    // run the chain in DECIMAL arithmetic)
+    "p_hll_users" ->
+      """WITH h AS (SELECT event_type, user_id,
+                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
+         b AS (SELECT event_type, h >> 52 AS bucket, h & 4503599627370495 AS r FROM h),
+         rho AS (SELECT event_type, bucket,
+                        CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END AS rho FROM b),
+         regs AS (SELECT event_type, bucket, MAX(rho) AS mx FROM rho GROUP BY 1, 2),
+         sums AS (SELECT event_type,
+                         SUM(1::BIGINT << (53 - mx)) + (256 - COUNT(*)) * (1::BIGINT << 53) AS sum_scaled
+                  FROM regs GROUP BY 1),
+         ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1)
+         SELECT ex.event_type, ex.n_exact,
+                CAST(FLOOR(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                           * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) * CAST(1000.0 AS DOUBLE)
+                           / CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS hll_milli
+         FROM ex JOIN sums USING (event_type)""",
     // range join oracle: the declarative BETWEEN join (DuckDB plans an
     // IEJoin); the engine's bucketized equi-join must agree exactly
     "p_range_join" ->

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic cardinality sketching (HyperLogLog, m = 256).
+  *
+  * Two equivalent paths producing bit-identical estimates:
+  *
+  *  - [[hllDistinct]] — the SCALE path: a single
+  *    [[org.apache.spark.sql.graft.HllRegisters]] aggregate whose
+  *    256-byte register buffer merges map-side, so a distinct-count
+  *    over 100 TB shuffles one register array per (group, partition)
+  *    instead of expanding every distinct key the way
+  *    `COUNT(DISTINCT)` does;
+  *  - [[hllDistinctComposed]] — the same register algebra spelled as
+  *    two DataFrame aggregations (per-bucket max-rho, then the
+  *    integer-scaled indicator sum). This is the formulation the
+  *    DuckDB oracle mirrors line-for-line, and the equality
+  *    `hllDistinct == hllDistinctComposed` (SketchSpec) is what makes
+  *    the custom aggregate oracle-checkable.
+  *
+  * Determinism contract (why this approximate sketch hash-matches
+  * across engines):
+  *  - the hash is md5-derived (`hash60`), identical everywhere;
+  *  - registers are max() of per-row ranks — order-free;
+  *  - the indicator sum Σ 2^−reg is computed in INTEGER space scaled
+  *    by 2^53 (each term `1L << (53 − reg)` exact), because a double
+  *    Σ would depend on summation order;
+  *  - the raw HLL estimator `α·m²/Σ2^−reg` is used at EVERY range —
+  *    no small-range linear-counting switch (that would need ln(),
+  *    whose libm rounding differs across engines). At m = 256 the
+  *    raw estimator's standard error is ~1.04/√m ≈ 6.5%, biased high
+  *    below ~2.5·m — acceptable for pipeline telemetry, and the
+  *    documented price of engine-portable determinism.
+  *
+  * Milli-scaled floor output keeps the frame integer-typed (the
+  * division `αNum / sum_scaled` is one correctly-rounded IEEE op on
+  * identical operands in either engine, so floor is safe).
+  */
+object Sketch {
+
+  /** 60-bit md5-derived hash of a key column (cast to its canonical
+    * string form first — BIGINT 123 hashes as "123" in any engine).
+    */
+  def hash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast(LongType)
+
+  /** α(256) · m² · 2^53 · 1000 — evaluated with the same
+    * left-associated IEEE double expression tree the oracle SQL
+    * spells out, so both engines hold the same numerator bit
+    * pattern.
+    */
+  val AlphaNumMilli: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0 * 1000.0
+
+  /** floor(1000 × raw-HLL estimate) from the integer-scaled
+    * indicator sum.
+    */
+  def estMilli(sumScaled: Column): Column =
+    floor(lit(AlphaNumMilli) / sumScaled.cast("double")).cast(LongType)
+
+  /** Scale path: one custom aggregate per group — map-side-merged
+    * 256-byte register states, a single shuffle.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(estMilli(
+        org.apache.spark.sql.graft.HllRegisters(hash60(col(keyCol)))).as("hll_milli"))
+
+  /** Oracle-mirrorable composition: per-bucket max-rho registers,
+    * then the integer-scaled sum with empty buckets contributing
+    * 2^53 each. Two shuffles — the correctness mirror, not the scale
+    * path.
+    */
+  def hllDistinctComposed(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val h = df.select(col(groupCol), hash60(col(keyCol)).as("h"))
+    // exact bit ops — h reaches 2^60, so double-division routes
+    // (h / 2^52) would round at the bucket boundary
+    val b = h.select(col(groupCol),
+      shiftright(col("h"), 52).as("bucket"),
+      col("h").bitwiseAND(lit((1L << 52) - 1)).as("r"))
+    val rho = b.withColumn("rho",
+      when(col("r") === 0L, lit(53L))
+        .otherwise(lit(53L) - length(bin(col("r")))))
+    val regs = rho.groupBy(col(groupCol), col("bucket")).agg(max("rho").as("mx"))
+    regs.groupBy(groupCol)
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mx AS INT))")) +
+        (lit(256L) - count(lit(1))) * lit(1L << 53)).as("sum_scaled"))
+      .select(col(groupCol), estMilli(col("sum_scaled")).as("hll_milli"))
+  }
+
+  /** distinct users per event type: exact count beside the HLL
+    * estimate (the sketch's error is part of the recorded output).
+    * The exact side is a tiny aggregate; the join is broadcast.
+    */
+  def hllUsersByType(events: DataFrame): DataFrame = {
+    val hll = hllDistinct(events, "event_type", "user_id")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(broadcast(hll), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("hll_milli"))
+  }
+}
