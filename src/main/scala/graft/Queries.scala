@@ -955,6 +955,11 @@ object Queries {
       Sampling.deterministicSample(pq(s, dir, "documents"), col("text"), 10)
         .select("doc_id", "lang", "source", "n_chars")),
     "p_source_mix" -> ((s, dir) => Sampling.sourceMix(pq(s, dir, "documents"))),
+    // per-language quota sample via the map-side-truncating top-k
+    // aggregate (shuffle carries <=quota buffers per stratum, not the
+    // ranked corpus)
+    "p_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(pq(s, dir, "documents"), "lang", col("text"), 40)),
     "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
     // embedding-space near-dup dedup: LSH-verified cosine pairs ->
@@ -1277,6 +1282,13 @@ object Queries {
                 CAST(SUM(n_chars) AS BIGINT) AS n_chars,
                 CAST(FLOOR(10000.0 * COUNT(*) / (SELECT total FROM t)) AS BIGINT) AS share_bp
          FROM documents GROUP BY 1, 2""",
+    // stratified-quota oracle: rank by the same md5-derived hash with
+    // doc_id tie-break (duplicate texts share a hash), quota 40/lang
+    "p_stratified_sample" ->
+      """WITH h AS (SELECT lang, doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents)
+         SELECT lang, doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank
+         FROM h QUALIFY rank <= 40""",
     "p_tfidf_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
          tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

@@ -22,6 +22,33 @@ object Sampling {
   def deterministicSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame =
     df.filter(TextDedup.hash32(keyCol) % 100 < pct)
 
+  /** per-stratum deterministic quota sample: the `quota` hash-least
+    * documents of every stratum — reproducible mixture construction
+    * (balance languages/sources regardless of corpus skew), the same
+    * draw in any engine and stable under corpus growth within a
+    * stratum's unchanged members.
+    *
+    * Scale path: selection reuses the map-side-truncating
+    * [[org.apache.spark.sql.graft.TopKPairs]] aggregate — each
+    * partition reduces a stratum to a ≤quota buffer before the
+    * exchange, so the shuffle carries partitions·strata·quota entries.
+    * The `ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hash)`
+    * formulation this replaces shuffles the ENTIRE corpus to rank it.
+    * Hash order ascending = TopKPairs best-first on the negated hash
+    * (hash32 < 2^32, exact in double); doc_id ASC breaks duplicate-
+    * content ties.
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String, keyCol: Column,
+      quota: Int): DataFrame = {
+    val base = docs.select(col(strataCol), col("doc_id"),
+      (-TextDedup.hash32(keyCol)).cast("double").as("ord"))
+    base.groupBy(strataCol)
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("ord"), col("doc_id"), quota).as("top"))
+      .select(col(strataCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(strataCol), col("t").getField("id").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** corpus composition: doc counts and volume by (source, lang) with
     * basis-point shares — the input to mixture-weight decisions.
     * ONE pass over the corpus: the total is re-aggregated from the

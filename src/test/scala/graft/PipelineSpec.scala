@@ -445,4 +445,25 @@ class PipelineSpec extends SparkSpec {
     val feats2 = Multimodal.extractFeatures(assets).collect()
     assert(feats.map(_.toString).sorted.sameElements(feats2.map(_.toString).sorted))
   }
+
+  test("stratified sample equals the window ranking incl. duplicate-text ties") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 60L).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"
+      // duplicate texts across ids exercise the doc_id tie-break
+      (i, lang, s"text body ${i % 20}")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "lang", "text")
+      .repartition(5)
+    val got = Sampling.stratifiedSample(df, "lang", col("text"), 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy("lang")
+      .orderBy(TextDedup.hash32(col("text")).asc, col("doc_id").asc)
+    val want = df.select(col("lang"), col("doc_id"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.size === 21) // 7 per stratum, 3 strata
+  }
 }
