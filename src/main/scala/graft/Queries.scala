@@ -1000,6 +1000,24 @@ object Queries {
         col("n"), col("sum_cents"))
     }),
 
+    // streaming deterministic-HLL: the 256-byte register buffer IS the
+    // streaming aggregation state (constant per window at any input
+    // rate — the sketch answer to streaming COUNT(DISTINCT), which
+    // Spark rejects outright); complete-mode drain is batch-equivalent
+    // so the same register-algebra oracle applies per window
+    "p_stream_hll" -> ((s, dir) => {
+      val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
+      val qname = s"graft_stream_hll_${System.nanoTime()}"
+      val q = EventsStream.hourlyDistinctUsers(src).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(
+        unix_timestamp(col("h")).as("h_epoch"), col("event_type"),
+        col("hll_milli"))
+    }),
+
     // the STATEFUL streaming path: flatMapGroupsWithState gap
     // sessionization drained in one AvailableNow batch — update mode
     // emits one final per-user row, batch-equivalent and
@@ -1437,6 +1455,25 @@ object Queries {
                            event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
          SELECT h_epoch, event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
          FROM e GROUP BY 1, 2""",
+    // streaming HLL oracle: p_hll_users' register algebra per
+    // (hour-window, type) — complete-mode drain makes the streaming
+    // result batch-equivalent
+    "p_stream_hll" ->
+      """WITH e AS (SELECT CAST(FLOOR(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS h_epoch,
+                           event_type,
+                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
+         b AS (SELECT h_epoch, event_type, h >> 52 AS bucket, h & 4503599627370495 AS r FROM e),
+         rho AS (SELECT h_epoch, event_type, bucket,
+                        CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END AS rho FROM b),
+         regs AS (SELECT h_epoch, event_type, bucket, MAX(rho) AS mx FROM rho GROUP BY 1, 2, 3),
+         sums AS (SELECT h_epoch, event_type,
+                         SUM(1::BIGINT << (53 - mx)) + (256 - COUNT(*)) * (1::BIGINT << 53) AS sum_scaled
+                  FROM regs GROUP BY 1, 2)
+         SELECT h_epoch, event_type,
+                CAST(FLOOR(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                           * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) * CAST(1000.0 AS DOUBLE)
+                           / CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS hll_milli
+         FROM sums""",
     // closed-form reconstruction of the synthetic GRFT container
     // (Multimodal.syntheticAsset): header fields from the id, sampled
     // frame count from ceil(n_frames/2), first payload byte of frame k

@@ -35,6 +35,27 @@ object EventsStream {
         sum(floor(col("value") * 100).cast(LongType)).as("sum_cents"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_cents"))
 
+  /** streaming cardinality telemetry: deterministic-HLL distinct
+    * users per (1-hour window, event type). The custom
+    * [[org.apache.spark.sql.graft.HllRegisters]] aggregate carries a
+    * 256-byte mergeable register buffer as streaming aggregation
+    * state — per-microbatch updates merge into it exactly like
+    * map-side partials, so unbounded arrivals hold constant state per
+    * window and the emitted estimate is bit-identical to the batch
+    * path over the same events (graft.pipeline.Sketch determinism
+    * contract). A streaming COUNT(DISTINCT) is unsupported by Spark
+    * precisely because its state would be every key; this is the
+    * sketch answer.
+    */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events.withColumn("tsc", tsCol(events))
+      .withWatermark("tsc", "2 hours")
+      .groupBy(window(col("tsc"), "1 hour"), col("event_type"))
+      .agg(graft.pipeline.Sketch.estMilli(
+        org.apache.spark.sql.graft.HllRegisters(
+          graft.pipeline.Sketch.hash60(col("user_id")))).as("hll_milli"))
+      .select(col("window.start").as("h"), col("event_type"), col("hll_milli"))
+
   final case class SessionEvent(userId: Long, es: Long)
   final case class SessionState(lastEs: Long, nEvents: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nEvents: Long, nSessions: Long)

@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers merge across microbatches == batch sketch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventsStream.hourlyDistinctUsers(input.toDF())
+      .writeStream.format("memory").queryName("shll")
+      .outputMode("complete").start()
+    try {
+      // same window fed across TWO microbatches with overlapping users
+      // — the register state must merge, not reset
+      input.addData((1L to 40L).map(u => Ev(u, ns(3600 + u), u % 25, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((41L to 80L).map(u => Ev(u, ns(3600 + u), u % 35, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val got = spark.table("shll").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("h").getTime / 1000,
+          r.getAs[String]("event_type"), r.getAs[Long]("hll_milli"))).toSet
+      // batch control over the union of both batches (tuples — the
+      // inner case class has no stable encoder for local Datasets)
+      val batch = ((1L to 40L).map(u => (u % 25, "click")) ++
+        (41L to 80L).map(u => (u % 35, "click"))).toDF("user_id", "event_type")
+      val want = graft.pipeline.Sketch.hllDistinct(
+          batch, "event_type", "user_id")
+        .collect().map(r => (3600L, r.getString(0), r.getLong(1))).toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
   final case class Doc(doc_id: Long, text: String)
 
   test("streaming exact dedup keeps first doc_id per content across batches") {
