@@ -948,6 +948,9 @@ object Queries {
     }),
     "p_fingerprint" -> ((s, dir) => TextDedup.fingerprint(pq(s, dir, "documents"))),
     "p_text_stats" -> ((s, dir) => TextStats.stats(pq(s, dir, "documents"))),
+    // exact rank-based quantiles (no interpolation -> engine-portable)
+    "p_length_quantiles" -> ((s, dir) =>
+      TextStats.lengthQuantiles(pq(s, dir, "documents"))),
     "p_lang_id" -> ((s, dir) => TextStats.langId(pq(s, dir, "documents"))),
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
@@ -1275,6 +1278,20 @@ object Queries {
                 CAST(FLOOR(100.0 * len(list_filter(toks, x -> x IN ($stops))) / len(toks)) AS BIGINT) AS stop_pct
          FROM t"""
     },
+    // exact rank-based quantiles: pXX = element at row ceil(p*n) in
+    // (n_chars, doc_id) order — mirrors TextStats.lengthQuantiles
+    "p_length_quantiles" ->
+      """WITH r AS (SELECT source, n_chars,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rk,
+                           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+                    FROM documents)
+         SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+                CAST(MAX(CASE WHEN rk = CAST(CEIL(CAST(n AS DOUBLE) * CAST(0.25 AS DOUBLE)) AS BIGINT) THEN n_chars END) AS BIGINT) AS p25,
+                CAST(MAX(CASE WHEN rk = CAST(CEIL(CAST(n AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50,
+                CAST(MAX(CASE WHEN rk = CAST(CEIL(CAST(n AS DOUBLE) * CAST(0.75 AS DOUBLE)) AS BIGINT) THEN n_chars END) AS BIGINT) AS p75,
+                CAST(MAX(CASE WHEN rk = CAST(CEIL(CAST(n AS DOUBLE) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN n_chars END) AS BIGINT) AS p95,
+                CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM r GROUP BY 1""",
     "p_lang_id" -> {
       val votes = TextStats.stopwordLists.map { case (lang, words) =>
         val list = words.map(w => s"'$w'").mkString(", ")

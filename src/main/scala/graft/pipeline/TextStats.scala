@@ -97,4 +97,33 @@ object TextStats {
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast(LongType)
         .as("n_bpe"))
+
+  /** exact rank-based length quantiles per source: pXX = the element
+    * at row_number ceil(p·n) in (n_chars ASC, doc_id ASC) order — an
+    * actual corpus value, no interpolation, so the result is
+    * bit-identical in any engine (`percentile_cont`-style interpolated
+    * doubles and Spark's `percentile_approx` are both engine-shaped).
+    *
+    * Plan: one shuffle on source for the rank window, then a hash
+    * aggregate of one-hot picks. At 100 TB the within-group sort is
+    * the cost — the honest exact answer; when an approximate
+    * distribution suffices, the register-style sketch route
+    * (pipeline/Sketch) is the pattern to extend instead.
+    */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val ranked = docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wn))
+    def pick(p: Double): Column =
+      max(when(col("rk") === ceil(col("n").cast("double") * lit(p)).cast(LongType),
+        col("n_chars")))
+    ranked.groupBy("source").agg(
+      max(col("n")).as("n_docs"),
+      pick(0.25).as("p25"), pick(0.5).as("p50"),
+      pick(0.75).as("p75"), pick(0.95).as("p95"),
+      max(col("n_chars")).as("max_chars"))
+  }
 }

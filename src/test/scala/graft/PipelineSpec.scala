@@ -466,4 +466,18 @@ class PipelineSpec extends SparkSpec {
     assert(got === want)
     assert(got.size === 21) // 7 per stratum, 3 strata
   }
+
+  test("length quantiles are exact rank statistics (no interpolation)") {
+    // source "a": lengths 10..100 step 10 (n=10): ceil(p*n) ranks
+    // 3,5,8,10 -> 30,50,80,100; max 100
+    val rows = (1L to 10L).map(i => (i, "a", i * 10L)) ++
+      Seq((100L, "b", 7L)) // singleton stratum: every quantile = 7
+    val df = spark.createDataFrame(rows).toDF("doc_id", "source", "n_chars")
+      .repartition(3)
+    val got = TextStats.lengthQuantiles(df).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("a") === ((10L, 30L, 50L, 80L, 100L, 100L)))
+    assert(got("b") === ((1L, 7L, 7L, 7L, 7L, 7L)))
+  }
 }
