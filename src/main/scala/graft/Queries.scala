@@ -952,6 +952,12 @@ object Queries {
     "p_length_quantiles" -> ((s, dir) =>
       TextStats.lengthQuantiles(pq(s, dir, "documents"))),
     "p_lang_id" -> ((s, dir) => TextStats.langId(pq(s, dir, "documents"))),
+    // Gopher-style rule filter: integer signals + keep verdict
+    "p_quality_filter" -> ((s, dir) => TextStats.qualityFilter(pq(s, dir, "documents"))),
+    // RefinedWeb-style inter-document duplicated-shingle fraction
+    "p_dup_ngrams" -> ((s, dir) => TextDedup.dupNgramStats(pq(s, dir, "documents"))),
+    // token-budget mixture plan: per-source acceptance ppm
+    "p_mix_plan" -> ((s, dir) => Sampling.mixPlan(pq(s, dir, "documents"), 10000L)),
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
     "p_sample" -> ((s, dir) =>
@@ -1306,6 +1312,51 @@ object Queries {
          vm AS (SELECT *, $maxExpr AS mx FROM v)
          SELECT doc_id, $caseExpr AS lang_pred, ${langs.map(l => s"v_$l").mkString(", ")} FROM vm"""
     },
+    // Gopher-rule quality filter: same signal formulas + thresholds
+    // (shared constants) — top_tok_pct via the same explode/agg route
+    "p_quality_filter" -> {
+      val stops = TextStats.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      import TextStats.{qfMinTokens, qfMinMeanLenX100, qfMaxMeanLenX100,
+        qfMaxTopTokPct, qfMaxDup2gramPct}
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(FLOOR(100.0 * list_sum(list_transform(toks, x -> len(x))) / len(toks)) AS BIGINT) AS mean_len_x100,
+                 CAST(len(list_filter(list_distinct(toks), x -> x IN ($stops))) AS BIGINT) AS n_stop_distinct,
+                 CAST(CASE WHEN len(toks) > 1
+                   THEN FLOOR(100.0 * (len(toks) - 1 - len(list_distinct(list_transform(range(len(toks) - 1), x -> toks[x+1] || ' ' || toks[x+2])))) / (len(toks) - 1))
+                   ELSE 0 END AS BIGINT) AS dup_2gram_pct
+               FROM t),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         tp AS (SELECT doc_id, MAX(c) AS top_c FROM tf GROUP BY 1)
+         SELECT s.doc_id, n_tokens, mean_len_x100, n_stop_distinct, dup_2gram_pct,
+                CAST(FLOOR(100.0 * top_c / n_tokens) AS BIGINT) AS top_tok_pct,
+                CAST(n_tokens >= $qfMinTokens
+                     AND mean_len_x100 BETWEEN $qfMinMeanLenX100 AND $qfMaxMeanLenX100
+                     AND n_stop_distinct >= 1
+                     AND FLOOR(100.0 * top_c / n_tokens) <= $qfMaxTopTokPct
+                     AND dup_2gram_pct <= $qfMaxDup2gramPct AS BIGINT) AS keep
+         FROM s JOIN tp USING (doc_id)"""
+    },
+    // duplicated-shingle fraction: df over the shared distinct-shingle
+    // CTE, per-doc share with df >= 2
+    "p_dup_ngrams" ->
+      s"""WITH $shinglesSql,
+         dfc AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM shd GROUP BY 1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                CAST(FLOOR(100.0 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS dup_pct
+         FROM shd JOIN dfc USING (sh) GROUP BY 1""",
+    // token-budget mixture plan (budget 10000, equal per-source split)
+    "p_mix_plan" ->
+      """WITH ps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
+                     FROM documents GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_sources FROM ps)
+         SELECT source, tokens_avail,
+                CAST(FLOOR(CAST(10000 AS DOUBLE) / n_sources) AS BIGINT) AS share_target,
+                CAST(LEAST(1000000, FLOOR(1000000.0 * FLOOR(CAST(10000 AS DOUBLE) / n_sources) / tokens_avail)) AS BIGINT) AS accept_ppm
+         FROM ps, n""",
     "p_bpe_tokens" ->
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextStats.bpePattern}')) AS BIGINT) AS n_bpe FROM documents",
     "p_sample" ->

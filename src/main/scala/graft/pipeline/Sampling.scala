@@ -69,4 +69,39 @@ object Sampling {
         floor(lit(10000.0) * col("n_docs") /
           sum(col("n_docs")).over(w).cast("double")).cast(LongType))
   }
+
+  /** token-budget mixture plan: given a total training-token budget,
+    * split it equally across sources and compute each source's
+    * deterministic acceptance rate in parts-per-million —
+    *
+    *   tokens_avail(src) = Σ word counts over the source's docs
+    *   share_target      = floor(budget / n_sources)
+    *   accept_ppm        = min(10⁶, floor(10⁶·share_target/tokens_avail))
+    *
+    * accept_ppm plugs straight into [[deterministicSample]]-style
+    * hash-threshold filters (hash % 10⁶ < accept_ppm), giving a
+    * reproducible corpus mix that hits the budget in expectation:
+    * under-represented sources are taken whole (ppm = 10⁶), abundant
+    * sources are down-sampled. Integer end-to-end — no float share
+    * drifts between engines.
+    *
+    * Plan: one narrow word-count map, one hash aggregate on source,
+    * and the (n_sources)-row grand total re-attached as a broadcast
+    * 1-row crossJoin — the corpus is scanned exactly once, nothing
+    * here grows with anything but the number of sources.
+    */
+  def mixPlan(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .groupBy("source").agg(sum(col("n_tok")).as("tokens_avail"))
+    val nSources = perSource.agg(count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(nSources))
+      .withColumn("share_target",
+        floor(lit(budgetTokens) / col("n_sources")).cast(LongType))
+      .withColumn("accept_ppm",
+        least(lit(1000000L),
+          floor(lit(1000000.0) * col("share_target") / col("tokens_avail")))
+          .cast(LongType))
+      .select("source", "tokens_avail", "share_target", "accept_ppm")
+  }
 }

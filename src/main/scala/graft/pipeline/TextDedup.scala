@@ -489,4 +489,38 @@ object TextDedup {
       .select(col("doc_id"), hash32(col("sh")).as("fp"))
       .filter(col("fp") % p === 0)
       .distinct()
+
+  /** Inter-document duplicated-n-gram fraction (the RefinedWeb /
+    * Penedo et al. 2023 §4.2 duplication measure): for each document,
+    * the share of its DISTINCT 3-word shingles that occur in at least
+    * one other document. High dup_pct flags boilerplate / templated
+    * docs that exact and near-dup passes both miss (they share content
+    * piecewise with MANY documents without any single pair passing a
+    * Jaccard threshold).
+    *
+    * Output: (doc_id, n_shingles, n_dup, dup_pct) with
+    * dup_pct = floor(100·n_dup/n_shingles). Documents shorter than the
+    * shingle width have no shingles and are absent (nothing to
+    * measure).
+    *
+    * Plan — the reason this scales where pairwise comparison cannot:
+    * the corpus-frequency table df(shingle) = |docs containing it| is
+    * ONE hash aggregate on the exploded distinct shingles, the
+    * per-doc verdict is an equi-join of each (doc, shingle) row to its
+    * df followed by a hash aggregate on doc_id. Candidate volume is
+    * linear in total shingle occurrences — there is no Σdf² pair
+    * blowup because documents are never paired; a stop-shingle
+    * appearing in 10⁹ docs contributes 10⁹ join rows (its honest
+    * occurrence count), not 10¹⁸ pairs.
+    */
+  def dupNgramStats(docs: DataFrame): DataFrame = {
+    val sh = explodedShingles(docs)            // distinct per doc by construction
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        floor(lit(100.0) * col("n_dup") / col("n_shingles")).cast(LongType).as("dup_pct"))
+  }
 }

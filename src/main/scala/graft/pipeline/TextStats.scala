@@ -98,6 +98,74 @@ object TextStats {
       size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))).cast(LongType)
         .as("n_bpe"))
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1
+    * heuristics, re-expressed as exact integer signals so the verdict
+    * is engine-portable):
+    *
+    *   - n_tokens          word count (reject < minTokens)
+    *   - mean_len_x100     floor(100·Σlen(tok)/n) — rejects symbol soup
+    *                       (< 3.00) and hash-like runs (> 10.00)
+    *   - n_stop_distinct   distinct English stopwords present
+    *                       (reject 0 — the "has ≥N stop words" rule)
+    *   - top_tok_pct       floor(100·max token freq / n) — the
+    *                       most-repeated-word ratio (reject > 20)
+    *   - dup_2gram_pct     floor(100·duplicate bigram occurrences /
+    *                       (n−1)) — within-doc repetition (reject > 10)
+    *   - keep              1 iff every rule passes
+    *
+    * Plan: every signal except top_tok_pct is a single narrow pass
+    * (pure column algebra — linear in input splits, no shuffle).
+    * top_tok_pct is explode → two-level hash aggregate (map-side
+    * combine) → co-partitioned join back on doc_id: the per-token
+    * scan is O(doc length), never O(distinct·length), so a 100k-token
+    * document costs the same per token as a tweet. That is the shape
+    * that survives 100 TB; computing max-frequency inside a
+    * higher-order expression (array_max over per-distinct filters)
+    * would be quadratic per document and is deliberately avoided.
+    */
+  // rule thresholds — shared with the DuckDB oracle (Queries.scala)
+  val qfMinTokens = 20L
+  val qfMinMeanLenX100 = 300L
+  val qfMaxMeanLenX100 = 1000L
+  val qfMaxTopTokPct = 20L
+  val qfMaxDup2gramPct = 10L
+
+  def qualityFilter(docs: DataFrame,
+                    minTokens: Long = qfMinTokens,
+                    maxTopTokPct: Long = qfMaxTopTokPct,
+                    maxDup2gramPct: Long = qfMaxDup2gramPct): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t).cast(LongType)
+    val stops = array(stopwordsEn.map(lit): _*)
+    val bigrams = transform(sequence(lit(0), size(t) - 2),
+      x => concat_ws(" ", element_at(t, x + 1), element_at(t, x + 2)))
+    val narrow = docs.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      floor(lit(100.0) * aggregate(t, lit(0L), (acc, x) => acc + length(x)) / n)
+        .cast(LongType).as("mean_len_x100"),
+      size(filter(array_distinct(t), x => array_contains(stops, x)))
+        .cast(LongType).as("n_stop_distinct"),
+      when(n > 1,
+        floor(lit(100.0) * (n - 1 - size(array_distinct(bigrams))) / (n - 1)))
+        .otherwise(lit(0)).cast(LongType).as("dup_2gram_pct"))
+    val topf = docs.select(col("doc_id"), explode(t).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    narrow.join(topf, Seq("doc_id"))
+      .withColumn("top_tok_pct",
+        floor(lit(100.0) * col("top_c") / col("n_tokens")).cast(LongType))
+      .withColumn("keep",
+        (col("n_tokens") >= minTokens &&
+          col("mean_len_x100") >= qfMinMeanLenX100 &&
+          col("mean_len_x100") <= qfMaxMeanLenX100 &&
+          col("n_stop_distinct") >= 1L &&
+          col("top_tok_pct") <= maxTopTokPct &&
+          col("dup_2gram_pct") <= maxDup2gramPct).cast(LongType))
+      .select("doc_id", "n_tokens", "mean_len_x100", "n_stop_distinct",
+        "dup_2gram_pct", "top_tok_pct", "keep")
+  }
+
   /** exact rank-based length quantiles per source: pXX = the element
     * at row_number ceil(p·n) in (n_chars ASC, doc_id ASC) order — an
     * actual corpus value, no interpolation, so the result is

@@ -480,4 +480,54 @@ class PipelineSpec extends SparkSpec {
     assert(got("a") === ((10L, 30L, 50L, 80L, 100L, 100L)))
     assert(got("b") === ((1L, 7L, 7L, 7L, 7L, 7L)))
   }
+
+  test("quality filter signals and verdict match hand computation") {
+    val good = (1 to 10).map(i => s"the item$i of batch$i count$i").mkString(" ") // 50 toks, stopwords, all bigrams distinct
+    val spammy = ("spam " * 30).trim                                           // top_tok_pct = 100
+    val noStop = (1 to 25).map(i => s"word$i").mkString(" ")                   // zero stopwords
+    val short = "the tiny one"                                                 // under min tokens
+    val rows = Seq((0L, good), (1L, spammy), (2L, noStop), (3L, short))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text").repartition(3)
+    val got = TextStats.qualityFilter(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Long]("n_tokens") === 50L)
+    assert(got(0L).getAs[Long]("n_stop_distinct") === 2L) // the, of
+    assert(got(0L).getAs[Long]("keep") === 1L)
+    assert(got(1L).getAs[Long]("top_tok_pct") === 100L)
+    assert(got(1L).getAs[Long]("dup_2gram_pct") === 96L) // 28 of 29 bigrams are repeats
+    assert(got(1L).getAs[Long]("keep") === 0L)
+    assert(got(2L).getAs[Long]("n_stop_distinct") === 0L)
+    assert(got(2L).getAs[Long]("keep") === 0L)
+    assert(got(3L).getAs[Long]("n_tokens") === 3L)
+    assert(got(3L).getAs[Long]("keep") === 0L)
+  }
+
+  test("dup-ngram fraction counts shingles shared with other docs") {
+    // docs 0/1 share their full shingle set; doc 2 overlaps doc 0 on a
+    // 5-token prefix (3 shared shingles); doc 3 is disjoint
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon other words here"),
+      (3L, "totally unrelated content about storage engines"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text").repartition(2)
+    val got = TextDedup.dupNgramStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) === ((4L, 4L, 100L))) // all 4 shingles appear in 1 and/or 2
+    assert(got(1L) === ((4L, 4L, 100L)))
+    assert(got(2L) === ((6L, 3L, 50L))) // 3 prefix shingles shared with 0/1
+    assert(got(3L) === ((4L, 0L, 0L)))
+  }
+
+  test("mix plan: equal share, ppm cap for under-represented sources") {
+    // src_a: 40 tokens, src_b: 4 tokens; budget 40 over 2 sources = 20
+    val rows = Seq(
+      (0L, "src_a", (1 to 40).map(i => s"t$i").mkString(" ")),
+      (1L, "src_b", "one two three four"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+    val got = Sampling.mixPlan(df, 40L).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("src_a") === ((40L, 20L, 500000L))) // down-sampled to half
+    assert(got("src_b") === ((4L, 20L, 1000000L))) // taken whole (capped)
+  }
 }
