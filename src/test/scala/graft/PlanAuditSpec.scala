@@ -95,6 +95,24 @@ class PlanAuditSpec extends SparkSpec {
       .contains("CartesianProduct"))
   }
 
+  test("quality/duplication/mix-plan stay pruned, equi-joined, broadcast-attached") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // quality filter: scan prunes to (doc_id, text); join back is an
+    // equi-join on doc_id, never a cartesian
+    val pq = plan(TextStats.qualityFilter(docs))
+    assert(pq.contains("ReadSchema") && !pq.contains("n_chars"),
+      "quality filter must prune unused document columns")
+    assert(!pq.contains("CartesianProduct"))
+    // dup-ngram fraction: df equi-join on the shingle, no pairing
+    val pd = plan(TextDedup.dupNgramStats(docs))
+    assert(!pd.contains("CartesianProduct"))
+    assert(!pd.contains("lang"), "dup-ngram scan must prune to doc_id/text")
+    // mix plan: the only cross join is the broadcast 1-row count attach
+    val pm = plan(Sampling.mixPlan(docs, 10000L))
+    assert(pm.contains("BroadcastNestedLoopJoin") || pm.contains("BroadcastExchange"))
+    assert(!pm.contains("CartesianProduct"))
+  }
+
   test("graph traversals: BFS round and triangle count stay equi-join shaped") {
     val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
     val l = GrbMatrix.fromValues(spark,
