@@ -1057,6 +1057,21 @@ object Queries {
       s.table(qname)
     }),
 
+    // streaming deterministic quota sample: TopKPairs' <=quota buffer
+    // as streaming aggregation state (constant state per stratum at
+    // any ingest volume); complete-mode drain == the batch
+    // stratifiedSample, so it shares p_stratified_sample's oracle
+    "p_stream_topk" -> ((s, dir) => {
+      val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
+      val qname = s"graft_stream_topk_${System.nanoTime()}"
+      val q = DocsStream.stratifiedQuotaSample(src, "lang", 40).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      DocsStream.explodeQuota(s.table(qname), "lang")
+    }),
+
     // multimodal plumbing over the deterministic synthetic GRFT corpus:
     // header decode (Column algebra) + frame sampling (posexplode),
     // verified against the container format's closed-form arithmetic
@@ -1078,6 +1093,12 @@ object Queries {
 
   // ---- pipeline oracles (generated to share constants with the
   //      Scala operators) --------------------------------------------
+
+  private val stratifiedSampleSql =
+    """WITH h AS (SELECT lang, doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents)
+       SELECT lang, doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank
+       FROM h QUALIFY rank <= 40"""
 
   private val shinglesSql =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1370,11 +1391,10 @@ object Queries {
          FROM documents GROUP BY 1, 2""",
     // stratified-quota oracle: rank by the same md5-derived hash with
     // doc_id tie-break (duplicate texts share a hash), quota 40/lang
-    "p_stratified_sample" ->
-      """WITH h AS (SELECT lang, doc_id, ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents)
-         SELECT lang, doc_id,
-                CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank
-         FROM h QUALIFY rank <= 40""",
+    "p_stratified_sample" -> stratifiedSampleSql,
+    // streaming quota sample drains batch-equivalent (complete mode) —
+    // identical oracle
+    "p_stream_topk" -> stratifiedSampleSql,
     "p_tfidf_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
          tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

@@ -22,6 +22,36 @@ object DocsStream {
       .agg(min(col("doc_id")).cast(LongType).as("keep_id"),
         count(lit(1)).cast(LongType).as("cnt"))
 
+  /** streaming per-stratum quota sample: the bounded top-k buffer of
+    * [[org.apache.spark.sql.graft.TopKPairs]] IS the streaming
+    * aggregation state — at most `quota` (hash, doc_id) entries per
+    * stratum regardless of how many documents arrive, the streaming
+    * analogue of reservoir sampling but DETERMINISTIC (hash-least
+    * selection, so the drained result is exactly the batch
+    * `Sampling.stratifiedSample` over the same documents — order-free:
+    * per-microbatch updates merge into the buffer like map-side
+    * partials).
+    *
+    * Emits the aggregated (stratum, top) array; callers explode to
+    * (stratum, doc_id, rank) after draining — Spark disallows
+    * generators downstream of a streaming aggregation, so the explode
+    * belongs on the sink side.
+    */
+  def stratifiedQuotaSample(docs: DataFrame, strataCol: String,
+      quota: Int): DataFrame =
+    docs.groupBy(col(strataCol))
+      .agg(org.apache.spark.sql.graft.TopKPairs(
+        (-graft.pipeline.TextDedup.hash32(col("text"))).cast("double"),
+        col("doc_id"), quota).as("top"))
+
+  /** sink-side explode of [[stratifiedQuotaSample]]'s drained result to
+    * the batch operator's (stratum, doc_id, rank) shape
+    */
+  def explodeQuota(drained: DataFrame, strataCol: String): DataFrame =
+    drained.select(col(strataCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(strataCol), col("t").getField("id").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+
   /** file-source stream over a documents parquet directory */
   def readDocsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -98,6 +98,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  final case class LangDoc(doc_id: Long, lang: String, text: String)
+
+  test("streaming quota sample: bounded top-k state merges across batches == batch sample") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[LangDoc]
+    val q = DocsStream.stratifiedQuotaSample(input.toDF(), "lang", 5)
+      .writeStream.format("memory").queryName("stopk")
+      .outputMode("complete").start()
+    try {
+      // 12 docs per stratum across TWO batches: the <=5-entry buffer
+      // must keep the hash-least of the UNION, not of the last batch
+      val b1 = (1L to 12L).map(i => LangDoc(i, if (i % 2 == 0) "en" else "de", s"text body $i"))
+      val b2 = (13L to 24L).map(i => LangDoc(i, if (i % 2 == 0) "en" else "de", s"text body $i"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = DocsStream.explodeQuota(spark.table("stopk"), "lang").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // tuples — the inner case class has no stable encoder for local
+      // Datasets (same caveat as the HLL control above)
+      val batch = (b1 ++ b2).map(d => (d.doc_id, d.lang, d.text))
+        .toDF("doc_id", "lang", "text")
+      val want = graft.pipeline.Sampling.stratifiedSample(batch, "lang", col("text"), 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+      assert(got.size === 10) // 5 per stratum
+    } finally q.stop()
+  }
+
   test("streaming stateful sessionization across batches") {
     val spark2 = spark
     import spark2.implicits._
