@@ -40,6 +40,8 @@ object Bench {
     // worst case. Cluster deployments should carry this conf too.
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     .config("spark.sql.session.timeZone", "UTC")
+    // graft SQL functions resolve in spark.sql(...) everywhere
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   def main(args: Array[String]): Unit = {

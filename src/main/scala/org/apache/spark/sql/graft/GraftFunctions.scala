@@ -1,0 +1,79 @@
+// Hosted under the Spark namespace: FunctionRegistry internals and the
+// classic SparkSession's sessionState are private[sql].
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration for the graft custom expressions, so the
+  * engine's Catalyst extensions are first-class `spark.sql(...)`
+  * citizens, not Scala-only Column helpers:
+  *
+  *  - `graft_quantized_dot(a, b)` — exact integer dot product of two
+  *    `array<bigint>` quantized vectors (codegen [[QuantizedDot]]);
+  *  - `graft_topk(ord, id, k)` — map-side-truncating top-k aggregate
+  *    ([[TopKPairs]]); `k` must be an integer literal (it sizes the
+  *    aggregation buffer at plan time);
+  *  - `graft_hll(hash)` — deterministic HLL register aggregate
+  *    ([[HllRegisters]]) over a 60-bit hash, returning `sum_scaled`.
+  *
+  * Two attachment routes, same descriptors:
+  *  - config: `spark.sql.extensions = graft.GraftExtensions` applies
+  *    [[inject]] when the session is BUILT (the production route — a
+  *    cluster user gets the functions in every session, including
+  *    `newSession()` forks, with zero code);
+  *  - runtime: [[register]] adds them to an already-running session's
+  *    function registry (notebooks attaching graft to a live session).
+  */
+object GraftFunctions {
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  private def arity(name: String, n: Int)(b: Seq[Expression] => Expression): FunctionBuilder =
+    args => if (args.length == n) b(args)
+      else fail(s"$name takes $n argument(s), got ${args.length}")
+
+  /** (identifier, info, builder) descriptors, the shape both
+    * `SparkSessionExtensions.injectFunction` and
+    * `FunctionRegistry.registerFunction` consume.
+    */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("graft_quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "graft_quantized_dot"),
+      arity("graft_quantized_dot(a, b)", 2)(args => QuantizedDot(args(0), args(1)))),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "graft_topk"),
+      arity("graft_topk(ord, id, k)", 3) { args =>
+        // k sizes the fixed aggregation buffer — it must be known at
+        // plan time, so only foldable integer expressions are accepted
+        val k = args(2) match {
+          case e if e.foldable && e.dataType == IntegerType =>
+            e.eval() match {
+              case i: java.lang.Integer => i.intValue()
+              case other => fail(s"graft_topk: k evaluated to $other, expected an integer literal")
+            }
+          case _ => fail("graft_topk: k must be an integer literal")
+        }
+        TopKPairs(args(0), args(1), k)
+      }),
+    (FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll"),
+      arity("graft_hll(hash)", 1)(args => HllRegisters(args(0)))))
+
+  /** config-route hook: called by `graft.GraftExtensions` during
+    * session build for every descriptor.
+    */
+  def inject(ext: SparkSessionExtensions): Unit = all.foreach(ext.injectFunction)
+
+  /** runtime-route hook: register into a live session's function
+    * registry (idempotent — re-registering replaces the entry).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (id, fi, b) => reg.registerFunction(id, fi, b) }
+  }
+}

@@ -13,6 +13,8 @@ object TestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.local.dir", LocalDirs.sparkLocalDir)
       .config("spark.sql.session.timeZone", "UTC")
+      // graft SQL functions resolve in spark.sql(...) everywhere
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // C/numpy-style wrap-around + null semantics (GraphBLAS reference
       // behavior); ANSI mode would throw on narrowing-cast overflow
