@@ -154,5 +154,6 @@ object Bench {
     "p_dedup_jaccard", "p_ann_lsh", "p_ann_ivf", "p_ann_ivf_topk",
     "q_mxm_bucketed", "p_tfidf_stats", "p_sessionize",
     "p_asof_join", "p_range_join", "p_hll_users", "p_stratified_sample",
-    "p_quality_filter", "p_dup_ngrams")
+    "p_quality_filter", "p_dup_ngrams",
+    "p_dup_span", "p_dedup_incremental", "p_embed_outliers", "p_json_props")
 }

@@ -927,6 +927,14 @@ object Queries {
     // direct inverted-index n-gram Jaccard: the deterministic dedup
     // path (candidate-complete for pairs sharing any sub-cap shingle)
     "p_dedup_jaccard" -> ((s, dir) => TextDedup.jaccardNearDuplicates(pq(s, dir, "documents"))),
+    // ingest-cycle dedup: every 4th doc plays the arriving batch, the
+    // rest the already-ingested corpus ledger (normalized-key exact)
+    "p_dedup_incremental" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      TextDedup.incrementalDedup(
+        corpus = docs.filter(col("doc_id") % 4 =!= 0),
+        batch = docs.filter(col("doc_id") % 4 === 0))
+    }),
     // train/test contamination: every 50th doc plays the benchmark set
     "p_contamination" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
@@ -956,6 +964,8 @@ object Queries {
     "p_quality_filter" -> ((s, dir) => TextStats.qualityFilter(pq(s, dir, "documents"))),
     // RefinedWeb-style inter-document duplicated-shingle fraction
     "p_dup_ngrams" -> ((s, dir) => TextDedup.dupNgramStats(pq(s, dir, "documents"))),
+    // Lee-et-al-style longest duplicated-span measure per document
+    "p_dup_span" -> ((s, dir) => TextDedup.dupSpans(pq(s, dir, "documents"))),
     // token-budget mixture plan: per-source acceptance ppm
     "p_mix_plan" -> ((s, dir) => Sampling.mixPlan(pq(s, dir, "documents"), 10000L)),
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
@@ -979,9 +989,15 @@ object Queries {
     // IVF-accelerated top-k search: the scale path beside p_ann_topk's
     // brute-force baseline (same output shape, probed-cells candidates)
     "p_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(pq(s, dir, "embeddings"))),
+    // embedding-space data quality: per-label centroid distance,
+    // bottom-k cosines = mislabel/noise candidates
+    "p_embed_outliers" -> ((s, dir) => Similarity.labelOutliers(pq(s, dir, "embeddings"))),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
     "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
+    // semi-structured payload extraction: explicit-schema from_json
+    // (codegen, no inference scan) + per-type integer stats
+    "p_json_props" -> ((s, dir) => Events.propStats(pq(s, dir, "events"))),
     // as-of join (union+running-window, ONE shuffle on user_id) and
     // range join (bucketized equi-join, never a cartesian) — the two
     // temporal join shapes Spark lacks natively; see pipeline/Temporal
@@ -1258,6 +1274,18 @@ object Queries {
                 CAST(za.n + zb.n - i.inter AS BIGINT) AS uni
          FROM ix i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
          WHERE i.inter * 10 >= (za.n + zb.n - i.inter) * 7""",
+    // normalized-key ingest dedup: ledger = distinct keys of the
+    // corpus split, batch verdicts mirror incrementalDedup
+    "p_dedup_incremental" ->
+      """WITH led AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+                      FROM documents WHERE doc_id % 4 <> 0),
+         kb AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+                FROM documents WHERE doc_id % 4 = 0),
+         fst AS (SELECT h, MIN(doc_id) AS first_id FROM kb GROUP BY 1)
+         SELECT kb.doc_id AS doc_id, kb.h AS h,
+                CAST(CASE WHEN led.h IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_corpus,
+                CAST(CASE WHEN led.h IS NULL AND kb.doc_id = fst.first_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+         FROM kb JOIN fst USING (h) LEFT JOIN led ON led.h = kb.h""",
     // transitive closure over the near-dup pairs: hook+jump CC, label
     // = min doc_id of the duplicate cluster
     "p_dedup_clusters" ->
@@ -1369,6 +1397,26 @@ object Queries {
                 CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
                 CAST(FLOOR(100.0 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS dup_pct
          FROM shd JOIN dfc USING (sh) GROUP BY 1""",
+    // longest duplicated-shingle run: positional shingles joined to
+    // their document-frequency, gaps-and-islands per doc
+    "p_dup_span" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         ps AS (SELECT doc_id, unnest(range(len(toks) - 2)) AS p, toks FROM t),
+         pos AS (SELECT doc_id, p, toks[p+1] || ' ' || toks[p+2] || ' ' || toks[p+3] AS sh FROM ps),
+         dfc AS (SELECT sh, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, sh FROM pos) GROUP BY 1),
+         fl AS (SELECT pos.doc_id, pos.p, dfc.df FROM pos JOIN dfc USING (sh)),
+         tot AS (SELECT doc_id, COUNT(*) AS n_pos,
+                        SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup_pos
+                 FROM fl GROUP BY 1),
+         runs AS (SELECT doc_id, grp, COUNT(*) AS run FROM (
+                    SELECT doc_id, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                    FROM fl WHERE df >= 2) GROUP BY 1, 2),
+         mx AS (SELECT doc_id, MAX(run) AS max_run FROM runs GROUP BY 1)
+         SELECT tot.doc_id AS doc_id, CAST(n_pos AS BIGINT) AS n_pos,
+                CAST(n_dup_pos AS BIGINT) AS n_dup_pos,
+                CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run,
+                CAST(CASE WHEN COALESCE(max_run, 0) > 0 THEN COALESCE(max_run, 0) + 2 ELSE 0 END AS BIGINT) AS span_tokens
+         FROM tot LEFT JOIN mx ON mx.doc_id = tot.doc_id""",
     // token-budget mixture plan (budget 10000, equal per-source split)
     "p_mix_plan" ->
       """WITH ps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
@@ -1458,6 +1506,27 @@ object Queries {
                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
                     FROM scored)
          SELECT qid AS q, nid AS n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""",
+    // label-centroid outliers: floor-mean centroid per label (the IVF
+    // recentre recipe), exact integer cosine, bottom-10 per label
+    "p_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+                    FROM embeddings),
+         en AS (SELECT vec_id, label, q, CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * q[i+1])) AS BIGINT) AS n2 FROM e),
+         dims AS (SELECT label, t.i AS d, CAST(FLOOR(SUM(q[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v
+                  FROM en, range(64) t(i) GROUP BY 1, 2),
+         c2 AS (SELECT label, list(v ORDER BY d) AS cq FROM dims GROUP BY 1),
+         c3 AS (SELECT label, cq, CAST(list_sum(list_transform(range(len(cq)), i -> cq[i+1] * cq[i+1])) AS BIGINT) AS cn2 FROM c2),
+         sc AS (SELECT en.vec_id, en.label,
+                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c3.cn2 AS DOUBLE)) AS csim
+                FROM en JOIN c3 USING (label)),
+         rk AS (SELECT label, vec_id, csim,
+                       ROW_NUMBER() OVER (PARTITION BY label ORDER BY csim ASC NULLS LAST, vec_id ASC) AS rnk
+                FROM sc)
+         SELECT label, vec_id, CAST(rnk AS BIGINT) AS rank,
+                CAST(FLOOR(csim * 1000) AS BIGINT) AS promille
+         FROM rk WHERE rnk <= 10""",
     // as-of join oracle: the same union+running-window formulation in
     // ANSI SQL (LAST_VALUE IGNORE NULLS over (es, side, id) order) —
     // right rows sort before left at the same second (<= semantics),
@@ -1532,6 +1601,14 @@ object Queries {
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
       s"SELECT user_id, $counts, CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
     },
+    // JSON payload extraction mirrored via json_extract_string
+    "p_json_props" ->
+      """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(k) AS BIGINT) AS n_k,
+                CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+                CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k,
+                CAST(MAX(k) AS BIGINT) AS max_k
+         FROM x GROUP BY 1""",
     "p_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
          lagged AS (SELECT user_id, es, LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC) AS prev FROM e),

@@ -64,4 +64,27 @@ object Events {
     val aggs = typeCounts :+ count(lit(1)).as("n_total")
     events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Semi-structured property extraction + stats: `props` is a JSON
+    * string (the universal event-payload shape); `from_json` with an
+    * EXPLICIT schema parses it inside codegen (one pass, no schema
+    * inference job — `schema_of_json` at 100 TB would scan the corpus
+    * twice), then per-type integer stats over the extracted field.
+    * Missing/corrupt payloads parse to null and fall out of the
+    * aggregates via count(k) — no row is dropped.
+    *
+    * Output (event_type, n, n_k, distinct_k, sum_k, min_k, max_k):
+    * one hash aggregate, map-side partials; distinct_k expands only
+    * the (type, k) pairs — bounded by the k domain, not the corpus.
+    */
+  def propStats(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+        countDistinct(col("k")).as("distinct_k"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
 }

@@ -260,6 +260,50 @@ object Similarity {
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"), count(lit(1)).as("n_dups"))
 
+  /** Label-centroid outlier scoring — the embedding-space data-QUALITY
+    * check next to the dedup family: vectors far from their own
+    * label's centroid are mislabel/noise candidates (the "remove the
+    * weirdest examples per class" pass of curation pipelines). Each
+    * label's centroid is the per-dimension floor-mean of its members'
+    * quantized values (the [[ivfCentroids]] recentre recipe — exact
+    * integer sums, one double division, engine-reproducible); each
+    * vector scores the exact integer cosine to its OWN centroid; the
+    * k LOWEST-cosine members per label are reported, rank 1 = most
+    * outlying.
+    *
+    * Output (label, vec_id, rank, promille) — promille =
+    * floor(cosine·1000), may be negative.
+    *
+    * Scale shape: centroids are one hash aggregate over (label, dim)
+    * — 64·|labels| rows — broadcast back onto the corpus, so scoring
+    * is a narrow pass; bottom-k selection negates the score through
+    * the map-side-truncating [[org.apache.spark.sql.graft.TopKPairs]]
+    * aggregate (≤k-entry buffer per label per partition — no
+    * full-corpus rank window). Nothing here pairs vectors: cost is
+    * O(n·dims) flat.
+    */
+  def labelOutliers(emb: DataFrame, k: Int = 10): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label").cast(LongType).as("label"),
+        quantize(col("embedding")).as("q"))
+      .withColumn("n2", dotQ(col("q"), col("q")))
+    val cents = base
+      .select(col("label"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(floor(sum(col("x")) * lit(1.0) / count(lit(1))).cast(LongType).as("v"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        s => s.getField("v")).as("cq"))
+      .withColumn("cn2", dotQ(col("cq"), col("cq")))
+    val scored = base.join(broadcast(cents), Seq("label"))
+      .withColumn("sim", cosineQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+    scored.groupBy("label")
+      .agg(org.apache.spark.sql.graft.TopKPairs(-col("sim"), col("vec_id"), k).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("label"), col("t").getField("id").as("vec_id"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        floor(-col("t").getField("ord") * 1000).cast(LongType).as("promille"))
+  }
+
   /** cell assignments for a quantized corpus against a (small)
     * centroid table: each vector's `probes` nearest centroids by
     * exact-integer cosine, centroid-id tie-break — IEEE-deterministic,

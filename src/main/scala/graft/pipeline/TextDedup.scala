@@ -523,4 +523,128 @@ object TextDedup {
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
         floor(lit(100.0) * col("n_dup") / col("n_shingles")).cast(LongType).as("dup_pct"))
   }
+
+  /** positional k-shingles (doc_id, p, sh): one row per shingle
+    * OCCURRENCE with its 0-based token position — unlike
+    * [[explodedShingles]] (distinct per doc), repeats keep every
+    * position so runs can be measured. Docs shorter than k tokens
+    * emit nothing (same guard as [[shingles]]).
+    */
+  def positionalShingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            x => concat_ws(" ", (0 until k).map(o => element_at(toks, x + o + 1)): _*)))
+          .otherwise(array().cast("array<string>")).as("shs"))
+      .select(col("doc_id"), posexplode(col("shs")).as(Seq("p", "sh")))
+  }
+
+  /** Longest cross-document duplicated SPAN per document (the
+    * substring-level dedup measure of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22 — their
+    * suffix-array ExactSubstr pass, re-expressed as shingle-run
+    * analysis): a position is `duplicated` when its k-shingle occurs
+    * in at least one OTHER document; the longest consecutive run of
+    * duplicated positions marks the doc's largest verbatim-copied
+    * region (run of r shingles = r+k−1 copied tokens). Pairwise dedup
+    * keeps docs below the Jaccard bar even when they embed a long
+    * quoted block — this measure catches exactly those.
+    *
+    * Output (doc_id, n_pos, n_dup_pos, max_run, span_tokens):
+    * positions total / duplicated, the longest run in shingles, and
+    * its token length (0 when nothing is duplicated). Docs shorter
+    * than k tokens are absent (no positions to measure).
+    *
+    * Plan: shingle df = one hash aggregate over distinct
+    * (doc, shingle) rows (shared shape with [[dupNgramStats]] — df
+    * counts DOCUMENTS, so intra-doc repetition alone never flags);
+    * positions join their shingle's df (linear in occurrences, no
+    * pairing); runs = the gaps-and-islands window (p − row_number)
+    * partitioned BY DOC — the window state is one document's
+    * positions, bounded by document length, so the one shuffle is on
+    * doc_id and no partition ever exceeds a doc's own size.
+    */
+  def dupSpans(docs: DataFrame, k: Int = 3): DataFrame = {
+    val pos = positionalShingles(docs, k)
+    val dfc = explodedShingles(docs).groupBy("sh").agg(count(lit(1)).as("df"))
+    val flagged = pos.join(dfc, Seq("sh"))
+    val tot = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_pos"),
+      sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_pos"))
+    val runs = flagged.filter(col("df") >= 2)
+      .withColumn("grp",
+        col("p") - row_number().over(Window.partitionBy("doc_id").orderBy("p")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_run"))
+    tot.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        when(coalesce(col("max_run"), lit(0L)) > 0,
+          coalesce(col("max_run"), lit(0L)) + (k - 1))
+          .otherwise(0L).cast(LongType).as("span_tokens"))
+  }
+
+  /** Normalized content fingerprint: md5 of the document's SORTED
+    * DISTINCT token set. Word order and repetition do not change the
+    * key, so shuffled/boilerplate-stuffed re-posts of the same content
+    * collide — the normalize-before-hash step every production ingest
+    * pipeline runs in front of exact dedup (lowercasing / punctuation
+    * stripping belong in the same place; this corpus is already
+    * lower-cased and unpunctuated, so token-set normalization is the
+    * binding clause). Engine-portable: DuckDB's
+    * md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+    * reproduces it byte-for-byte.
+    */
+  def normalizedKey(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ")))))
+
+  /** Ingest-time incremental dedup: a NEW batch of documents arrives
+    * and must be deduplicated against the already-ingested corpus
+    * (the ledger) AND against itself — the decision every
+    * continuously-fed training pipeline makes per ingest cycle,
+    * without ever re-deduplicating the corpus.
+    *
+    * Verdict per batch document (key = [[normalizedKey]]):
+    *  - `in_corpus` = 1 when the ledger already holds the key;
+    *  - `keep` = 1 when the key is new to the corpus AND this is the
+    *    batch's canonical copy (smallest doc_id for the key) — i.e.
+    *    the rows that actually enter the corpus this cycle.
+    *
+    * Scale shape: the ledger reduces to DISTINCT 32-char digests (at
+    * 100 TB this is the persisted dedup ledger — store it bucketed on
+    * `h`, cf. [[graft.io.BucketedCoo]], and the join below is
+    * co-located with NO shuffle of the ledger); the batch pays one
+    * hash aggregate for its first-ids and one equi-join on the
+    * digest. A small batch against a huge ledger is the common case —
+    * the batch side broadcasts (AQE picks this up from its size), so
+    * ingest cost is O(batch) + one ledger probe, never O(corpus).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    incrementalDedupAgainstLedger(dedupLedger(corpus), batch)
+
+  /** the persisted form of the corpus for ingest dedup: its DISTINCT
+    * normalized-key digests, one `h` column. Store it bucketed on `h`
+    * ([[graft.io.BucketedCoo.saveLoad]]) and
+    * [[incrementalDedupAgainstLedger]] probes it with NO exchange on
+    * the ledger side (BucketedCooSpec pins this at the plan level) —
+    * the 100 TB ledger never re-shuffles; each ingest cycle shuffles
+    * only the arriving batch.
+    */
+  def dedupLedger(corpus: DataFrame): DataFrame =
+    corpus.select(normalizedKey(col("text")).as("h")).distinct()
+
+  /** [[incrementalDedup]] against a pre-computed ledger frame
+    * (`h` column — typically [[dedupLedger]] output persisted
+    * bucketed on `h` across ingest cycles).
+    */
+  def incrementalDedupAgainstLedger(ledger: DataFrame, batch: DataFrame): DataFrame = {
+    val keyed = batch.select(col("doc_id"), normalizedKey(col("text")).as("h"))
+    val firsts = keyed.groupBy("h").agg(min(col("doc_id")).as("_first"))
+    keyed.join(firsts, Seq("h"))
+      .join(ledger.withColumn("_led", lit(1L)), Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("_led"), lit(0L)).as("in_corpus"),
+        when(col("_led").isNull && col("doc_id") === col("_first"), 1L)
+          .otherwise(0L).as("keep"))
+  }
 }

@@ -50,6 +50,53 @@ class BucketedCooSpec extends SparkSpec {
     }
   }
 
+  test("bucketed dedup ledger probes without a ledger-side exchange") {
+    import graft.pipeline.TextDedup
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"), (2L, "zeta eta")))
+      .toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq(
+      (10L, "gamma beta alpha"), (11L, "fresh words here")))
+      .toDF("doc_id", "text")
+    val ledger = BucketedCoo.saveLoad(spark, TextDedup.dedupLedger(corpus),
+      "graft_spec_ledger", "h", 4)
+
+    val plainR = TextDedup.incrementalDedup(corpus, batch).collect()
+      .map(_.toString).sorted.toSeq
+    val bucketedR = TextDedup.incrementalDedupAgainstLedger(ledger, batch)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bucketedR == plainR)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      // plain: ledger distinct-aggregate shuffles (2 exchanges for the
+      // two-phase distinct is planned as 1 here: partial+final on one
+      // exchange) + batch first-id agg + the two probe joins reuse the
+      // batch partitioning. Bucketed: the ledger side plans from the
+      // bucketed scan with NO exchange — strictly fewer shuffles, and
+      // none of them touch the (at scale, 100 TB) ledger.
+      val plain = TextDedup.incrementalDedup(corpus, batch)
+      val bucketed = TextDedup.incrementalDedupAgainstLedger(ledger, batch)
+      assert(exchanges(bucketed) < exchanges(plain))
+      // no exchange sits between the ledger's bucketed scan and its
+      // join: the ledger subtree (identified by the table name) is
+      // exchange-free in the executed plan
+      val planStr = bucketed.queryExecution.executedPlan.toString
+      val ledgerScan = planStr.linesIterator.find(_.contains("graft_spec_ledger"))
+      assert(ledgerScan.isDefined, s"ledger scan missing in:\n$planStr")
+      assert(planStr.contains("SelectedBucketsCount") || planStr.contains("Bucketed: true"),
+        s"ledger scan not bucket-aware:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("saveLoad replaces a previous table of the same name") {
     val first = coo(Seq((0L, 0L, 1L)))
     val second = coo(Seq((5L, 6L, 7L), (8L, 9L, 10L)))

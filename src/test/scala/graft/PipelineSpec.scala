@@ -26,6 +26,80 @@ class PipelineSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 0L)
   }
 
+  test("incremental dedup: ledger hits, intra-batch dups, fresh docs") {
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "delta epsilon"))).toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq(
+      (10L, "gamma beta alpha alpha"), // token set == corpus doc 0 (order/multiplicity ignored)
+      (11L, "zeta eta theta"),         // fresh key, batch canonical
+      (12L, "theta zeta eta"),         // same key as 11 → intra-batch dup
+      (13L, "iota kappa"))).toDF("doc_id", "text")
+    val r = TextDedup.incrementalDedup(corpus, batch).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("in_corpus"), x.getAs[Long]("keep")))).toMap
+    assert(r(10L) == ((1L, 0L))) // already in corpus
+    assert(r(11L) == ((0L, 1L))) // new: smallest id for its key enters
+    assert(r(12L) == ((0L, 0L))) // new key but 11 is the canonical copy
+    assert(r(13L) == ((0L, 1L)))
+    assert(r.size == 4)
+  }
+
+  test("dup spans: longest cross-doc duplicated run, hand-computed") {
+    val fix = spark.createDataFrame(Seq(
+      (0L, "a b c d e f g h"),       // shares "a b c d e" with doc 1
+      (1L, "x y a b c d e q r s"),
+      (2L, "m n o"),                 // one unique shingle
+      (3L, "c d e z z c d e"),       // "c d e" dup'd at two separated positions
+      (4L, "q w"))).toDF("doc_id", "text") // < k tokens: absent
+    val r = TextDedup.dupSpans(fix).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_pos"), x.getAs[Long]("n_dup_pos"),
+          x.getAs[Long]("max_run"), x.getAs[Long]("span_tokens")))).toMap
+    assert(r(0L) == ((6L, 3L, 3L, 5L))) // run abc,bcd,cde = 5 copied tokens
+    assert(r(1L) == ((8L, 3L, 3L, 5L)))
+    assert(r(2L) == ((1L, 0L, 0L, 0L)))
+    assert(r(3L) == ((6L, 2L, 1L, 3L))) // two isolated dup positions
+    assert(!r.contains(4L))
+  }
+
+  test("label outliers: planted off-cluster vector ranks first") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0f, 0f, 0f), 0),
+      (1L, Seq(1.0f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0.9f, 0f, 0.1f, 0f), 0),
+      (3L, Seq(0f, 1.0f, 0f, 0f), 0), // planted outlier in label 0
+      (10L, Seq(0f, 0f, 1.0f, 0f), 1),
+      (11L, Seq(0f, 0f, 0.9f, 0.1f), 1))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelOutliers(emb, k = 3).collect()
+      .map(x => (x.getAs[Long]("label"), x.getAs[Long]("rank")) ->
+        ((x.getAs[Long]("vec_id"), x.getAs[Long]("promille"))))
+      .toMap
+    assert(r((0L, 1L))._1 == 3L) // most outlying in label 0
+    // ranks walk outward: promille non-decreasing with rank
+    assert(r((0L, 1L))._2 <= r((0L, 2L))._2 && r((0L, 2L))._2 <= r((0L, 3L))._2)
+    assert(r.count(_._1._1 == 1L) == 2) // label 1 has only 2 members
+  }
+
+  test("json prop stats: explicit-schema parse, corrupt payloads counted but excluded from k") {
+    val ev = spark.createDataFrame(Seq(
+      (1L, "click", """{"k": 5}"""),
+      (2L, "click", """{"k": 7}"""),
+      (3L, "click", """{"k": 5}"""),
+      (4L, "click", "not json"),      // parses to null k, still counted in n
+      (5L, "view", """{"other": 1}""") // field absent -> null k
+    )).toDF("event_id", "event_type", "props")
+    val r = Events.propStats(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("n_k"), x.getAs[Long]("distinct_k"),
+          x.getAs[Long]("sum_k"))))
+      .toMap
+    assert(r("click") == ((4L, 3L, 2L, 17L)))
+    assert(r("view") == ((1L, 0L, 0L, 0L)) ||
+      (r("view")._1 == 1L && r("view")._2 == 0L)) // sum over no rows is null
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = TextDedup.nearDuplicates(docs)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
