@@ -155,5 +155,6 @@ object Bench {
     "q_mxm_bucketed", "p_tfidf_stats", "p_sessionize",
     "p_asof_join", "p_range_join", "p_hll_users", "p_stratified_sample",
     "p_quality_filter", "p_dup_ngrams",
-    "p_dup_span", "p_dedup_incremental", "p_embed_outliers", "p_json_props")
+    "p_dup_span", "p_dedup_incremental", "p_embed_outliers", "p_json_props",
+    "p_seq_pack", "q_kcore")
 }

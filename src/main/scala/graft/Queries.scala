@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, FastSV, PageRank, PregelCC}
+import graft.algo.{Bfs, FastSV, KCore, PageRank, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch}
 import graft.streaming.{DocsStream, EventsStream}
@@ -112,6 +112,27 @@ object Queries {
          u$k AS MATERIALIZED (SELECT n, MIN(l) AS l FROM (SELECT * FROM $p UNION ALL SELECT * FROM m$k) GROUP BY 1),
          f$k AS MATERIALIZED (SELECT u.n AS n, g.l AS l FROM u$k u JOIN u$k g ON g.n = u.l)"""
     }.mkString(",\n")
+
+  /** unrolled k-core peel: each round keeps vertices with ≥ k edges
+    * into the previous survivor set. Idempotent at the fixpoint, so
+    * the unroll only needs rounds ≥ the true peel depth (measured:
+    * 6 at sf0.001, 10 at sf0.01, 12 at sf0.1 for k=6 — 20 leaves
+    * margin).
+    */
+  private def kcoreFixpointSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val p = s"s${r - 1}"
+      s"""s$r AS MATERIALIZED (SELECT e.a AS n FROM edges e JOIN $p sa ON sa.n = e.a JOIN $p sb ON sb.n = e.b
+         GROUP BY e.a HAVING COUNT(*) >= $k)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 1048576 AS BIGINT) AS b FROM lineitem),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       s0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM edges),
+       $steps
+       SELECT e.a AS i, CAST(COUNT(*) AS BIGINT) AS v
+       FROM edges e JOIN s$rounds sa ON sa.n = e.a JOIN s$rounds sb ON sb.n = e.b
+       GROUP BY e.a"""
+  }
 
   private def ccFixpointSql(rounds: Int): String = {
     val steps = ccStepsSql(rounds)
@@ -678,6 +699,19 @@ object Queries {
 
     // FastSV on the full order-part bipartite graph — component-size
     // histogram (rows-only check; the BENCH headline for iteration)
+    // k-core peel (k=6) on the same orders↔parts bipartite graph:
+    // iterative degree pruning through masked plus_pair mxv rounds
+    "q_kcore" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem")
+      val offset = 1L << 20
+      val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      KCore.kcore(A, 6L).df
+    }),
     "q_cc_events" -> ((s, dir) => {
       val li = pq(s, dir, "lineitem")
       val offset = 1L << 20
@@ -842,6 +876,7 @@ object Queries {
          lab AS (SELECT n AS i, CAST(MIN(l) AS BIGINT) AS v FROM cc GROUP BY 1)
          SELECT i, v FROM lab""",
     "q_cc_events" -> ccFixpointSql(12),
+    "q_kcore" -> kcoreFixpointSql(6, 20),
     "q_empty_new" ->
       "SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer",
     "q_build" ->
@@ -968,6 +1003,9 @@ object Queries {
     "p_dup_span" -> ((s, dir) => TextDedup.dupSpans(pq(s, dir, "documents"))),
     // token-budget mixture plan: per-source acceptance ppm
     "p_mix_plan" -> ((s, dir) => Sampling.mixPlan(pq(s, dir, "documents"), 10000L)),
+    // concat-then-chunk packing manifest: each doc's placement in the
+    // fixed-length training-sequence stream of its source
+    "p_seq_pack" -> ((s, dir) => Sampling.seqPack(pq(s, dir, "documents"))),
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
     "p_sample" -> ((s, dir) =>
@@ -1428,6 +1466,19 @@ object Queries {
          FROM ps, n""",
     "p_bpe_tokens" ->
       s"SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextStats.bpePattern}')) AS BIGINT) AS n_bpe FROM documents",
+    // packing manifest: running token sum per source (doc_id order),
+    // sequence ids by exact power-of-two division
+    "p_seq_pack" ->
+      """WITH t AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+         o AS (SELECT doc_id, source, n_tokens,
+                      COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+               FROM t)
+         SELECT doc_id, source, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+                CAST(start_off // 512 AS BIGINT) AS first_seq,
+                CAST((start_off + n_tokens - 1) // 512 AS BIGINT) AS last_seq,
+                CAST((start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS BIGINT) AS n_seqs
+         FROM o""",
     "p_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 10""",

@@ -218,7 +218,16 @@ object SelfBaseline {
       val bench = docs.filter(col("doc_id") % 1000 === 0)
       val train = docs.filter(col("doc_id") % 1000 =!= 0)
       val (ncont, contSec) = timed(TextDedup.contamination(train, bench).count())
-      println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np,"exact_sec":$exactSec%.2f,"exact_dup_groups":$ne,"simhash_sec":$simhashSec%.2f,"simhash_pairs":$ns,"contamination_sec":$contSec%.2f,"contaminated":$ncont}""")
+      // round-9 additions at the same volume: duplicated-span measure
+      // (positional-shingle runs), and ingest-cycle incremental dedup
+      // (90% corpus ledger vs 10% arriving batch)
+      val (nspan, spanSec) = timed(
+        TextDedup.dupSpans(docs).filter(col("max_run") > 0).count())
+      val (nkeep, incrSec) = timed(TextDedup.incrementalDedup(
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        batch = docs.filter(col("doc_id") % 10 === 0))
+        .filter(col("keep") === 1).count())
+      println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np,"exact_sec":$exactSec%.2f,"exact_dup_groups":$ne,"simhash_sec":$simhashSec%.2f,"simhash_pairs":$ns,"contamination_sec":$contSec%.2f,"contaminated":$ncont,"dup_span_sec":$spanSec%.2f,"dup_span_docs":$nspan,"incr_sec":$incrSec%.2f,"incr_kept":$nkeep}""")
       docs.unpersist(); emb.unpersist()
     }
     // SimHash banding tier (SPARK_GRAFT_SIMHASH=<nDocs>, round-8 lead

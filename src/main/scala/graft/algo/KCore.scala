@@ -1,0 +1,68 @@
+package graft.algo
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** k-core decomposition by iterative peeling — the degeneracy pruning
+  * pass of graph curation (spam/bot subgraph isolation, community
+  * pre-filtering): the k-core is the maximal subgraph in which every
+  * vertex keeps degree ≥ k, found by repeatedly deleting vertices
+  * whose CURRENT degree (edges into the surviving set) falls below k.
+  *
+  * Pure core-op composition, like Bfs/FastSV: each round's surviving
+  * degree is one plus_pair mxv of the adjacency against the survivor
+  * indicator, masked (structural) to surviving rows; the peel is a
+  * selectOp on the degree. The survivor key set shrinks monotonically,
+  * so convergence is "nvals stopped shrinking" — count equality IS
+  * set equality (no value compare needed; the inverse of BFS's
+  * monotone-growth rule, which is why this loop cannot reuse
+  * Iterate.vectorLoopStable).
+  *
+  * Scale shape: the adjacency is repartitioned ONCE on the contracted
+  * key and cached (every round's mxv reuses the exchange — the
+  * Bfs/FastSV pattern); per-round state is an eagerly checkpointed
+  * (i, 1) indicator with superseded rounds' blocks freed (O(n) loop
+  * storage, plan O(one round)). Work per round is one equi-join +
+  * hash agg on the surviving edge set — rounds ≤ the peel depth
+  * (≤ max degeneracy ordering length, in practice tens).
+  *
+  * @return sparse vector over core members: value = degree WITHIN the
+  *         k-core (≥ k by construction); vertices outside the core
+  *         are absent. Empty when no k-core exists.
+  */
+object KCore {
+  def kcore(a: GrbMatrix, k: Long, maxIter: Int = 100): GrbVector = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"kcore adjacency must be square: ${a.nrows}x${a.ncols}")
+    val A = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("j")).cache(), a.nrows, a.ncols)
+    def coreDegree(s: GrbVector): GrbVector =
+      A.mxv(s, Ops.plusPair, mask = Some(Mask.structural(s.df)),
+        broadcastVec = false)
+    var s = new GrbVector(
+      A.df.select(col("i"), lit(1L).as("v")).distinct()
+        .localCheckpoint(true), a.nrows)
+    var prev = Iterate.checkpointRdd(s.df)
+    var n = s.df.count()
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter && n > 0) {
+      val next = new GrbVector(
+        coreDegree(s).selectOp(_ >= k).df
+          .select(col("i"), lit(1L).as("v")).localCheckpoint(true), a.nrows)
+      val n2 = next.df.count()
+      stable = n2 == n
+      prev.foreach(_.unpersist(false))
+      prev = Iterate.checkpointRdd(next.df)
+      s = next
+      n = n2
+      iter += 1
+    }
+    val out = new GrbVector(
+      coreDegree(s).df.localCheckpoint(true), a.nrows)
+    prev.foreach(_.unpersist(false))
+    A.df.unpersist(false)
+    out
+  }
+}

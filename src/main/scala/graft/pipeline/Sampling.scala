@@ -104,4 +104,41 @@ object Sampling {
           .cast(LongType))
       .select("source", "tokens_avail", "share_target", "accept_ppm")
   }
+
+  /** GPT-style sequence-packing manifest: training corpora are
+    * consumed as documents CONCATENATED in a deterministic order and
+    * CHUNKED into fixed `seqLen`-token windows (concat-then-chunk —
+    * the standard pretraining packing; documents straddle sequence
+    * boundaries rather than leaving pad waste). This computes each
+    * document's placement in that layout without materializing a
+    * single token: token count, global start offset within its
+    * source's stream (docs in doc_id order), and the first/last/count
+    * of the training sequences it lands in. Downstream loaders use
+    * the manifest to slice shards and to map a training sequence back
+    * to its source documents (provenance/attribution).
+    *
+    * Output (doc_id, source, n_tokens, start_off, first_seq,
+    * last_seq, n_seqs). The offset→sequence mapping is INTEGER
+    * division (`div`) — exact at any offset, where a double `/` would
+    * lose exactness past 2⁵³ accumulated tokens per source.
+    *
+    * Scale shape: one narrow token-count map + ONE running-sum window
+    * per source — the packing domain. Sources are the natural unit
+    * (mixture weights apply per source) and the window shuffles once
+    * on the source key; a single source too large for one task is
+    * pre-split by a deterministic shard key (hash(doc_id) mod k added
+    * to the partition key — same plan, k-way parallel) with per-shard
+    * offsets rebased by one k-row broadcast of shard totals.
+    */
+  def seqPack(docs: DataFrame, seqLen: Int = 512): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"start_off div $seqLen"))
+      .withColumn("last_seq", expr(s"(start_off + n_tokens - 1) div $seqLen"))
+      .withColumn("n_seqs", (col("last_seq") - col("first_seq") + 1L))
+  }
 }

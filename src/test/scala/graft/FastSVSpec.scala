@@ -108,6 +108,20 @@ class FastSVSpec extends SparkSpec {
     assert(pregel == fastsv.view.filterKeys(k => k != 5L).toMap)
   }
 
+  test("k-core peel cascades: pendant chain unravels, triangle survives") {
+    // triangle {0,1,2} + chain 2-3-4: the 2-core is exactly the
+    // triangle, and reaching it needs TWO peel rounds (4 falls first,
+    // exposing 3) — exercises the iteration, not just one filter
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 5L, 5L)
+    val core2 = graft.algo.KCore.kcore(a, 2L)
+    assert(core2.toValues.toMap == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // no 3-core exists: empty result, loop terminates on n=0
+    assert(graft.algo.KCore.kcore(a, 3L).toValues.isEmpty)
+  }
+
   test("path graph needs shortcutting (worst case for hooking)") {
     val n = 32L
     val a = matFromEdges((0L until n - 1).map(i => (i, i + 1)), n)

@@ -100,6 +100,26 @@ class PipelineSpec extends SparkSpec {
       (r("view")._1 == 1L && r("view")._2 == 0L)) // sum over no rows is null
   }
 
+  test("seq pack: concat-then-chunk placement, hand-computed") {
+    // source A stream (seqLen 4): doc0 3 tokens [0,3) -> seq 0;
+    // doc1 6 tokens [3,9) -> seqs 0..2; doc2 1 token [9,10) -> seq 2
+    val docs = spark.createDataFrame(Seq(
+      (0L, "a b c", "A"),
+      (1L, "d e f g h i", "A"),
+      (2L, "j", "A"),
+      (5L, "x y z w v", "B"))). // independent stream: [0,5) -> seqs 0..1
+      toDF("doc_id", "text", "source")
+    val r = Sampling.seqPack(docs, seqLen = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("start_off"),
+          x.getAs[Long]("first_seq"), x.getAs[Long]("last_seq"),
+          x.getAs[Long]("n_seqs")))).toMap
+    assert(r(0L) == ((3L, 0L, 0L, 0L, 1L)))
+    assert(r(1L) == ((6L, 3L, 0L, 2L, 3L))) // straddles two boundaries
+    assert(r(2L) == ((1L, 9L, 2L, 2L, 1L)))
+    assert(r(5L) == ((5L, 0L, 0L, 1L, 2L))) // source B offsets restart
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = TextDedup.nearDuplicates(docs)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

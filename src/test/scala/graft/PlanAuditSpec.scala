@@ -113,6 +113,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pm.contains("CartesianProduct"))
   }
 
+  test("round-9 operators stay equi-joined, never cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // incremental dedup: digest equi-joins only
+    assert(!plan(TextDedup.incrementalDedup(
+      docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0)))
+      .contains("CartesianProduct"))
+    // dup spans: shingle-df equi-join + per-doc window, no pairing
+    val pspan = plan(TextDedup.dupSpans(docs))
+    assert(!pspan.contains("CartesianProduct"))
+    assert(!pspan.contains("lang"), "dup-span scan must prune to doc_id/text")
+    // packing manifest: one window, no join at all
+    val ppack = plan(Sampling.seqPack(docs))
+    assert(!ppack.contains("Join"), s"seqPack should plan joinless:\n$ppack")
+    // label outliers: centroid attach is a broadcast equi-join
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pout = plan(Similarity.labelOutliers(emb))
+    assert(!pout.contains("CartesianProduct"))
+    assert(pout.contains("BroadcastExchange") || pout.contains("BroadcastHashJoin"),
+      "label centroids should broadcast")
+  }
+
   test("graph traversals: BFS round and triangle count stay equi-join shaped") {
     val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
     val l = GrbMatrix.fromValues(spark,
