@@ -1046,6 +1046,11 @@ object Queries {
     // approximate yet hash-matching: see pipeline/Sketch determinism
     // contract
     "p_hll_users" -> ((s, dir) => Sketch.hllUsersByType(pq(s, dir, "events"))),
+    // sketch-ledger rollup: per-day persistable register states merged
+    // into an all-time estimate — bit-identical to the one-pass sketch
+    // (register max is associative), which is what the oracle verifies
+    "p_hll_ledger" -> ((s, dir) =>
+      Sketch.hllLedger(pq(s, dir, "events"), "event_type", "user_id")),
     // the STREAMING path end-to-end: file-source readStream over the
     // events table -> watermarked tumbling-window agg -> memory sink,
     // drained with Trigger.AvailableNow. Complete mode emits every
@@ -1624,6 +1629,26 @@ object Queries {
                            * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) * CAST(1000.0 AS DOUBLE)
                            / CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS hll_milli
          FROM ex JOIN sums USING (event_type)""",
+    // ledger oracle: ONE-PASS register algebra over the union — the
+    // two-level (daily state -> merge) path must land on the same
+    // registers because max is associative; n_days from the day keys
+    "p_hll_ledger" ->
+      """WITH h AS (SELECT event_type,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
+         b AS (SELECT event_type, h >> 52 AS bucket, h & 4503599627370495 AS r FROM h),
+         rho AS (SELECT event_type, bucket,
+                        CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END AS rho FROM b),
+         regs AS (SELECT event_type, bucket, MAX(rho) AS mx FROM rho GROUP BY 1, 2),
+         sums AS (SELECT event_type,
+                         SUM(1::BIGINT << (53 - mx)) + (256 - COUNT(*)) * (1::BIGINT << 53) AS sum_scaled
+                  FROM regs GROUP BY 1),
+         dd AS (SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days FROM h GROUP BY 1)
+         SELECT dd.event_type, dd.n_days,
+                CAST(FLOOR(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                           * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) * CAST(1000.0 AS DOUBLE)
+                           / CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS hll_milli
+         FROM dd JOIN sums USING (event_type)""",
     // range join oracle: the declarative BETWEEN join (DuckDB plans an
     // IEJoin); the engine's bucketized equi-join must agree exactly
     "p_range_join" ->

@@ -91,6 +91,36 @@ object Sketch {
       .select(col(groupCol), estMilli(col("sum_scaled")).as("hll_milli"))
   }
 
+  /** The sketch-LEDGER workflow — why mergeable sketches exist at
+    * 100 TB: per-(day, group) register STATES are computed once from
+    * the raw keys ([[org.apache.spark.sql.graft.HllState]], 256 bytes
+    * each, persistable next to the day's partition), and any later
+    * rollup — weekly, all-time, cross-shard — is a merge of those
+    * states ([[org.apache.spark.sql.graft.HllMergeState]], register
+    * max) touching 256 bytes per window instead of rescanning the raw
+    * data. Register max is associative and order-free, so the merged
+    * estimate is BIT-IDENTICAL to a one-pass sketch over the union —
+    * which is exactly what the oracle checks (its SQL is the one-pass
+    * register algebra; the two-level path must agree byte-for-byte).
+    *
+    * Output (group, n_days, hll_milli): days counted from the ledger
+    * (no extra scan), estimate via the codegen
+    * [[org.apache.spark.sql.graft.HllEstimate]] over the merged
+    * state.
+    */
+  def hllLedger(events: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val daily = events
+      .select(col(groupCol), (Events.epochS(events) / 86400L).cast(LongType).as("day"),
+        hash60(col(keyCol)).as("h"))
+      .groupBy(groupCol, "day")
+      .agg(org.apache.spark.sql.graft.HllState(col("h")).as("state"))
+    daily.groupBy(groupCol)
+      .agg(org.apache.spark.sql.graft.HllMergeState(col("state")).as("merged"),
+        count(lit(1)).as("n_days"))
+      .select(col(groupCol), col("n_days"),
+        estMilli(org.apache.spark.sql.graft.HllEstimate(col("merged"))).as("hll_milli"))
+  }
+
   /** distinct users per event type: exact count beside the HLL
     * estimate (the sketch's error is part of the recorded output).
     * The exact side is a tiny aggregate; the join is broadcast.

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.IntegerType
   *    ([[TopKPairs]]); `k` must be an integer literal (it sizes the
   *    aggregation buffer at plan time);
   *  - `graft_hll(hash)` — deterministic HLL register aggregate
-  *    ([[HllRegisters]]) over a 60-bit hash, returning `sum_scaled`.
+  *    ([[HllRegisters]]) over a 60-bit hash, returning `sum_scaled`;
+  *  - `graft_hll_state(hash)` / `graft_hll_merge(state)` /
+  *    `graft_hll_estimate(state)` — the persistable sketch-ledger
+  *    trio ([[HllState]]/[[HllMergeState]]/[[HllEstimate]]).
   *
   * Two attachment routes, same descriptors:
   *  - config: `spark.sql.extensions = graft.GraftExtensions` applies
@@ -61,7 +64,16 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll"),
-      arity("graft_hll(hash)", 1)(args => HllRegisters(args(0)))))
+      arity("graft_hll(hash)", 1)(args => HllRegisters(args(0)))),
+    (FunctionIdentifier("graft_hll_state"),
+      new ExpressionInfo(classOf[HllState].getName, "graft_hll_state"),
+      arity("graft_hll_state(hash)", 1)(args => HllState(args(0)))),
+    (FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeState].getName, "graft_hll_merge"),
+      arity("graft_hll_merge(state)", 1)(args => HllMergeState(args(0)))),
+    (FunctionIdentifier("graft_hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
+      arity("graft_hll_estimate(state)", 1)(args => HllEstimate(args(0)))))
 
   /** config-route hook: called by `graft.GraftExtensions` during
     * session build for every descriptor.

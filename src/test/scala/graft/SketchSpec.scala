@@ -63,6 +63,39 @@ class SketchSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("sketch ledger: two-level state merge == one-pass sketch, states survive parquet") {
+    import org.apache.spark.sql.graft.{HllEstimate, HllMergeState, HllState}
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1L to 4000L).map(i => ("big", i % 5, i % 1300)) ++
+      (1L to 300L).map(i => ("small", i % 3, i % 41))
+    val df = rows.toDF("g", "day", "k").repartition(9)
+    // one-pass control
+    val onePass = Sketch.hllDistinct(
+      df.withColumnRenamed("g", "event_type").withColumnRenamed("k", "user_id"),
+      "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // two-level: daily states -> parquet round-trip -> merge -> estimate
+    val daily = df.select(col("g"), col("day"), Sketch.hash60(col("k")).as("h"))
+      .groupBy("g", "day").agg(HllState(col("h")).as("state"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-hll-ledger-spec"
+    daily.write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir).groupBy("g")
+      .agg(HllMergeState(col("state")).as("m"))
+      .select(col("g"), Sketch.estMilli(HllEstimate(col("m"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === onePass)
+    // and through the SQL surface
+    spark.read.parquet(dir).createOrReplaceTempView("hll_ledger_states")
+    val viaSql = spark.sql(
+      "SELECT g, graft_hll_estimate(graft_hll_merge(state)) AS s FROM hll_ledger_states GROUP BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = df.select(col("g"), Sketch.hash60(col("k")).as("h"))
+      .groupBy("g").agg(org.apache.spark.sql.graft.HllRegisters(col("h")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql === direct)
+  }
+
   test("plan: ObjectHashAggregate with map-side partial, single shuffle") {
     val spark2 = spark
     import spark2.implicits._
