@@ -122,6 +122,35 @@ class FastSVSpec extends SparkSpec {
     assert(graft.algo.KCore.kcore(a, 3L).toValues.isEmpty)
   }
 
+  test("k-core agrees with a driver-side reference peel on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 6 + rnd.nextInt(5)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextInt(100) < 35
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val k = 2 + rnd.nextInt(2)
+        // reference: peel until stable over an adjacency-set model
+        var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        var changed = true
+        while (changed) {
+          val drop = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+          changed = drop.nonEmpty
+          adj = (adj -- drop).view.mapValues(_ -- drop).toMap.filter(_._2.nonEmpty)
+        }
+        val expect = adj.map { case (v, ns) => v -> ns.size.toLong }
+        val sym = edges ++ edges.map { case (a, b) => (b, a) }
+        val a = GrbMatrix.fromValues(spark,
+          sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, n, n)
+        val got = graft.algo.KCore.kcore(a, k).toValues.toMap
+        assert(got == expect, s"trial $trial n=$n k=$k edges=$edges")
+      }
+    }
+  }
+
   test("path graph needs shortcutting (worst case for hooking)") {
     val n = 32L
     val a = matFromEdges((0L until n - 1).map(i => (i, i + 1)), n)
