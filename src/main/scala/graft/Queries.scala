@@ -1017,6 +1017,13 @@ object Queries {
     // ranked corpus)
     "p_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(pq(s, dir, "documents"), "lang", col("text"), 40)),
+    // sample-ledger rollup: per-ingest-window quota draws (doc_id % 7
+    // plays the cycle key) re-aggregated to the corpus draw — must be
+    // bit-identical to the one-pass sample (monotone hash-least), so
+    // it shares p_stratified_sample's oracle
+    "p_sample_ledger" -> ((s, dir) =>
+      Sampling.stratifiedSampleLedger(pq(s, dir, "documents"), "lang",
+        col("text"), 40, col("doc_id") % 7)),
     "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
     // embedding-space near-dup dedup: LSH-verified cosine pairs ->
@@ -1499,6 +1506,8 @@ object Queries {
     // streaming quota sample drains batch-equivalent (complete mode) —
     // identical oracle
     "p_stream_topk" -> stratifiedSampleSql,
+    // two-level ledger rollup == one-pass draw (monotone hash-least)
+    "p_sample_ledger" -> stratifiedSampleSql,
     "p_tfidf_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
          tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

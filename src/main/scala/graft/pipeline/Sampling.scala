@@ -49,6 +49,37 @@ object Sampling {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Sample-LEDGER rollup — the quota-sampling sibling of
+    * Sketch.hllLedger, built from composition alone: TopKPairs'
+    * output array IS its mergeable state, because "hash-least quota"
+    * is monotone under union (the quota smallest keys of a corpus are
+    * a subset of the union of each ingest window's quota smallest).
+    * So per-window draws persist next to their partitions, and any
+    * later rollup re-aggregates the stored (ord, id) entries through
+    * the SAME TopKPairs comparator — landing bit-identical to a
+    * one-pass draw over the whole corpus (shared oracle), while the
+    * rollup touches ≤quota rows per (stratum, window) instead of
+    * rescanning documents.
+    *
+    * `windowCol` is the ingest-cycle key (day, batch id, shard...).
+    * Output matches [[stratifiedSample]] exactly.
+    */
+  def stratifiedSampleLedger(docs: DataFrame, strataCol: String,
+      keyCol: Column, quota: Int, windowCol: Column): DataFrame = {
+    val base = docs.select(col(strataCol), windowCol.as("w"), col("doc_id"),
+      (-TextDedup.hash32(keyCol)).cast("double").as("ord"))
+    val perWindow = base.groupBy(col(strataCol), col("w"))
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("ord"), col("doc_id"), quota).as("top"))
+    perWindow.select(col(strataCol), explode(col("top")).as("t"))
+      .select(col(strataCol), col("t").getField("ord").as("ord"),
+        col("t").getField("id").as("doc_id"))
+      .groupBy(strataCol)
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("ord"), col("doc_id"), quota).as("top"))
+      .select(col(strataCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(strataCol), col("t").getField("id").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** corpus composition: doc counts and volume by (source, lang) with
     * basis-point shares — the input to mixture-weight decisions.
     * ONE pass over the corpus: the total is re-aggregated from the

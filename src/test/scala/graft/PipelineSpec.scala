@@ -120,6 +120,22 @@ class PipelineSpec extends SparkSpec {
     assert(r(5L) == ((5L, 0L, 0L, 1L, 2L))) // source B offsets restart
   }
 
+  test("sample ledger: per-window rollup == one-pass draw, incl. duplicate-text ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 120L).map { i =>
+      val text = if (i % 17 == 0) "shared duplicate text" // cross-window hash ties
+        else s"doc $i ${rnd.nextInt(1000)}"
+      (i, text, s"L${i % 3}")
+    }
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+    val onePass = Sampling.stratifiedSample(docs, "lang", col("text"), 10)
+      .collect().map(_.toString).sorted.toSeq
+    val ledger = Sampling.stratifiedSampleLedger(docs, "lang", col("text"), 10,
+      col("doc_id") % 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ledger == onePass)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = TextDedup.nearDuplicates(docs)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
