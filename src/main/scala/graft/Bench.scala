@@ -156,5 +156,6 @@ object Bench {
     "p_asof_join", "p_range_join", "p_hll_users", "p_stratified_sample",
     "p_quality_filter", "p_dup_ngrams",
     "p_dup_span", "p_dedup_incremental", "p_embed_outliers", "p_json_props",
-    "p_seq_pack", "q_kcore", "p_hll_ledger", "p_sample_ledger")
+    "p_seq_pack", "q_kcore", "p_hll_ledger", "p_sample_ledger",
+    "q_lpa", "p_weighted_sample", "p_length_quantiles")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, FastSV, KCore, PageRank, PregelCC}
+import graft.algo.{Bfs, FastSV, KCore, LabelProp, PageRank, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch}
 import graft.streaming.{DocsStream, EventsStream}
@@ -132,6 +132,29 @@ object Queries {
        SELECT e.a AS i, CAST(COUNT(*) AS BIGINT) AS v
        FROM edges e JOIN s$rounds sa ON sa.n = e.a JOIN s$rounds sb ON sb.n = e.b
        GROUP BY e.a"""
+  }
+
+  /** q_lpa oracle: synchronous label propagation unrolled
+    * round-for-round (algo/LabelProp.scala) — each round counts
+    * neighbour labels and adopts the most frequent, ties to the
+    * smallest label. Pure integer recurrence; the window runs over the
+    * per-round vote frame (≤ |edges| rows), same MATERIALIZED
+    * discipline as ccFixpointSql.
+    */
+  private def lpaFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"l${k - 1}"
+      s"""v$k AS MATERIALIZED (SELECT e.a AS n, f.lab AS lab, COUNT(*) AS c
+           FROM edges e JOIN $p f ON f.n = e.b GROUP BY 1, 2),
+         l$k AS MATERIALIZED (SELECT n, MIN(lab) AS lab FROM (
+           SELECT n, lab, c, MAX(c) OVER (PARTITION BY n) AS mc FROM v$k)
+           WHERE c = mc GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 1048576 AS BIGINT) AS b FROM lineitem),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM edges),
+       $steps
+       SELECT n AS i, CAST(lab AS BIGINT) AS v FROM l$rounds"""
   }
 
   private def ccFixpointSql(rounds: Int): String = {
@@ -712,6 +735,20 @@ object Queries {
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       KCore.kcore(A, 6L).df
     }),
+    // synchronous label propagation (fixed 7 rounds, min-label ties)
+    // on the same orders↔parts bipartite graph — per-node community
+    // label; the deterministic-LPA contract is the integer recurrence
+    "q_lpa" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem")
+      val offset = 1L << 20
+      val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      LabelProp.communities(A, 7).df
+    }),
     "q_cc_events" -> ((s, dir) => {
       val li = pq(s, dir, "lineitem")
       val offset = 1L << 20
@@ -877,6 +914,7 @@ object Queries {
          SELECT i, v FROM lab""",
     "q_cc_events" -> ccFixpointSql(12),
     "q_kcore" -> kcoreFixpointSql(6, 20),
+    "q_lpa" -> lpaFixpointSql(7),
     "q_empty_new" ->
       "SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer",
     "q_build" ->
@@ -1017,6 +1055,11 @@ object Queries {
     // ranked corpus)
     "p_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(pq(s, dir, "documents"), "lang", col("text"), 40)),
+    // length-biased (token-mass) weighted draw: hash/weight priority,
+    // same map-side-truncating top-k scale path
+    "p_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(pq(s, dir, "documents"), "source", col("text"),
+        col("n_chars"), 40)),
     // sample-ledger rollup: per-ingest-window quota draws (doc_id % 7
     // plays the cycle key) re-aggregated to the corpus draw — must be
     // bit-identical to the one-pass sample (monotone hash-least), so
@@ -1503,6 +1546,16 @@ object Queries {
     // stratified-quota oracle: rank by the same md5-derived hash with
     // doc_id tie-break (duplicate texts share a hash), quota 40/lang
     "p_stratified_sample" -> stratifiedSampleSql,
+    // weighted draw: ORDER BY hash/weight ASC mirrors Spark's negated
+    // TopKPairs ord (one exact-operand IEEE division each side)
+    "p_weighted_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+                           CAST(('0x' || substr(md5(text), 1, 8))::BIGINT AS DOUBLE)
+                             / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS pri
+                    FROM documents)
+         SELECT source, doc_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS BIGINT) AS rank
+         FROM h QUALIFY rank <= 40""",
     // streaming quota sample drains batch-equivalent (complete mode) —
     // identical oracle
     "p_stream_topk" -> stratifiedSampleSql,

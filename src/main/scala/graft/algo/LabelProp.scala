@@ -1,0 +1,59 @@
+package graft.algo
+
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Synchronous label propagation (Raghavan et al. 2007) — the
+  * community-detection pass of graph curation (near-duplicate site
+  * clusters, botnet rings, topic groups), beside CC (PregelCC/FastSV),
+  * BFS/SSSP, PageRank and KCore in the algorithm tier.
+  *
+  * Determinism discipline (the PageRank rule): classic LPA breaks
+  * ties randomly and updates asynchronously — neither survives a
+  * cross-engine hash compare. Here every vertex simultaneously adopts
+  * the most frequent label among its neighbours, ties broken toward
+  * the SMALLEST label, for a fixed round count — a pure integer
+  * recurrence a SQL oracle replays round-for-round. Fixed rounds also
+  * sidestep sync-LPA's classic non-termination (on bipartite graphs
+  * the labelling can 2-cycle forever, so "run to convergence" is not
+  * a well-defined contract; a fixed horizon is).
+  *
+  * The mode reduction is NOT a semiring op (per-key max-count needs
+  * the full per-label histogram — not associative over (label, count)
+  * pairs), so unlike Bfs/KCore this composes DataFrame aggregates
+  * directly: per round one equi-join of the adjacency against the
+  * label frame (adjacency repartitioned ONCE on the contracted key
+  * and cached — the shared mxv pattern), a two-level hash aggregate
+  * (vote counts, then arg-max via struct ordering: max (count, -label)
+  * = most votes, then least label), with per-round state eagerly
+  * checkpointed and superseded blocks freed (Iterate.vectorLoop).
+  * Work per round is O(nnz) join + aggregate — the BFS/CC cost
+  * profile; nothing quadratic, no windows over the vertex set.
+  */
+object LabelProp {
+
+  /** @param a      symmetric adjacency (structure only; values ignored)
+    * @param rounds fixed synchronous rounds
+    * @return (i, v): community label per vertex — the min-id member of
+    *         the community the vertex landed in after `rounds` steps
+    */
+  def communities(a: GrbMatrix, rounds: Int = 7): GrbVector = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"lpa adjacency must be square: ${a.nrows}x${a.ncols}")
+    val adj = a.df.select(col("i"), col("j"))
+      .repartition(col("j")).cache()
+    val init = new GrbVector(
+      adj.select(col("i")).distinct()
+        .select(col("i"), col("i").cast("long").as("v")), a.nrows)
+    Iterate.vectorLoop(init, rounds) { (l, _) =>
+      val votes = adj
+        .join(l.df.select(col("i").as("nb"), col("v").as("lab")),
+          col("j") === col("nb"))
+        .groupBy(col("i"), col("lab")).agg(count(lit(1)).as("c"))
+      val next = votes.groupBy(col("i"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("i"), (-col("m").getField("nl")).as("v"))
+      new GrbVector(next, a.nrows)
+    } { (_, _) => false } // fixed horizon — see scaladoc
+  }
+}

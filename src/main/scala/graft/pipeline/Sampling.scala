@@ -80,6 +80,35 @@ object Sampling {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** deterministic WEIGHTED sample without replacement: the `quota`
+    * documents per stratum with the least hash/weight priority — an
+    * integer-hash discretization of the Efraimidis–Spirakis A-ES
+    * scheme (keys u^(1/w); taking h/w as the order statistic biases
+    * selection toward large weights the same way while staying
+    * engine-exact: h = md5-derived 32-bit hash and w are both exactly
+    * representable doubles, and one IEEE division is correctly rounded
+    * identically in any engine — no ln(), no rand()). Weighting by
+    * n_chars (the shipped query) draws a length-biased corpus sample —
+    * the curation pass that wants token-mass coverage, not doc-count
+    * coverage. Weights are clamped to ≥ 1 (a zero-weight row must not
+    * produce an engine-shaped 0/0).
+    *
+    * Same scale path as [[stratifiedSample]]: TopKPairs truncates to
+    * ≤quota entries per (stratum, partition) map-side, so the shuffle
+    * never carries the corpus; draw is stable under corpus growth.
+    */
+  def weightedSample(docs: DataFrame, strataCol: String, keyCol: Column,
+      weightCol: Column, quota: Int): DataFrame = {
+    val pri = -(TextDedup.hash32(keyCol).cast("double") /
+      greatest(weightCol, lit(1L)).cast("double"))
+    val base = docs.select(col(strataCol), col("doc_id"), pri.as("ord"))
+    base.groupBy(strataCol)
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("ord"), col("doc_id"), quota).as("top"))
+      .select(col(strataCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(strataCol), col("t").getField("id").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** corpus composition: doc counts and volume by (source, lang) with
     * basis-point shares — the input to mixture-weight decisions.
     * ONE pass over the corpus: the total is re-aggregated from the

@@ -172,23 +172,34 @@ object TextStats {
     * bit-identical in any engine (`percentile_cont`-style interpolated
     * doubles and Spark's `percentile_approx` are both engine-shaped).
     *
-    * Plan: one shuffle on source for the rank window, then a hash
-    * aggregate of one-hot picks. At 100 TB the within-group sort is
-    * the cost — the honest exact answer; when an approximate
-    * distribution suffices, the register-style sketch route
-    * (pipeline/Sketch) is the pattern to extend instead.
+    * Plan: VALUE HISTOGRAM, not a per-row rank window. The element at
+    * rank r in (n_chars, doc_id) order is fully determined by the
+    * n_chars histogram — it is the smallest value whose cumulative
+    * count reaches r (the doc_id tie-break only orders rows WITHIN one
+    * value, never across values) — so the corpus pass is a map-side-
+    * combining hash aggregate on (source, n_chars), and the shuffle +
+    * cumulative window run over DISTINCT (source, length) pairs: a few
+    * thousand rows at any corpus size, vs the previous formulation's
+    * full within-source sort of every document row (the cost that
+    * bound this operator at 100 TB). Same output bit-for-bit (the
+    * rank-window oracle still gates it).
     */
   def lengthQuantiles(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val hist = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").asc)
     val wn = org.apache.spark.sql.expressions.Window.partitionBy("source")
-    val ranked = docs.select(col("source"), col("n_chars"), col("doc_id"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .withColumn("n", count(lit(1)).over(wn))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wn))
+    // rank target ceil(p·n) lands inside the first value whose
+    // cumulative count reaches it
     def pick(p: Double): Column =
-      max(when(col("rk") === ceil(col("n").cast("double") * lit(p)).cast(LongType),
+      min(when(col("cum") >=
+        ceil(col("n").cast("double") * lit(p)).cast(LongType),
         col("n_chars")))
-    ranked.groupBy("source").agg(
+    cum.groupBy("source").agg(
       max(col("n")).as("n_docs"),
       pick(0.25).as("p25"), pick(0.5).as("p50"),
       pick(0.75).as("p75"), pick(0.95).as("p95"),

@@ -151,6 +151,51 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: two cliques joined by a bridge split into two communities") {
+    // cliques {0,1,2,3} and {4,5,6,7} with one bridge edge 3-4: after
+    // a few sync rounds with min-label ties, each clique agrees on its
+    // min member's label; the bridge doesn't out-vote clique-internal
+    // degree
+    val k4a = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val k4b = for (i <- 4L to 7L; j <- (i + 1) to 7L) yield (i, j)
+    val a = matFromEdges(k4a ++ k4b ++ Seq((3L, 4L)), 8L)
+    val l = labelsOf(graft.algo.LabelProp.communities(a, 7))
+    assert((0L to 3L).map(l).toSet.size == 1, s"clique A split: $l")
+    assert((4L to 7L).map(l).toSet.size == 1, s"clique B split: $l")
+    assert(l(0L) != l(7L), s"cliques merged: $l")
+  }
+
+  test("label propagation matches a driver-side sync replay on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(6)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextInt(100) < 40
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(5)
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        // reference: synchronous most-frequent-neighbour-label,
+        // ties to the smallest label, exactly `rounds` steps
+        var lab = adj.keys.map(v => v -> v).toMap
+        for (_ <- 1 to rounds) {
+          lab = adj.map { case (v, ns) =>
+            val votes = ns.groupBy(lab).view.mapValues(_.size)
+            val mx = votes.values.max
+            v -> votes.collect { case (l2, c) if c == mx => l2 }.min
+          }
+        }
+        val sym = edges ++ edges.map { case (a, b) => (b, a) }
+        val a = GrbMatrix.fromValues(spark,
+          sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, n, n)
+        val got = labelsOf(graft.algo.LabelProp.communities(a, rounds))
+        assert(got == lab, s"trial $trial n=$n rounds=$rounds edges=$edges")
+      }
+    }
+  }
+
   test("path graph needs shortcutting (worst case for hooking)") {
     val n = 32L
     val a = matFromEdges((0L until n - 1).map(i => (i, i + 1)), n)

@@ -581,7 +581,10 @@ class PipelineSpec extends SparkSpec {
     // source "a": lengths 10..100 step 10 (n=10): ceil(p*n) ranks
     // 3,5,8,10 -> 30,50,80,100; max 100
     val rows = (1L to 10L).map(i => (i, "a", i * 10L)) ++
-      Seq((100L, "b", 7L)) // singleton stratum: every quantile = 7
+      Seq((100L, "b", 7L)) ++ // singleton stratum: every quantile = 7
+      // duplicated lengths: the histogram path must land rank targets
+      // 1,2,3 inside the cum-count span of value 5 and rank 4 on 9
+      Seq((201L, "c", 5L), (202L, "c", 5L), (203L, "c", 5L), (204L, "c", 9L))
     val df = spark.createDataFrame(rows).toDF("doc_id", "source", "n_chars")
       .repartition(3)
     val got = TextStats.lengthQuantiles(df).collect()
@@ -589,6 +592,34 @@ class PipelineSpec extends SparkSpec {
         r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got("a") === ((10L, 30L, 50L, 80L, 100L, 100L)))
     assert(got("b") === ((1L, 7L, 7L, 7L, 7L, 7L)))
+    assert(got("c") === ((4L, 5L, 5L, 5L, 9L, 9L)))
+  }
+
+  test("weighted sample equals the hash/weight window ranking and biases toward weight") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 80L).map { i =>
+      val src = if (i % 2 == 0) "web" else "book"
+      // duplicate texts exercise the doc_id tie-break; weights vary 1..2000
+      val w = if (i <= 40) 1L else 2000L
+      (i, src, s"text body ${i % 25}", w)
+    }
+    val df = spark.createDataFrame(rows)
+      .toDF("doc_id", "source", "text", "n_chars").repartition(5)
+    val got = Sampling.weightedSample(df, "source", col("text"), col("n_chars"), 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val pri = TextDedup.hash32(col("text")).cast("double") /
+      greatest(col("n_chars"), lit(1L)).cast("double")
+    val w = Window.partitionBy("source").orderBy(pri.asc, col("doc_id").asc)
+    val want = df.select(col("source"), col("doc_id"),
+        row_number().over(w).cast("long").as("rank"))
+      .filter(col("rank") <= 9).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.size === 18)
+    // bias check: heavy rows (ids 41..80, weight 2000 vs 1) should
+    // dominate the draw — h/2000 beats h/1 except for tiny hashes
+    val heavy = got.count(_._2 > 40)
+    assert(heavy >= 14, s"expected heavy-weight dominance, got $heavy/18")
   }
 
   test("quality filter signals and verdict match hand computation") {
