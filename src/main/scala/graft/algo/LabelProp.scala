@@ -46,14 +46,22 @@ object LabelProp {
       adj.select(col("i")).distinct()
         .select(col("i"), col("i").cast("long").as("v")), a.nrows)
     Iterate.vectorLoop(init, rounds) { (l, _) =>
-      val votes = adj
-        .join(l.df.select(col("i").as("nb"), col("v").as("lab")),
-          col("j") === col("nb"))
-        .groupBy(col("i"), col("lab")).agg(count(lit(1)).as("c"))
-      val next = votes.groupBy(col("i"))
-        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("i"), (-col("m").getField("nl")).as("v"))
-      new GrbVector(next, a.nrows)
+      new GrbVector(round(adj, l.df), a.nrows)
     } { (_, _) => false } // fixed horizon — see scaladoc
+  }
+
+  /** one synchronous vote/adopt step over labels (i, v) — exposed for
+    * the plan audit (the loop checkpoints each round, so the returned
+    * frame's plan is a block scan, not the round's shape)
+    */
+  private[graft] def round(adj: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val votes = adj
+      .join(labels.select(col("i").as("nb"), col("v").as("lab")),
+        col("j") === col("nb"))
+      .groupBy(col("i"), col("lab")).agg(count(lit(1)).as("c"))
+    votes.groupBy(col("i"))
+      .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("i"), (-col("m").getField("nl")).as("v"))
   }
 }

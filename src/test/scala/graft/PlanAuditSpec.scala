@@ -134,6 +134,38 @@ class PlanAuditSpec extends SparkSpec {
       "label centroids should broadcast")
   }
 
+  test("length quantiles shuffle the value histogram; weighted sample skips the rank window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pq = plan(TextStats.lengthQuantiles(docs))
+    // corpus rows are reduced map-side: the only corpus-wide exchange
+    // hashes the (source, n_chars) histogram key, so the shuffle
+    // carries distinct lengths — a full-row rank window would instead
+    // range/hash-partition the document rows on source alone first
+    val histExchange = pq.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(source") && l.contains("n_chars"))
+    assert(histExchange, s"expected a (source, n_chars) histogram exchange:\n$pq")
+    assert(!pq.contains("text"), "quantile scan must prune to source/n_chars")
+    // weighted sample: TopKPairs map-side truncation on the hash path,
+    // not a row_number window over the ranked corpus
+    val pw = plan(Sampling.weightedSample(docs, "source", col("text"),
+      col("n_chars"), 9))
+    assert(pw.contains("ObjectHashAggregate"), s"TopKPairs should hash-aggregate:\n$pw")
+    assert(!pw.contains("Window"), "weighted draw must not rank the corpus")
+  }
+
+  test("one LPA round is an equi-join plus hash aggregates — no cartesian, no window") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 4L, 4L)
+    val labels = a.df.select(col("i")).distinct()
+      .select(col("i"), col("i").cast("long").as("v"))
+    val p = plan(graft.algo.LabelProp.round(a.df.select(col("i"), col("j")), labels))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "the vote arg-max is an aggregate, not a rank window")
+    assert(p.toLowerCase.contains("join"), "the vote step is an adjacency equi-join")
+  }
+
   test("graph traversals: BFS round and triangle count stay equi-join shaped") {
     val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
     val l = GrbMatrix.fromValues(spark,
