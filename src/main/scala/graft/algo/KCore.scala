@@ -31,10 +31,20 @@ import graft.core._
   *         are absent. Empty when no k-core exists.
   */
 object KCore {
-  def kcore(a: GrbMatrix, k: Long, maxIter: Int = 100): GrbVector = {
+  /** @param shrinkThreshold survivor-count floor for re-materializing
+    *   the adjacency to surviving edges (see the loop comment). The
+    *   default keeps bench-scale graphs on the simple plan: a
+    *   same-window ABBA at sf0.1 (167k nodes, 1.2M nnz) measured the
+    *   shrink ~9 s SLOWER — per-round cost there is job/checkpoint
+    *   overhead, not scan, so the rebuild premium is never repaid.
+    *   Scan-dominated graphs (≳10M survivors, the 100M-edge tier)
+    *   are where the rebuild pays; pass 0 to force it everywhere.
+    */
+  def kcore(a: GrbMatrix, k: Long, maxIter: Int = 100,
+      shrinkThreshold: Long = 10000000L): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"kcore adjacency must be square: ${a.nrows}x${a.ncols}")
-    val A = new GrbMatrix(
+    var A = new GrbMatrix(
       a.df.select(col("i"), col("j"), lit(1L).as("v"))
         .repartition(col("j")).cache(), a.nrows, a.ncols)
     def coreDegree(s: GrbVector): GrbVector =
@@ -45,6 +55,17 @@ object KCore {
         .localCheckpoint(true), a.nrows)
     var prev = Iterate.checkpointRdd(s.df)
     var n = s.df.count()
+    // survivor count at the last edge-set materialization: peels
+    // front-load their shrink (measured on the bench graph: 63% of
+    // nnz dies in round 1, then a long near-stable tail), so when the
+    // survivor set drops below 70% of the cached edge basis the
+    // adjacency is RE-MATERIALIZED to the edges among survivors —
+    // every later round then scans the surviving nnz instead of the
+    // original. Survivors only shrink, so the shrunken set stays a
+    // superset of all future surviving edges (the mxv's survivor
+    // join + mask keep exactness). Shrink events are O(log n) at
+    // worst; each costs one semi-join pass over the current set.
+    var edgeBasisN = n
     var stable = false
     var iter = 0
     while (!stable && iter < maxIter && n > 0) {
@@ -58,6 +79,19 @@ object KCore {
       s = next
       n = n2
       iter += 1
+      if (!stable && n > 0 && edgeBasisN > shrinkThreshold &&
+          n2 * 10 < edgeBasisN * 7) {
+        val shrunk = A.df
+          .join(s.df.select(col("i").as("sa")), col("i") === col("sa"), "leftsemi")
+          .join(s.df.select(col("i").as("sb")), col("j") === col("sb"), "leftsemi")
+          .select(col("i"), col("j"), col("v"))
+        val nextA = new GrbMatrix(
+          shrunk.repartition(col("j")).cache(), a.nrows, a.ncols)
+        nextA.df.count() // materialize before dropping the old basis
+        A.df.unpersist(false)
+        A = nextA
+        edgeBasisN = n2
+      }
     }
     val out = new GrbVector(
       coreDegree(s).df.localCheckpoint(true), a.nrows)

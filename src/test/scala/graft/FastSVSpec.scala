@@ -145,7 +145,12 @@ class FastSVSpec extends SparkSpec {
         val sym = edges ++ edges.map { case (a, b) => (b, a) }
         val a = GrbMatrix.fromValues(spark,
           sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, n, n)
-        val got = graft.algo.KCore.kcore(a, k).toValues.toMap
+        // shrinkThreshold = 0 forces the adjacency re-materialization
+        // path (scan-dominated-graph mode) on every shrink event;
+        // alternate trials cover the default simple path too
+        val thresh = if (trial % 2 == 0) 0L else 10000000L
+        val got = graft.algo.KCore.kcore(a, k, shrinkThreshold = thresh)
+          .toValues.toMap
         assert(got == expect, s"trial $trial n=$n k=$k edges=$edges")
       }
     }
