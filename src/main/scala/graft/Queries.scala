@@ -1045,6 +1045,8 @@ object Queries {
     // fixed-length training-sequence stream of its source
     "p_seq_pack" -> ((s, dir) => Sampling.seqPack(pq(s, dir, "documents"))),
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
+    // unigram rarity / perplexity-proxy quality signal
+    "p_rarity" -> ((s, dir) => TextStats.rarityScore(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
     "p_sample" -> ((s, dir) =>
       Sampling.deterministicSample(pq(s, dir, "documents"), col("text"), 10)
@@ -1561,6 +1563,19 @@ object Queries {
     "p_stream_topk" -> stratifiedSampleSql,
     // two-level ledger rollup == one-pass draw (monotone hash-least)
     "p_sample_ledger" -> stratifiedSampleSql,
+    // rarity ppm floors the SAME double division Spark runs (integer
+    // // could disagree by one near-integer quotients)
+    "p_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         cf AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+         tt AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM cf),
+         ppm AS (SELECT tk, CAST(FLOOR((1000000.0 * cf) / CAST((SELECT total FROM tt) AS DOUBLE)) AS BIGINT) AS ppm FROM cf)
+         SELECT tok.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(FLOOR(CAST(SUM(ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_tok_ppm,
+                CAST(MIN(ppm) AS BIGINT) AS min_tok_ppm
+         FROM tok JOIN ppm ON tok.tk = ppm.tk
+         GROUP BY 1""",
     "p_tfidf_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
          tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

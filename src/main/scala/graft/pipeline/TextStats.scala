@@ -88,6 +88,45 @@ object TextStats {
     tf.join(df, Seq("tk")).select(col("doc_id"), col("tk"), col("tf"), col("df"))
   }
 
+  /** Rarity / perplexity-proxy score: per-document mean and minimum
+    * corpus frequency (in ppm, floored) of its tokens — the
+    * unigram-LM quality signal (docs of vanishingly rare tokens are
+    * OCR noise/gibberish candidates; a min_tok_ppm of 0 flags a
+    * sub-ppm token). True perplexity needs ln() — engine-shaped — so
+    * the operator ships the exact integer statistic and leaves the
+    * monotone log map downstream (the TF-IDF discipline).
+    *
+    * Determinism: ppm = floor(1e6·cf / total) computed as ONE IEEE
+    * double division of exactly-representable operands (exact while
+    * 1e6·cf < 2^53, i.e. corpus token occurrences < ~9e9 per token —
+    * document the bound rather than silently switch representations);
+    * the oracle mirrors the identical double expression, NOT integer
+    * `//` (the two can disagree by 1 ulp-rounding near integer
+    * quotients).
+    *
+    * Plan: one explode, a map-side-combining corpus-frequency hash
+    * aggregate (vocab-sized), total re-aggregated from the vocab frame
+    * and broadcast-attached (never a second corpus scan, never a
+    * global window over the vocabulary), then a per-occurrence
+    * equi-join on the token + doc hash aggregate — linear in token
+    * occurrences, the p_tfidf/p_dup_ngrams cost shape.
+    */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+    val cf = tok.groupBy("tk").agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("total"))
+    val ppm = cf.crossJoin(broadcast(tot))
+      .select(col("tk"),
+        floor(lit(1000000.0d) * col("cf") / col("total").cast("double"))
+          .cast(LongType).as("ppm"))
+    tok.join(ppm, Seq("tk"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        floor(sum(col("ppm")).cast("double") / count(lit(1)).cast("double"))
+          .cast(LongType).as("mean_tok_ppm"),
+        min(col("ppm")).as("min_tok_ppm"))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, single punctuation —
     * the standard cheap proxy for subword token counts.
     */

@@ -622,6 +622,16 @@ class PipelineSpec extends SparkSpec {
     assert(heavy >= 14, s"expected heavy-weight dominance, got $heavy/18")
   }
 
+  test("rarity score matches hand-computed corpus-frequency ppm") {
+    // corpus: a×2, b×2, c×1, total 5 → ppm a=400000 b=400000 c=200000
+    val rows = Seq((1L, "a a b"), (2L, "b c"))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text").repartition(2)
+    val got = TextStats.rarityScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 400000L, 400000L))) // (2·400000+400000)/3
+    assert(got(2L) === ((2L, 300000L, 200000L))) // (400000+200000)/2, min c
+  }
+
   test("quality filter signals and verdict match hand computation") {
     val good = (1 to 10).map(i => s"the item$i of batch$i count$i").mkString(" ") // 50 toks, stopwords, all bigrams distinct
     val spammy = ("spam " * 30).trim                                           // top_tok_pct = 100
