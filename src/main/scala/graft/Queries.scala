@@ -1103,6 +1103,17 @@ object Queries {
     // (register max is associative), which is what the oracle verifies
     "p_hll_ledger" -> ((s, dir) =>
       Sketch.hllLedger(pq(s, dir, "events"), "event_type", "user_id")),
+    // deterministic Count-Min sketch (custom mergeable counter-grid
+    // aggregate, single shuffle of 32 KiB states): per-source token
+    // frequencies for a fixed watchlist — the point-query pattern that
+    // replaces an exact corpus-wide GROUP BY token when only a
+    // watchlist matters; approximate yet hash-matching (grid is a pure
+    // function of the input multiset, estimate = MIN over d counters)
+    "p_cms_tokens" -> ((s, dir) => Sketch.cmsTokenEstimates(pq(s, dir, "documents"))),
+    // CMS ledger rollup: per-source persistable grids merged by
+    // counter ADDITION into one corpus grid — bit-identical to the
+    // one-pass sketch (sum is associative), which the oracle verifies
+    "p_cms_ledger" -> ((s, dir) => Sketch.cmsLedger(pq(s, dir, "documents"))),
     // the STREAMING path end-to-end: file-source readStream over the
     // events table -> watermarked tumbling-window agg -> memory sink,
     // drained with Trigger.AvailableNow. Complete mode emits every
@@ -1683,6 +1694,44 @@ object Queries {
                 COALESCE(click_id, -1) AS click_id,
                 COALESCE(es - click_es, -1) AS click_lag_s
          FROM w WHERE is_l = 1""",
+    // CMS oracle: mirrors the counter-grid algebra — row r's column is
+    // the r-th 8-hex-char md5 window mod 1024, grid cell = COUNT(*) of
+    // occurrences landing there, estimate = MIN over the key's d cells
+    // (missing cell = 0). Constants and watchlist shared with
+    // pipeline/Sketch verbatim.
+    "p_cms_tokens" -> {
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents),
+         rows_(r) AS (VALUES ${(0 until org.apache.spark.sql.graft.Cms.Depth).map(i => s"($i)").mkString(", ")}),
+         cnt AS (SELECT source, r, ('0x' || substr(md5(tk), 1 + 8 * r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c,
+                        COUNT(*) AS n
+                 FROM tok CROSS JOIN rows_ GROUP BY 1, 2, 3),
+         probes(token) AS (VALUES ${Sketch.cmsWatchlist.map(t => s"('$t')").mkString(", ")}),
+         pp AS (SELECT s.source, p.token, r.r,
+                       ('0x' || substr(md5(p.token), 1 + 8 * r.r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c
+                FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN probes p CROSS JOIN rows_ r)
+         SELECT pp.source, pp.token, CAST(MIN(COALESCE(cnt.n, 0)) AS BIGINT) AS est
+         FROM pp LEFT JOIN cnt ON cnt.source = pp.source AND cnt.r = pp.r AND cnt.c = pp.c
+         GROUP BY 1, 2"""
+    },
+    // CMS ledger oracle: ONE-PASS grid over the whole corpus — the
+    // two-level (per-source state -> counter-sum merge) path must land
+    // on the same grid because addition is associative
+    "p_cms_ledger" -> {
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+         rows_(r) AS (VALUES ${(0 until org.apache.spark.sql.graft.Cms.Depth).map(i => s"($i)").mkString(", ")}),
+         cnt AS (SELECT r, ('0x' || substr(md5(tk), 1 + 8 * r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c,
+                        COUNT(*) AS n
+                 FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+         probes(token) AS (VALUES ${Sketch.cmsWatchlist.map(t => s"('$t')").mkString(", ")}),
+         pp AS (SELECT p.token, r.r,
+                       ('0x' || substr(md5(p.token), 1 + 8 * r.r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c
+                FROM probes p CROSS JOIN rows_ r),
+         ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM documents)
+         SELECT pp.token, CAST(MIN(COALESCE(cnt.n, 0)) AS BIGINT) AS est,
+                (SELECT n_sources FROM ns) AS n_sources
+         FROM pp LEFT JOIN cnt ON cnt.r = pp.r AND cnt.c = pp.c
+         GROUP BY 1"""
+    },
     // deterministic-HLL oracle: mirrors Sketch.hllDistinctComposed's
     // register algebra — 60-bit md5 hash, bucket = top 8 bits, rho =
     // 53 - bitlen of the 52-bit rank field, per-bucket MAX, indicator

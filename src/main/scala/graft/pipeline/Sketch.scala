@@ -121,6 +121,88 @@ object Sketch {
         estMilli(org.apache.spark.sql.graft.HllEstimate(col("merged"))).as("hll_milli"))
   }
 
+  // ---------------------------------------------------------------
+  // Count-Min sketch (deterministic, d = 4 rows × w = 1024 columns)
+  // ---------------------------------------------------------------
+
+  /** Packed CMS position vector for a key: row i's column index is
+    * the i-th disjoint 8-hex-char window of md5(key) mod 1024, packed
+    * into 16-bit lanes of one BIGINT (`Σ_i pos_i << 16i`). Engine-
+    * exact: every operand is an integer below 2^32 and the oracle
+    * spells the same substr/parse/mod per row.
+    */
+  def cmsPacked(key: Column): Column = {
+    val m = md5(key.cast("string"))
+    (0 until org.apache.spark.sql.graft.Cms.Depth)
+      .map { i =>
+        val pos = conv(substring(m, 1 + 8 * i, 8), 16, 10).cast(LongType) %
+          org.apache.spark.sql.graft.Cms.Width
+        shiftleft(pos, 16 * i)
+      }
+      .reduce(_ + _)
+  }
+
+  /** The frequency WATCHLIST the bench/oracle queries probe: a fixed
+    * token set (corpus-frequent terms + one absent control). The CMS
+    * answers point queries for a pre-agreed set — the pattern that
+    * replaces an exact corpus-wide `GROUP BY token` when only a
+    * watchlist matters (abuse terms, contamination markers, PII
+    * keywords). Shared verbatim with the DuckDB oracle builder.
+    */
+  val cmsWatchlist: Seq[String] = Seq(
+    "the", "a", "table", "scan", "spark", "query", "value", "merge",
+    "customer", "zz_absent_token")
+
+  private def watchlistDF(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    cmsWatchlist.toDF("token")
+  }
+
+  /** Per-source CMS token-frequency states probed with the watchlist:
+    * one custom aggregate per source (map-side-merged 32 KiB grids —
+    * the ONLY shuffle carries grids, never tokens), then the
+    * broadcast watchlist probes each grid with the codegen
+    * [[org.apache.spark.sql.graft.CmsEstimate]]. Output
+    * (source, token, est) — est ≥ the true count, equal in the
+    * absence of column collisions (w = 1024 vs a watchlist-scale
+    * vocabulary keeps collision mass negligible; the absent control
+    * shows the floor).
+    */
+  def cmsTokenEstimates(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("tk"))
+    val states = tok.groupBy("source")
+      .agg(org.apache.spark.sql.graft.CmsState(cmsPacked(col("tk"))).as("state"))
+    states.join(broadcast(watchlistDF(docs)))
+      .select(col("source"), col("token"),
+        org.apache.spark.sql.graft.CmsEstimate(
+          col("state"), cmsPacked(col("token"))).as("est"))
+  }
+
+  /** Sketch-LEDGER rollup for frequencies: the per-source states of
+    * [[cmsTokenEstimates]] merge into ONE corpus grid by counter
+    * addition ([[org.apache.spark.sql.graft.CmsMergeState]]) —
+    * associative and order-free, so the two-level state is
+    * bit-identical to a one-pass corpus sketch, which IS what the
+    * oracle checks (its SQL is the one-pass grid algebra with no
+    * source split). Output (token, est, n_sources).
+    */
+  def cmsLedger(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("tk"))
+    val perSource = tok.groupBy("source")
+      .agg(org.apache.spark.sql.graft.CmsState(cmsPacked(col("tk"))).as("state"))
+    val merged = perSource
+      .agg(org.apache.spark.sql.graft.CmsMergeState(col("state")).as("merged"),
+        count(lit(1)).as("n_sources"))
+    merged.join(broadcast(watchlistDF(docs)))
+      .select(col("token"),
+        org.apache.spark.sql.graft.CmsEstimate(
+          col("merged"), cmsPacked(col("token"))).as("est"),
+        col("n_sources"))
+  }
+
   /** distinct users per event type: exact count beside the HLL
     * estimate (the sketch's error is part of the recorded output).
     * The exact side is a tiny aggregate; the join is broadcast.

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.IntegerType
   *    ([[HllRegisters]]) over a 60-bit hash, returning `sum_scaled`;
   *  - `graft_hll_state(hash)` / `graft_hll_merge(state)` /
   *    `graft_hll_estimate(state)` — the persistable sketch-ledger
-  *    trio ([[HllState]]/[[HllMergeState]]/[[HllEstimate]]).
+  *    trio ([[HllState]]/[[HllMergeState]]/[[HllEstimate]]);
+  *  - `graft_cms_state(packed)` / `graft_cms_merge(state)` /
+  *    `graft_cms_estimate(state, packed)` — the Count-Min frequency
+  *    trio ([[CmsState]]/[[CmsMergeState]]/[[CmsEstimate]]) over the
+  *    packed 4×16-bit position vector.
   *
   * Two attachment routes, same descriptors:
   *  - config: `spark.sql.extensions = graft.GraftExtensions` applies
@@ -73,7 +77,16 @@ object GraftFunctions {
       arity("graft_hll_merge(state)", 1)(args => HllMergeState(args(0)))),
     (FunctionIdentifier("graft_hll_estimate"),
       new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_estimate"),
-      arity("graft_hll_estimate(state)", 1)(args => HllEstimate(args(0)))))
+      arity("graft_hll_estimate(state)", 1)(args => HllEstimate(args(0)))),
+    (FunctionIdentifier("graft_cms_state"),
+      new ExpressionInfo(classOf[CmsState].getName, "graft_cms_state"),
+      arity("graft_cms_state(packed)", 1)(args => CmsState(args(0)))),
+    (FunctionIdentifier("graft_cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeState].getName, "graft_cms_merge"),
+      arity("graft_cms_merge(state)", 1)(args => CmsMergeState(args(0)))),
+    (FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      arity("graft_cms_estimate(state, packed)", 2)(args => CmsEstimate(args(0), args(1)))))
 
   /** config-route hook: called by `graft.GraftExtensions` during
     * session build for every descriptor.

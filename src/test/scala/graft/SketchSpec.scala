@@ -106,4 +106,115 @@ class SketchSpec extends SparkSpec {
     // partial_ marks the map-side half of the two-phase aggregate
     assert(plan.contains("partial_"), plan)
   }
+
+  // ---------------------------------------------------------------
+  // Count-Min sketch
+  // ---------------------------------------------------------------
+
+  /** driver-side replay of the exact grid algebra */
+  private def naiveCms(occurrences: Seq[String]): Map[String, Long] = {
+    import org.apache.spark.sql.graft.Cms
+    val grid = new Array[Long](Cms.Cells)
+    def positions(k: String): Seq[Int] = {
+      val m = md5Hex(k)
+      (0 until Cms.Depth).map(i =>
+        (java.lang.Long.parseLong(m.substring(8 * i, 8 * i + 8), 16) % Cms.Width).toInt)
+    }
+    occurrences.foreach { k =>
+      positions(k).zipWithIndex.foreach { case (c, r) => grid(r * Cms.Width + c) += 1 }
+    }
+    occurrences.distinct.map { k =>
+      k -> positions(k).zipWithIndex.map { case (c, r) => grid(r * Cms.Width + c) }.min
+    }.toMap
+  }
+
+  test("CMS: estimates == driver grid replay, >= exact counts, absent key floors at collisions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val words = Seq("the", "table", "scan", "merge") // watchlist members
+    val occurrences = words.zipWithIndex.flatMap { case (w, i) => Seq.fill(10 * (i + 1))(w) }
+    val docs = occurrences.grouped(7).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.mkString(" "), "en", "web", g.mkString(" ").length.toLong)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val est = Sketch.cmsTokenEstimates(docs)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val naive = naiveCms(occurrences)
+    val exact = occurrences.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    words.foreach { w =>
+      assert(est(w) === naive(w), s"token $w")
+      assert(est(w) >= exact(w), s"CMS must never under-count $w")
+    }
+    // the watchlist's absent control estimates the collision mass only
+    assert(est("zz_absent_token") <= occurrences.size)
+  }
+
+  test("CMS ledger: two-level counter-sum merge == one-pass grid, states survive parquet + SQL") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0L until 600L).map { i =>
+      (i, s"tok${i % 23} the a filler${i % 7}", "en", s"src${i % 4}", 10L)
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(9)
+    val onePassTok = docs.select(explode(split(col("text"), " ")).as("tk"))
+    val onePass = onePassTok
+      .agg(org.apache.spark.sql.graft.CmsState(Sketch.cmsPacked(col("tk"))).as("state"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // two-level: per-source states -> parquet round-trip -> merge
+    val perSource = docs.select(col("source"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.graft.CmsState(Sketch.cmsPacked(col("tk"))).as("state"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-cms-ledger-spec"
+    perSource.write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.graft.CmsMergeState(col("state")).as("m"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, onePass),
+      "two-level merged grid must be bit-identical to the one-pass grid")
+    // the ledger pipeline op agrees with per-token exact counts on
+    // this collision-free vocabulary for watchlist members present
+    val led = Sketch.cmsLedger(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exactThe = rows.size.toLong // every doc contains "the" once
+    assert(led("the") === ((exactThe, 4L)))
+    // and through the SQL surface
+    spark.read.parquet(dir).createOrReplaceTempView("cms_ledger_states")
+    val viaSql = spark.sql(
+      """SELECT graft_cms_merge(state) AS m FROM cms_ledger_states""")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, onePass))
+    // graft_cms_estimate resolves through the SQL surface and agrees
+    // with the exact count (packed literal built driver-side)
+    val packedThe = {
+      import org.apache.spark.sql.graft.Cms
+      val m = md5Hex("the")
+      (0 until Cms.Depth).map(i =>
+        (java.lang.Long.parseLong(m.substring(8 * i, 8 * i + 8), 16) % Cms.Width) << (16 * i)).sum
+    }
+    val estThe = spark.sql(
+      s"SELECT graft_cms_estimate(graft_cms_merge(state), ${packedThe}L) AS est FROM cms_ledger_states")
+      .collect()(0).getLong(0)
+    assert(estThe === exactThe)
+  }
+
+  test("CMS: partitioning- and duplication-order invariance") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (0L until 200L).map(i => (i, s"w${i % 13} w${i % 5}", "en", "s", 5L))
+    def grid(parts: Int, shuffled: Seq[(Long, String, String, String, Long)]): Array[Byte] =
+      shuffled.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(parts)
+        .select(explode(split(col("text"), " ")).as("tk"))
+        .agg(org.apache.spark.sql.graft.CmsState(Sketch.cmsPacked(col("tk"))).as("s"))
+        .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(grid(1, base), grid(17, scala.util.Random.shuffle(base))))
+  }
+
+  test("CMS plan: ObjectHashAggregate with map-side partial") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq((1L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val plan = Sketch.cmsTokenEstimates(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
 }
