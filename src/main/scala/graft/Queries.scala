@@ -1008,6 +1008,16 @@ object Queries {
         corpus = docs.filter(col("doc_id") % 4 =!= 0),
         batch = docs.filter(col("doc_id") % 4 === 0))
     }),
+    // bloom-prefiltered ingest dedup: the incremental-dedup ledger
+    // probe behind a broadcast 8 KiB bit-array (no false negatives, so
+    // in_corpus is exactly the exact-probe verdict; bloom_maybe shows
+    // the prefilter decision incl. any false positives)
+    "p_bloom_probe" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      TextDedup.bloomIncrementalDedup(
+        corpus = docs.filter(col("doc_id") % 4 =!= 0),
+        batch = docs.filter(col("doc_id") % 4 === 0))
+    }),
     // train/test contamination: every 50th doc plays the benchmark set
     "p_contamination" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
@@ -1694,6 +1704,28 @@ object Queries {
                 COALESCE(click_id, -1) AS click_id,
                 COALESCE(es - click_es, -1) AS click_lag_s
          FROM w WHERE is_l = 1""",
+    // Bloom oracle: the filter is the DISTINCT set of bit positions
+    // (low 16 bits of the 4 disjoint md5 windows of each ledger
+    // digest); membership = all 4 of the probe's positions present.
+    // in_corpus = exact digest membership for bloom-positive rows
+    // (bloom has no false negatives, so this equals the plain
+    // incremental-dedup verdict).
+    "p_bloom_probe" ->
+      """WITH led AS (SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+                      FROM documents WHERE doc_id % 4 <> 0),
+         rows_(r) AS (VALUES (0), (1), (2), (3)),
+         bits AS (SELECT DISTINCT ('0x' || substr(md5(h), 1 + 8 * r, 8))::BIGINT % 65536 AS c
+                  FROM led CROSS JOIN rows_),
+         kb AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+                FROM documents WHERE doc_id % 4 = 0),
+         kpos AS (SELECT kb.doc_id, kb.h, ('0x' || substr(md5(kb.h), 1 + 8 * r, 8))::BIGINT % 65536 AS c
+                  FROM kb CROSS JOIN rows_),
+         mb AS (SELECT kpos.doc_id, kpos.h,
+                       CAST(CASE WHEN COUNT(*) = COUNT(bits.c) THEN 1 ELSE 0 END AS BIGINT) AS bloom_maybe
+                FROM kpos LEFT JOIN bits ON kpos.c = bits.c GROUP BY 1, 2)
+         SELECT mb.doc_id, mb.h, mb.bloom_maybe,
+                CAST(CASE WHEN mb.bloom_maybe = 1 AND led.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_corpus
+         FROM mb LEFT JOIN led ON mb.h = led.h""",
     // CMS oracle: mirrors the counter-grid algebra — row r's column is
     // the r-th 8-hex-char md5 window mod 1024, grid cell = COUNT(*) of
     // occurrences landing there, estimate = MIN over the key's d cells

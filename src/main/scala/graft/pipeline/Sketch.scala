@@ -125,22 +125,30 @@ object Sketch {
   // Count-Min sketch (deterministic, d = 4 rows × w = 1024 columns)
   // ---------------------------------------------------------------
 
-  /** Packed CMS position vector for a key: row i's column index is
-    * the i-th disjoint 8-hex-char window of md5(key) mod 1024, packed
-    * into 16-bit lanes of one BIGINT (`Σ_i pos_i << 16i`). Engine-
-    * exact: every operand is an integer below 2^32 and the oracle
-    * spells the same substr/parse/mod per row.
+  /** Shared position packing for the grid/bit sketches: position i is
+    * the i-th disjoint 8-hex-char window of md5(key) mod `modulus`,
+    * packed into 16-bit lanes of one BIGINT (`Σ_i pos_i << 16i`).
+    * Engine-exact: every operand is an integer below 2^32 and the
+    * oracle spells the same substr/parse/mod per window.
     */
-  def cmsPacked(key: Column): Column = {
+  def packedPositions(key: Column, modulus: Int): Column = {
+    require(modulus > 0 && modulus <= 65536, s"positions must fit a 16-bit lane: $modulus")
     val m = md5(key.cast("string"))
-    (0 until org.apache.spark.sql.graft.Cms.Depth)
+    (0 until 4)
       .map { i =>
-        val pos = conv(substring(m, 1 + 8 * i, 8), 16, 10).cast(LongType) %
-          org.apache.spark.sql.graft.Cms.Width
+        val pos = conv(substring(m, 1 + 8 * i, 8), 16, 10).cast(LongType) % modulus
         shiftleft(pos, 16 * i)
       }
       .reduce(_ + _)
   }
+
+  /** CMS position vector (d = 4 rows, columns mod 1024). */
+  def cmsPacked(key: Column): Column =
+    packedPositions(key, org.apache.spark.sql.graft.Cms.Width)
+
+  /** Bloom position vector (k = 4 bits, positions mod 65536). */
+  def bloomPacked(key: Column): Column =
+    packedPositions(key, org.apache.spark.sql.graft.Bloom.Bits)
 
   /** The frequency WATCHLIST the bench/oracle queries probe: a fixed
     * token set (corpus-frequent terms + one absent control). The CMS

@@ -633,6 +633,48 @@ object TextDedup {
   def dedupLedger(corpus: DataFrame): DataFrame =
     corpus.select(normalizedKey(col("text")).as("h")).distinct()
 
+  /** Bloom-prefiltered ingest dedup: the dedup-ledger probe of
+    * [[incrementalDedup]] with a broadcast Bloom filter in front.
+    *
+    * The ledger's digests aggregate into ONE 8 KiB bit-array state
+    * ([[org.apache.spark.sql.graft.BloomState]] over
+    * [[Sketch.bloomPacked]]) that broadcasts to every executor; each
+    * batch document answers "maybe seen?" with four codegen bit tests
+    * — NO join, no shuffle — and only the bloom-positive sliver pays
+    * the exact digest equi-join. Bloom filters have no false
+    * negatives (merge is bitwise OR, bits are never cleared), so the
+    * prefilter can never lose a duplicate: `in_corpus` below is
+    * EXACTLY [[incrementalDedup]]'s verdict, which is what the oracle
+    * checks. At 100 TB the win is the probe volume: a fresh crawl
+    * batch is mostly unseen content, so the expensive exact probe
+    * runs on the few-percent bloom-positive rows (true dups + the
+    * documented FP rate) instead of the whole batch; the state
+    * persists beside the ledger and rolls up across ingest cycles by
+    * OR ([[org.apache.spark.sql.graft.BloomMergeState]] —
+    * idempotent, so at-least-once re-merges are harmless).
+    *
+    * Output per batch doc: (doc_id, h, bloom_maybe, in_corpus).
+    */
+  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val ledger = dedupLedger(corpus)
+    val bloom = ledger.agg(
+      org.apache.spark.sql.graft.BloomState(Sketch.bloomPacked(col("h"))).as("bloom"))
+    val keyed = batch.select(col("doc_id"), normalizedKey(col("text")).as("h"))
+    val probed = keyed.join(broadcast(bloom))
+      .withColumn("bloom_maybe",
+        when(org.apache.spark.sql.graft.BloomMaybe(
+          col("bloom"), Sketch.bloomPacked(col("h"))), 1L).otherwise(0L))
+      .drop("bloom")
+    // exact confirm pays only for the bloom-positive sliver; negatives
+    // are definitively fresh (no false negatives)
+    val confirmed = probed.filter(col("bloom_maybe") === 1L)
+      .join(ledger.withColumn("_led", lit(1L)), Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("_led"), lit(0L)).as("in_corpus"))
+    probed.join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("h"), col("bloom_maybe"),
+        coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
+  }
+
   /** [[incrementalDedup]] against a pre-computed ledger frame
     * (`h` column — typically [[dedupLedger]] output persisted
     * bucketed on `h` across ingest cycles).

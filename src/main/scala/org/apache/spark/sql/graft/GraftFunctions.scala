@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.IntegerType
   *  - `graft_cms_state(packed)` / `graft_cms_merge(state)` /
   *    `graft_cms_estimate(state, packed)` — the Count-Min frequency
   *    trio ([[CmsState]]/[[CmsMergeState]]/[[CmsEstimate]]) over the
-  *    packed 4×16-bit position vector.
+  *    packed 4×16-bit position vector;
+  *  - `graft_bloom_state(packed)` / `graft_bloom_merge(state)` /
+  *    `graft_bloom_maybe(state, packed)` — the Bloom set-membership
+  *    trio ([[BloomState]]/[[BloomMergeState]]/[[BloomMaybe]]), same
+  *    packing with positions mod 65536.
   *
   * Two attachment routes, same descriptors:
   *  - config: `spark.sql.extensions = graft.GraftExtensions` applies
@@ -86,7 +90,16 @@ object GraftFunctions {
       arity("graft_cms_merge(state)", 1)(args => CmsMergeState(args(0)))),
     (FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
-      arity("graft_cms_estimate(state, packed)", 2)(args => CmsEstimate(args(0), args(1)))))
+      arity("graft_cms_estimate(state, packed)", 2)(args => CmsEstimate(args(0), args(1)))),
+    (FunctionIdentifier("graft_bloom_state"),
+      new ExpressionInfo(classOf[BloomState].getName, "graft_bloom_state"),
+      arity("graft_bloom_state(packed)", 1)(args => BloomState(args(0)))),
+    (FunctionIdentifier("graft_bloom_merge"),
+      new ExpressionInfo(classOf[BloomMergeState].getName, "graft_bloom_merge"),
+      arity("graft_bloom_merge(state)", 1)(args => BloomMergeState(args(0)))),
+    (FunctionIdentifier("graft_bloom_maybe"),
+      new ExpressionInfo(classOf[BloomMaybe].getName, "graft_bloom_maybe"),
+      arity("graft_bloom_maybe(state, packed)", 2)(args => BloomMaybe(args(0), args(1)))))
 
   /** config-route hook: called by `graft.GraftExtensions` during
     * session build for every descriptor.

@@ -45,6 +45,51 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("bloom prefilter: verdict == exact incremental dedup, no false negatives, states OR-merge") {
+    val corpus = spark.createDataFrame(
+      (0L until 400L).map(i => (i, s"corpus doc $i with words w${i % 97} w${i % 13}")))
+      .toDF("doc_id", "text")
+    val batch = spark.createDataFrame(
+      // 50 re-posts of corpus docs (same token SET, shuffled order and
+      // repetition — normalizedKey collides) + 50 fresh docs
+      (0L until 50L).map(i =>
+        (1000L + i, s"words with w${i % 13} corpus w${i % 97} doc $i $i")) ++
+        (0L until 50L).map(i => (2000L + i, s"fresh unseen content number $i")))
+      .toDF("doc_id", "text")
+    val r = TextDedup.bloomIncrementalDedup(corpus, batch).collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Long]("bloom_maybe"), x.getAs[Long]("in_corpus")))).toMap
+    val exact = TextDedup.incrementalDedup(corpus, batch).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("in_corpus")).toMap
+    assert(r.size == 100)
+    r.foreach { case (id, (maybe, inCorpus)) =>
+      assert(inCorpus === exact(id), s"doc $id: bloom verdict must equal the exact probe")
+      // no false negatives: every true member is bloom-positive
+      assert(maybe >= inCorpus, s"doc $id: bloom dropped a true duplicate")
+    }
+    // all 50 re-posts are true ledger hits; all 50 fresh docs are not
+    assert(r.count { case (_, (_, ic)) => ic == 1L } === 50)
+    assert((0L until 50L).forall(i => r(1000L + i)._2 == 1L))
+    assert((0L until 50L).forall(i => r(2000L + i)._2 == 0L))
+
+    // OR-merge: two half-ledger states merged == one-pass state, and
+    // the SQL surface agrees
+    import org.apache.spark.sql.graft.{BloomMergeState, BloomState}
+    val keyed = corpus.select(TextDedup.normalizedKey(col("text")).as("h"))
+    val onePass = keyed.agg(BloomState(Sketch.bloomPacked(col("h"))).as("b"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val halves = corpus.withColumn("half", (col("doc_id") % 2).cast("int"))
+      .select(col("half"), TextDedup.normalizedKey(col("text")).as("h"))
+      .groupBy("half").agg(BloomState(Sketch.bloomPacked(col("h"))).as("b"))
+    val merged = halves.agg(BloomMergeState(col("b")).as("m"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, onePass))
+    halves.createOrReplaceTempView("bloom_halves")
+    val viaSql = spark.sql("SELECT graft_bloom_merge(b) FROM bloom_halves")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, onePass))
+  }
+
   test("dup spans: longest cross-doc duplicated run, hand-computed") {
     val fix = spark.createDataFrame(Seq(
       (0L, "a b c d e f g h"),       // shares "a b c d e" with doc 1
