@@ -1008,6 +1008,11 @@ object Queries {
         corpus = docs.filter(col("doc_id") % 4 =!= 0),
         batch = docs.filter(col("doc_id") % 4 === 0))
     }),
+    // line-level duplication (CCNet-style boilerplate signal): share
+    // of each doc made of lines that also appear in OTHER docs — the
+    // duplication whole-document dedup never sees; linear df join on
+    // 16-byte line digests, documents never paired
+    "p_line_dedup" -> ((s, dir) => TextDedup.lineDedupStats(pq(s, dir, "documents"))),
     // bloom-prefiltered ingest dedup: the incremental-dedup ledger
     // probe behind a broadcast 8 KiB bit-array (no false negatives, so
     // in_corpus is exactly the exact-probe verdict; bloom_maybe shows
@@ -1704,6 +1709,19 @@ object Queries {
                 COALESCE(click_id, -1) AS click_id,
                 COALESCE(es - click_es, -1) AS click_lag_s
          FROM w WHERE is_l = 1""",
+    // line-dedup oracle: same 10-token chunk lines (md5 digests), df =
+    // COUNT(DISTINCT doc_id) per line, per-doc dup share in basis
+    // points (floor of one exact integer division)
+    "p_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         ix AS (SELECT doc_id, toks, unnest(range((len(toks) + 9) // 10)) AS i FROM t),
+         ln AS (SELECT doc_id, md5(array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')) AS lh FROM ix),
+         dfc AS (SELECT lh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ln GROUP BY 1)
+         SELECT ln.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                CAST(FLOOR(10000 * SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT) AS dup_line_bp
+         FROM ln JOIN dfc ON ln.lh = dfc.lh
+         GROUP BY 1""",
     // Bloom oracle: the filter is the DISTINCT set of bit positions
     // (low 16 bits of the 4 disjoint md5 windows of each ledger
     // digest); membership = all 4 of the probe's positions present.

@@ -584,6 +584,45 @@ object TextDedup {
           .otherwise(0L).cast(LongType).as("span_tokens"))
   }
 
+  /** Line-level duplication stats (the CCNet-style boilerplate
+    * signal): documents are split into LINES, each line's corpus
+    * document-frequency is counted, and a document reports how much
+    * of it is made of lines that also appear in other documents —
+    * navigation bars, cookie banners, templated headers — the
+    * duplication that whole-document dedup never sees.
+    *
+    * Line splitter: this corpus is single-line (no '\n'), so the
+    * deterministic stand-in is fixed `lineTokens`-token chunks; a
+    * real crawl corpus would split on newlines first (the chunking
+    * here doubles as a maximum line length). The oracle mirrors the
+    * same chunk arithmetic.
+    *
+    * Scale shape (same family as [[dupNgramStats]]): one explode
+    * (corpus token volume ÷ lineTokens rows), one df hash-aggregate
+    * on the line's md5 DIGEST (16-byte shuffle keys, never the line
+    * text), one per-occurrence digest join, one doc_id aggregate —
+    * linear in corpus size, documents are never paired. df counts
+    * DISTINCT documents, so intra-doc repetition alone never flags.
+    *
+    * Output per doc: (doc_id, n_lines, n_dup_lines, dup_line_bp).
+    */
+  def lineDedupStats(docs: DataFrame, lineTokens: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val lines = docs.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), floor((size(toks) - 1) / lineTokens).cast("int")),
+        i => md5(array_join(slice(toks, i * lineTokens + 1, lit(lineTokens)), " "))))
+        .as(Seq("line_no", "lh")))
+    val dfc = lines.groupBy("lh").agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(dfc, Seq("lh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        floor(lit(10000L) * col("n_dup_lines") / col("n_lines")).cast(LongType)
+          .as("dup_line_bp"))
+  }
+
   /** Normalized content fingerprint: md5 of the document's SORTED
     * DISTINCT token set. Word order and repetition do not change the
     * key, so shuffled/boilerplate-stuffed re-posts of the same content

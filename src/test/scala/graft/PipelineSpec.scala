@@ -45,6 +45,38 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("line dedup: chunk lines, cross-doc df, hand-computed shares") {
+    // lineTokens=3 for hand-checkable chunks
+    val fix = spark.createDataFrame(Seq(
+      (0L, "a b c d e f"),       // lines: "a b c", "d e f"
+      (1L, "a b c x y z"),       // shares "a b c" with doc 0
+      (2L, "d e f"),             // shares "d e f" with doc 0
+      (3L, "q w e r t"),         // lines "q w e", "r t" — both unique
+      (4L, "a b c a b c")))      // intra-doc repeat of a cross-doc dup line
+      .toDF("doc_id", "text")
+    val r = TextDedup.lineDedupStats(fix, lineTokens = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_lines"), x.getAs[Long]("n_dup_lines"),
+          x.getAs[Long]("dup_line_bp")))).toMap
+    assert(r(0L) == ((2L, 2L, 10000L))) // both lines appear elsewhere
+    assert(r(1L) == ((2L, 1L, 5000L)))
+    assert(r(2L) == ((1L, 1L, 10000L)))
+    assert(r(3L) == ((2L, 0L, 0L)))
+    // doc 4: both occurrences of "a b c" count (df=3 docs), 2/2
+    assert(r(4L) == ((2L, 2L, 10000L)))
+  }
+
+  test("line dedup: intra-doc-only repetition never flags (df counts documents)") {
+    val fix = spark.createDataFrame(Seq(
+      (0L, "u v w u v w"),  // same line twice, but only this doc has it
+      (1L, "m n o")))
+      .toDF("doc_id", "text")
+    val r = TextDedup.lineDedupStats(fix, lineTokens = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_dup_lines")).toMap
+    assert(r(0L) == 0L)
+    assert(r(1L) == 0L)
+  }
+
   test("bloom prefilter: verdict == exact incremental dedup, no false negatives, states OR-merge") {
     val corpus = spark.createDataFrame(
       (0L until 400L).map(i => (i, s"corpus doc $i with words w${i % 97} w${i % 13}")))
