@@ -7,7 +7,7 @@ import graft.core._
 import graft.ops.Structure
 import graft.algo.{Bfs, FastSV, KCore, LabelProp, PageRank, PregelCC}
 import graft.io.MatrixMarket
-import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch}
+import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii}
 import graft.streaming.{DocsStream, EventsStream}
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
@@ -1103,6 +1103,12 @@ object Queries {
     // semi-structured payload extraction: explicit-schema from_json
     // (codegen, no inference scan) + per-type integer stats
     "p_json_props" -> ((s, dir) => Events.propStats(pq(s, dir, "events"))),
+    // PII scan/redaction: narrow per-row regex cascade (email -> IPv4
+    // -> digit runs), counts taken at the cascade stage they redact
+    // in; engine-parity regex subset (no lookaround/backrefs — those
+    // also backtrack catastrophically at 100 TB)
+    "p_pii_scan" -> ((s, dir) => Pii.piiScan(pq(s, dir, "events"), "event_id", "props")),
+    "p_pii_summary" -> ((s, dir) => Pii.piiSummary(pq(s, dir, "events"), "event_type", "props")),
     // as-of join (union+running-window, ONE shuffle on user_id) and
     // range join (bucketized equi-join, never a cartesian) — the two
     // temporal join shapes Spark lacks natively; see pipeline/Temporal
@@ -1853,6 +1859,40 @@ object Queries {
         s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
       s"SELECT user_id, $counts, CAST(COUNT(*) AS BIGINT) AS n_total FROM events GROUP BY 1"
     },
+    // PII oracle: identical regex cascade (RE2 and java.util.regex
+    // agree on this syntax subset); 'g' makes DuckDB's replace global
+    // like Spark's
+    "p_pii_scan" ->
+      """WITH c AS (SELECT event_id, props,
+                           regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+                    FROM events),
+         c2 AS (SELECT event_id, props, t1,
+                       regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+                FROM c)
+         SELECT event_id,
+                CAST(len(regexp_extract_all(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                CAST(len(regexp_extract_all(t2, '[0-9]{2,}')) AS BIGINT) AS n_digit,
+                md5(regexp_replace(t2, '[0-9]{2,}', '<NUM>', 'g')) AS redacted_md5
+         FROM c2""",
+    "p_pii_summary" ->
+      """WITH c AS (SELECT event_type,
+                           len(regexp_extract_all(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS e,
+                           len(regexp_extract_all(
+                             regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS i,
+                           len(regexp_extract_all(
+                             regexp_replace(
+                               regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                             '[0-9]{2,}')) AS d
+                    FROM events)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_email,
+                CAST(SUM(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_ipv4,
+                CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_digit,
+                CAST(SUM(e + i + d) AS BIGINT) AS n_matches
+         FROM c GROUP BY 1""",
     // JSON payload extraction mirrored via json_extract_string
     "p_json_props" ->
       """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

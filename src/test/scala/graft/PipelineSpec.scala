@@ -45,6 +45,40 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("PII scan: emails, IPs, digit runs detected and redacted in cascade order") {
+    val fix = spark.createDataFrame(Seq(
+      (0L, "contact alice.smith+spam@example-host.co.uk or bob@test.io today"),
+      (1L, "server at 192.168.1.254 and 10.0.0.1 responded"),
+      (2L, "call 5551234 ext 42 ref 7"),           // digit runs: 5551234, 42 (not single '7')
+      (3L, "mixed bob@x.com from 8.8.8.8 id 1234"),
+      (4L, "clean text with no sensitive content")))
+      .toDF("id", "text")
+    val r = graft.pipeline.Pii.piiScan(fix, "id", "text").collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Long]("n_email"), x.getAs[Long]("n_ipv4"),
+          x.getAs[Long]("n_digit"), x.getAs[String]("redacted_md5")))).toMap
+    assert(r(0L)._1 == 2L && r(0L)._2 == 0L && r(0L)._3 == 0L)
+    assert(r(1L)._1 == 0L && r(1L)._2 == 2L && r(1L)._3 == 0L)
+    assert(r(2L)._1 == 0L && r(2L)._2 == 0L && r(2L)._3 == 2L)
+    assert(r(3L) == ((1L, 1L, 1L, r(3L)._4)))
+    // cascade: the IP's octets never double-count as digit runs, and
+    // redaction is total — md5 of the hand-redacted strings
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    assert(r(3L)._4 == m("mixed <EMAIL> from <IP> id <NUM>"))
+    assert(r(4L) == ((0L, 0L, 0L, m("clean text with no sensitive content"))))
+    // summary rolls the same signals up per group
+    val sum = graft.pipeline.Pii.piiSummary(
+      fix.withColumn("g", lit("all")), "g", "text").collect()(0)
+    assert(sum.getAs[Long]("n_rows") == 5L)
+    assert(sum.getAs[Long]("rows_email") == 2L)
+    assert(sum.getAs[Long]("rows_ipv4") == 2L)
+    assert(sum.getAs[Long]("rows_digit") == 2L)
+    assert(sum.getAs[Long]("n_matches") == 2L + 2L + 2L + 3L)
+  }
+
   test("line dedup: chunk lines, cross-doc df, hand-computed shares") {
     // lineTokens=3 for hand-checkable chunks
     val fix = spark.createDataFrame(Seq(
