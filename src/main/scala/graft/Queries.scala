@@ -1097,6 +1097,12 @@ object Queries {
     // embedding-space data quality: per-label centroid distance,
     // bottom-k cosines = mislabel/noise candidates
     "p_embed_outliers" -> ((s, dir) => Similarity.labelOutliers(pq(s, dir, "embeddings"))),
+    // corpus k-means clustering (SemDeDup-style semantic organization):
+    // hash-spread seeds + 2 Lloyd rounds, per-vector winning centroid +
+    // integer-cosine cohesion; every round is broadcast + narrow scan +
+    // O(n) truncating top-1 — never a pairing
+    "p_embed_clusters" -> ((s, dir) =>
+      Similarity.embedClusters(pq(s, dir, "embeddings"), k = 16, lloydRounds = 2)),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
     "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
@@ -1322,6 +1328,38 @@ object Queries {
                        CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
                          / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c3.cn2 AS DOUBLE)) AS csim
                 FROM en CROSS JOIN c3)"""
+
+  /** mirrors Similarity.embedClusters: explicit k, `rounds` Lloyd
+    * refinements — each round re-assigns (rank-1 by csim DESC, cid
+    * ASC), recentres at the per-dimension floor(mean), and rescoring
+    * feeds the next round. Ends at s{rounds+1}.
+    */
+  private def kmeansScoredSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""$annCommonSql,
+         sd AS (SELECT vec_id AS cid, q AS cq, n2 AS cn2 FROM en
+                QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= $k),
+         s1 AS (SELECT en.vec_id, sd.cid,
+                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(sd.cn2 AS DOUBLE)) AS csim
+                FROM en CROSS JOIN sd)"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+         a$r AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s$r)
+                 WHERE rnk = 1),
+         d$r AS (SELECT a$r.cid, t.i AS d, CAST(FLOOR(SUM(en.q[t.i + 1]) * 1.0 / COUNT(*)) AS BIGINT) AS v
+                 FROM a$r JOIN en ON en.vec_id = a$r.vec_id, range(64) t(i)
+                 GROUP BY 1, 2),
+         e$r AS (SELECT cid, list(v ORDER BY d) AS cq FROM d$r GROUP BY 1),
+         f$r AS (SELECT cid, cq, CAST(list_sum(list_transform(range(len(cq)), i -> cq[i+1] * cq[i+1])) AS BIGINT) AS cn2 FROM e$r),
+         s${r + 1} AS (SELECT en.vec_id, f$r.cid,
+                       CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
+                         / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(f$r.cn2 AS DOUBLE)) AS csim
+                FROM en CROSS JOIN f$r)"""
+    }
+    sb.toString
+  }
 
   private def lshWeightsSql: String = {
     val ws = Similarity.hyperplaneWeights(16, 64)
@@ -1715,6 +1753,15 @@ object Queries {
                 COALESCE(click_id, -1) AS click_id,
                 COALESCE(es - click_es, -1) AS click_lag_s
          FROM w WHERE is_l = 1""",
+    // k-means oracle: the multi-round Lloyd mirror (seeds, assign,
+    // floor-mean recentre ×2), final rank-1 assignment + promille
+    "p_embed_clusters" ->
+      s"""WITH ${kmeansScoredSql(16, 2)}
+         SELECT vec_id, cid, CAST(FLOOR(csim * 1000) AS BIGINT) AS promille
+         FROM (SELECT vec_id, cid, csim,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk
+               FROM s3)
+         WHERE rnk = 1""",
     // line-dedup oracle: same 10-token chunk lines (md5 digests), df =
     // COUNT(DISTINCT doc_id) per line, per-doc dup share in basis
     // points (floor of one exact integer division)

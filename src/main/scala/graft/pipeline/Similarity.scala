@@ -362,6 +362,48 @@ object Similarity {
     }
   }
 
+  /** Corpus k-means clustering over the embedding column — the
+    * semantic-organization pass (SemDeDup-style curation: cluster
+    * first, then dedup/prioritize WITHIN clusters; domain discovery;
+    * per-cluster sampling quotas). Same deterministic machinery as
+    * the IVF index — hash-spread seeds + `lloydRounds` Lloyd
+    * refinements ([[ivfCentroids]]) — but run for MORE rounds (the
+    * index wants cheap balanced cells; clustering wants converged
+    * ones) and reported per vector: the final nearest centroid and
+    * the integer-cosine cohesion to it.
+    *
+    * Output (vec_id, cid, promille): cid = the winning centroid's
+    * seed vec_id, promille = floor(1000·cosine to it). Low-promille
+    * rows are the cluster's fringe — the first candidates a curation
+    * pass drops or re-examines.
+    *
+    * Scale shape: every round is one broadcast of k centroid rows, a
+    * narrow n·k codegen scoring pass, a map-side-truncating top-1
+    * selection (O(n) shuffle — [[nearestCells]]), and one (cid, dim)
+    * hash aggregate for the recentre — Lloyd at 100 TB is
+    * rounds × (broadcast + scan + O(n) shuffle), never a pairing.
+    * k is the caller's budget knob (SemDeDup-scale: k ≈ n/1000).
+    */
+  def embedClusters(emb: DataFrame, k: Int = 16, lloydRounds: Int = 2,
+      materialize: Boolean = true): DataFrame = {
+    val base0 = quantized(emb)
+    val base = if (materialize) base0.cache() else base0
+    val cents = ivfCentroids(base, k, lloydRounds)
+    val scored = base.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineQ(dotQ(col("q"), col("cq")), col("n2"), col("cn2")))
+    val result = scored.groupBy("vec_id")
+      .agg(org.apache.spark.sql.graft.TopKPairs(col("csim"), col("cid"), 1).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t").getField("id").as("cid"),
+        floor(col("t").getField("ord") * 1000).cast(LongType).as("promille"))
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      base.unpersist(false)
+      out
+    }
+  }
+
   /** IVF candidate pairs: vectors sharing any of their `probes`
     * closest cells (multi-probe catches boundary pairs). DISTINCT
     * (a, b), unverified.

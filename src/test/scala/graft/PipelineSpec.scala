@@ -193,6 +193,33 @@ class PipelineSpec extends SparkSpec {
     assert(r.count(_._1._1 == 1L) == 2) // label 1 has only 2 members
   }
 
+  test("k-means clusters: planted clusters separate, cohesion high, fringe scores low") {
+    // three tight clusters around orthogonal axes + one fringe vector
+    def jitter(axis: Int, eps: Float): Seq[Float] =
+      (0 until 8).map(d => if (d == axis) 1.0f else if (d == axis + 1) eps else 0f)
+    val rows =
+      (0L until 10L).map(i => (i, jitter(0, 0.01f * i))) ++
+        (100L until 110L).map(i => (i, jitter(3, 0.01f * (i - 100)))) ++
+        (200L until 210L).map(i => (i, jitter(6, 0.01f * (i - 200)))) ++
+        Seq((999L, Seq(0.7f, 0f, 0f, 0.7f, 0f, 0f, 0f, 0f))) // between clusters 0 and 1
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val r = Similarity.embedClusters(emb, k = 3, lloydRounds = 2).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("cid"), x.getAs[Long]("promille")))).toMap
+    assert(r.size == 31)
+    // each planted cluster is internally consistent
+    def cidOf(ids: Seq[Long]) = { val cs = ids.map(r(_)._1).distinct; assert(cs.size == 1, s"$ids -> $cs"); cs.head }
+    val c0 = cidOf(0L until 10L)
+    val c1 = cidOf(100L until 110L)
+    val c2 = cidOf(200L until 210L)
+    assert(Set(c0, c1, c2).size == 3, "planted clusters must not merge")
+    // members sit near their centroid; the planted fringe vector is
+    // the corpus's least-cohesive member
+    val memberMin = (0L until 10L).map(r(_)._2).min
+    assert(memberMin > 950L)
+    assert(r(999L)._2 < memberMin)
+  }
+
   test("json prop stats: explicit-schema parse, corrupt payloads counted but excluded from k") {
     val ev = spark.createDataFrame(Seq(
       (1L, "click", """{"k": 5}"""),
