@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, FastSV, KCore, LabelProp, PageRank, PregelCC}
+import graft.algo.{Bfs, FastSV, KCore, LabelProp, Mis, PageRank, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii}
 import graft.streaming.{DocsStream, EventsStream}
@@ -155,6 +155,38 @@ object Queries {
        l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS lab FROM edges),
        $steps
        SELECT n AS i, CAST(lab AS BIGINT) AS v FROM l$rounds"""
+  }
+
+  /** q_mis oracle: Luby selection with fixed hash priorities unrolled
+    * round-for-round (algo/Mis.scala) — pkey = md5(n) || '-' || n, a
+    * vertex joins when strictly smaller than every ACTIVE neighbour,
+    * selected vertices + their neighbours deactivate. Idempotent past
+    * the fixpoint (empty active set ⇒ empty selection), so the unroll
+    * only needs rounds ≥ the true termination depth (measured: 4 at
+    * sf0.001/sf0.01/sf0.1 — hash priorities keep the expected depth
+    * logarithmic; 16 leaves wide margin). Same MATERIALIZED discipline
+    * as ccStepsSql.
+    */
+  private def misFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"a${k - 1}"
+      s"""nb$k AS MATERIALIZED (SELECT e.a AS n, MIN(p2.pkey) AS mn FROM edges e
+           JOIN $p t ON t.n = e.b JOIN pk p2 ON p2.n = e.b
+           WHERE e.a IN (SELECT n FROM $p) GROUP BY 1),
+         sel$k AS MATERIALIZED (SELECT a.n FROM $p a JOIN pk p1 ON p1.n = a.n
+           LEFT JOIN nb$k m ON m.n = a.n
+           WHERE m.mn IS NULL OR p1.pkey < m.mn),
+         m$k AS MATERIALIZED (SELECT n FROM m${k - 1} UNION ALL SELECT n FROM sel$k),
+         a$k AS MATERIALIZED (SELECT n FROM $p WHERE n NOT IN (SELECT n FROM sel$k)
+           AND n NOT IN (SELECT e.a FROM edges e JOIN sel$k s ON s.n = e.b))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 1048576 AS BIGINT) AS b FROM lineitem),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       pk AS MATERIALIZED (SELECT DISTINCT a AS n, md5(CAST(a AS VARCHAR)) || '-' || CAST(a AS VARCHAR) AS pkey FROM edges),
+       a0 AS MATERIALIZED (SELECT n FROM pk),
+       m0 AS MATERIALIZED (SELECT n FROM pk WHERE 1 = 0),
+       $steps
+       SELECT n AS i, CAST(1 AS BIGINT) AS v FROM m$rounds"""
   }
 
   private def ccFixpointSql(rounds: Int): String = {
@@ -735,6 +767,20 @@ object Queries {
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       KCore.kcore(A, 6L).df
     }),
+    // Luby-style maximal independent set (fixed hash priorities, so
+    // the result is the unique lexicographically-first MIS by pkey
+    // order) on the same orders↔parts bipartite graph
+    "q_mis" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem")
+      val offset = 1L << 20
+      val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      Mis.mis(A).df
+    }),
     // synchronous label propagation (fixed 7 rounds, min-label ties)
     // on the same orders↔parts bipartite graph — per-node community
     // label; the deterministic-LPA contract is the integer recurrence
@@ -915,6 +961,7 @@ object Queries {
     "q_cc_events" -> ccFixpointSql(12),
     "q_kcore" -> kcoreFixpointSql(6, 20),
     "q_lpa" -> lpaFixpointSql(7),
+    "q_mis" -> misFixpointSql(16),
     "q_empty_new" ->
       "SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer",
     "q_build" ->

@@ -1,0 +1,86 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Maximal independent set via Luby-style parallel selection — the
+  * classic GraphBLAS demo algorithm (reference exposes the same graph
+  * tier; cf. graphblas demo `mis` in the upstream ecosystem), useful
+  * in curation as a conflict-free representative picker: no two
+  * chosen vertices are adjacent (e.g., pick one doc per near-dup
+  * edge), and maximality means every unchosen vertex has a chosen
+  * neighbour to defer to.
+  *
+  * Determinism discipline (the PageRank/LPA rule): Luby's coin flips
+  * are replaced by a FIXED hash priority — pkey(n) = md5(n) || '-'
+  * || n, a strict total order (the id suffix breaks ties, so two
+  * distinct vertices never compare equal). Each round every ACTIVE
+  * vertex whose pkey is strictly smaller than all of its active
+  * neighbours' joins the set; selected vertices and their neighbours
+  * deactivate. With hash-random priorities the expected round count
+  * is O(log n) (the Luby argument — adversarial chains cannot occur
+  * because the order is hash-shuffled), and the result is the unique
+  * lexicographically-first MIS by pkey order, reproducible
+  * round-for-round by a SQL oracle.
+  *
+  * Scale shape: per round one equi-join of the edge set against the
+  * active frame + a min hash-aggregate (the neighbour minimum), two
+  * anti-joins for deactivation — O(nnz) per round, no windows, no
+  * pairing. Active-set state is eagerly checkpointed per round with
+  * superseded blocks freed (the KCore loop discipline); the edge set
+  * is repartitioned once on the join key and cached. Termination is
+  * data-driven (active set empties — a 1-row count per round).
+  *
+  * Self-loops are dropped up front: a self-looped vertex can neither
+  * join (it cannot beat its own priority) nor be removed — the
+  * standard MIS convention excludes them.
+  *
+  * @return sparse indicator vector: (i, 1) for members of the set.
+  */
+object Mis {
+
+  private def pkey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(md5(c.cast("string")), lit("-"), c.cast("string"))
+
+  def mis(a: GrbMatrix, maxIter: Int = 100): GrbVector = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"mis adjacency must be square: ${a.nrows}x${a.ncols}")
+    val adj = a.df.select(col("i"), col("j")).filter(col("i") =!= col("j"))
+      .repartition(col("j")).cache()
+    var act: DataFrame = adj.select(col("i").as("n")).distinct()
+      .localCheckpoint(true)
+    var mis: DataFrame = act.filter(lit(false)).localCheckpoint(true)
+    var prevAct = Iterate.checkpointRdd(act)
+    var prevMis = Iterate.checkpointRdd(mis)
+    var n = act.count()
+    var iter = 0
+    while (n > 0 && iter < maxIter) {
+      val actB = act.select(col("n").as("nb"), pkey(col("n")).as("bpk"))
+      // min active-neighbour priority per ACTIVE vertex
+      val nbmin = adj
+        .join(act.select(col("n").as("ai")), col("i") === col("ai"), "leftsemi")
+        .join(actB, col("j") === col("nb"))
+        .groupBy(col("i")).agg(min(col("bpk")).as("mn"))
+      val sel = act.join(nbmin, col("n") === col("i"), "left")
+        .filter(col("mn").isNull || pkey(col("n")) < col("mn"))
+        .select(col("n"))
+      val newOut = adj
+        .join(sel.select(col("n").as("s")), col("j") === col("s"), "leftsemi")
+        .select(col("i").as("n")).distinct()
+      val nextAct = act.join(sel, Seq("n"), "left_anti")
+        .join(newOut, Seq("n"), "left_anti").localCheckpoint(true)
+      val nextMis = mis.unionByName(sel).localCheckpoint(true)
+      prevAct.foreach(_.unpersist(false))
+      prevMis.foreach(_.unpersist(false))
+      prevAct = Iterate.checkpointRdd(nextAct)
+      prevMis = Iterate.checkpointRdd(nextMis)
+      act = nextAct
+      mis = nextMis
+      n = act.count()
+      iter += 1
+    }
+    adj.unpersist(false)
+    new GrbVector(mis.select(col("n").as("i"), lit(1L).as("v")), a.nrows)
+  }
+}

@@ -156,6 +156,56 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("MIS is independent, maximal, and matches a driver-side priority replay on random graphs") {
+    def pkey(n: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(n.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString + "-" + n
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(6)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextInt(100) < 30
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        // driver replay of the fixed-priority Luby rounds
+        var active = nbrs.keySet
+        var inMis = Set.empty[Long]
+        while (active.nonEmpty) {
+          val sel = active.filter(v =>
+            nbrs(v).filter(active).forall(u => pkey(v) < pkey(u)))
+          inMis ++= sel
+          active = active -- sel -- sel.flatMap(nbrs)
+        }
+        val a = matFromEdges(edges, n)
+        val got = labelsOf(graft.algo.Mis.mis(a)).keySet
+        assert(got == inMis, s"trial $trial edges=$edges")
+        // independence: no edge inside the set
+        edges.foreach { case (x, y) =>
+          assert(!(got(x) && got(y)), s"adjacent pair ($x,$y) both selected") }
+        // maximality: every touched non-member has a member neighbour
+        nbrs.keys.foreach { v =>
+          if (!got(v)) assert(nbrs(v).exists(got), s"vertex $v could join") }
+      }
+    }
+  }
+
+  test("MIS drops self-loops and picks isolated-in-adjacency vertices") {
+    // triangle 0-1-2 with a self-loop on 0, plus the pendant edge 3-4
+    val triples: Seq[(Long, Long, Any)] = Seq(
+      (0L, 0L, 1L: Any), (0L, 1L, 1L: Any), (1L, 0L, 1L: Any),
+      (1L, 2L, 1L: Any), (2L, 1L, 1L: Any), (0L, 2L, 1L: Any), (2L, 0L, 1L: Any),
+      (3L, 4L, 1L: Any), (4L, 3L, 1L: Any))
+    val a = GrbMatrix.fromValues(spark, triples, GrbType.INT64, 5, 5)
+    val got = labelsOf(graft.algo.Mis.mis(a)).keySet
+    // exactly one of the triangle, exactly one of the pendant pair
+    assert(Seq(0L, 1L, 2L).count(got) == 1)
+    assert(Seq(3L, 4L).count(got) == 1)
+  }
+
   test("label propagation: two cliques joined by a bridge split into two communities") {
     // cliques {0,1,2,3} and {4,5,6,7} with one bridge edge 3-4: after
     // a few sync rounds with min-label ties, each clique agrees on its
