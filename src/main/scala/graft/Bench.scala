@@ -157,5 +157,7 @@ object Bench {
     "p_quality_filter", "p_dup_ngrams",
     "p_dup_span", "p_dedup_incremental", "p_embed_outliers", "p_json_props",
     "p_seq_pack", "q_kcore", "p_hll_ledger", "p_sample_ledger",
-    "q_lpa", "p_weighted_sample", "p_length_quantiles")
+    "q_lpa", "p_weighted_sample", "p_length_quantiles",
+    "p_cms_tokens", "p_cms_ledger", "p_bloom_probe", "p_line_dedup",
+    "p_pii_scan", "p_embed_clusters", "q_mis")
 }

@@ -1268,6 +1268,22 @@ object Queries {
       DocsStream.explodeQuota(s.table(qname), "lang")
     }),
 
+    // streaming Count-Min: the 32 KiB counter grid is the streaming
+    // aggregation state (constant per source at any ingest volume —
+    // the sketch answer to a streaming GROUP BY token); sum-merge
+    // makes the complete-mode drain batch-equivalent, so it shares
+    // p_cms_tokens' oracle; watchlist probe on the sink side
+    "p_stream_cms" -> ((s, dir) => {
+      val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
+      val qname = s"graft_stream_cms_${System.nanoTime()}"
+      val q = DocsStream.cmsTokenStates(src).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Sketch.probeWatchlist(s.table(qname))
+    }),
+
     // multimodal plumbing over the deterministic synthetic GRFT corpus:
     // header decode (Column algebra) + frame sampling (posexplode),
     // verified against the container format's closed-form arithmetic
@@ -1375,6 +1391,27 @@ object Queries {
                        CAST(list_sum(list_transform(range(len(q)), i -> q[i+1] * cq[i+1])) AS BIGINT)
                          / sqrt(CAST(en.n2 AS DOUBLE)) / sqrt(CAST(c3.cn2 AS DOUBLE)) AS csim
                 FROM en CROSS JOIN c3)"""
+
+  /** CMS oracle (shared by p_cms_tokens and the batch-equivalent
+    * p_stream_cms drain): mirrors the counter-grid algebra — row r's
+    * column is the r-th 8-hex-char md5 window mod 1024, grid cell =
+    * COUNT(*) of occurrences landing there, estimate = MIN over the
+    * key's d cells (missing cell = 0). Constants and watchlist shared
+    * with pipeline/Sketch verbatim.
+    */
+  private def cmsTokensSql: String =
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents),
+       rows_(r) AS (VALUES ${(0 until org.apache.spark.sql.graft.Cms.Depth).map(i => s"($i)").mkString(", ")}),
+       cnt AS (SELECT source, r, ('0x' || substr(md5(tk), 1 + 8 * r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c,
+                      COUNT(*) AS n
+               FROM tok CROSS JOIN rows_ GROUP BY 1, 2, 3),
+       probes(token) AS (VALUES ${Sketch.cmsWatchlist.map(t => s"('$t')").mkString(", ")}),
+       pp AS (SELECT s.source, p.token, r.r,
+                     ('0x' || substr(md5(p.token), 1 + 8 * r.r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c
+              FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN probes p CROSS JOIN rows_ r)
+       SELECT pp.source, pp.token, CAST(MIN(COALESCE(cnt.n, 0)) AS BIGINT) AS est
+       FROM pp LEFT JOIN cnt ON cnt.source = pp.source AND cnt.r = pp.r AND cnt.c = pp.c
+       GROUP BY 1, 2"""
 
   /** mirrors Similarity.embedClusters: explicit k, `rounds` Lloyd
     * refinements — each round re-assigns (rank-1 by csim DESC, cid
@@ -1849,20 +1886,9 @@ object Queries {
     // occurrences landing there, estimate = MIN over the key's d cells
     // (missing cell = 0). Constants and watchlist shared with
     // pipeline/Sketch verbatim.
-    "p_cms_tokens" -> {
-      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents),
-         rows_(r) AS (VALUES ${(0 until org.apache.spark.sql.graft.Cms.Depth).map(i => s"($i)").mkString(", ")}),
-         cnt AS (SELECT source, r, ('0x' || substr(md5(tk), 1 + 8 * r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c,
-                        COUNT(*) AS n
-                 FROM tok CROSS JOIN rows_ GROUP BY 1, 2, 3),
-         probes(token) AS (VALUES ${Sketch.cmsWatchlist.map(t => s"('$t')").mkString(", ")}),
-         pp AS (SELECT s.source, p.token, r.r,
-                       ('0x' || substr(md5(p.token), 1 + 8 * r.r, 8))::BIGINT % ${org.apache.spark.sql.graft.Cms.Width} AS c
-                FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN probes p CROSS JOIN rows_ r)
-         SELECT pp.source, pp.token, CAST(MIN(COALESCE(cnt.n, 0)) AS BIGINT) AS est
-         FROM pp LEFT JOIN cnt ON cnt.source = pp.source AND cnt.r = pp.r AND cnt.c = pp.c
-         GROUP BY 1, 2"""
-    },
+    "p_cms_tokens" -> cmsTokensSql,
+    // streaming drain is batch-equivalent (sum-merge) — same oracle
+    "p_stream_cms" -> cmsTokensSql,
     // CMS ledger oracle: ONE-PASS grid over the whole corpus — the
     // two-level (per-source state -> counter-sum merge) path must land
     // on the same grid because addition is associative

@@ -167,6 +167,18 @@ object Sketch {
     cmsWatchlist.toDF("token")
   }
 
+  /** Probe a frame of persisted CMS `state` rows with the watchlist:
+    * broadcast watchlist × states, codegen estimate per (row, token).
+    * Shared by the batch ops below and the streaming drain
+    * (graft.streaming.DocsStream.cmsTokenStates) — the sink-side step
+    * that turns grid states into (…, token, est) telemetry.
+    */
+  def probeWatchlist(states: DataFrame, stateCol: String = "state"): DataFrame =
+    states.join(broadcast(watchlistDF(states)))
+      .withColumn("est", org.apache.spark.sql.graft.CmsEstimate(
+        col(stateCol), cmsPacked(col("token"))))
+      .drop(stateCol)
+
   /** Per-source CMS token-frequency states probed with the watchlist:
     * one custom aggregate per source (map-side-merged 32 KiB grids —
     * the ONLY shuffle carries grids, never tokens), then the

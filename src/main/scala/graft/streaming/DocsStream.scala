@@ -52,6 +52,24 @@ object DocsStream {
       .select(col(strataCol), col("t").getField("id").as("doc_id"),
         (col("pos") + 1).cast(LongType).as("rank"))
 
+  /** streaming token-frequency telemetry: the Count-Min counter grid
+    * of [[org.apache.spark.sql.graft.CmsState]] IS the streaming
+    * aggregation state — 32 KiB per source at ANY ingest volume (an
+    * exact streaming `GROUP BY token` would hold every distinct token
+    * as state). Per-microbatch updates ADD into the counters exactly
+    * like map-side partials (sum-merge is associative and order-free),
+    * so the complete-mode drain is bit-identical to the batch sketch
+    * over the same documents and shares its oracle. Probe the drained
+    * states on the sink side (graft.pipeline.Sketch.probeWatchlist) —
+    * the watchlist join belongs after the drain, like
+    * [[explodeQuota]].
+    */
+  def cmsTokenStates(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("source")
+      .agg(org.apache.spark.sql.graft.CmsState(
+        graft.pipeline.Sketch.cmsPacked(col("tk"))).as("state"))
+
   /** file-source stream over a documents parquet directory */
   def readDocsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -128,6 +128,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  final case class SrcDoc(doc_id: Long, source: String, text: String)
+
+  test("streaming CMS grid merges across microbatches == batch sketch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[SrcDoc]
+    val q = DocsStream.cmsTokenStates(input.toDF())
+      .writeStream.format("memory").queryName("scms")
+      .outputMode("complete").start()
+    try {
+      val b1 = (1L to 20L).map(i =>
+        SrcDoc(i, if (i % 2 == 0) "web" else "books", s"the table scan $i"))
+      val b2 = (21L to 40L).map(i =>
+        SrcDoc(i, if (i % 2 == 0) "web" else "books", s"merge the query $i"))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val got = graft.pipeline.Sketch.probeWatchlist(spark.table("scms"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = (b1 ++ b2).map(d => (d.doc_id, d.source, d.text))
+        .toDF("doc_id", "source", "text")
+      val want = graft.pipeline.Sketch.cmsTokenEstimates(batch)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === want)
+      // the drained grid counted both batches: 10 web docs per batch,
+      // "the" once per doc
+      assert(got(("web", "the")) === 20L)
+    } finally q.stop()
+  }
+
   test("streaming stateful sessionization across batches") {
     val spark2 = spark
     import spark2.implicits._
