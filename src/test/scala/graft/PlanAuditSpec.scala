@@ -134,6 +134,47 @@ class PlanAuditSpec extends SparkSpec {
       "label centroids should broadcast")
   }
 
+  test("round-10 operators: sketch states hash-aggregate, probes broadcast, scans stay narrow") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // CMS per-source states: the ONLY wide exchange carries 32 KiB
+    // grids (ObjectHashAggregate partial), watchlist probe broadcasts
+    val pcms = plan(Sketch.cmsTokenEstimates(docs))
+    assert(pcms.contains("ObjectHashAggregate"), s"CMS should hash-aggregate grids:\n$pcms")
+    assert(pcms.contains("BroadcastExchange"), "watchlist probe should broadcast")
+    assert(!pcms.contains("CartesianProduct"))
+    // bloom prefilter: the filter state broadcasts; no cartesian
+    val pbloom = plan(TextDedup.bloomIncrementalDedup(
+      docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0)))
+    assert(pbloom.contains("BroadcastExchange") || pbloom.contains("BroadcastNestedLoopJoin"),
+      "bloom state should broadcast")
+    assert(!pbloom.contains("CartesianProduct"))
+    // line dedup: digest equi-join, no pairing, scan pruned
+    val pline = plan(TextDedup.lineDedupStats(docs))
+    assert(!pline.contains("CartesianProduct"))
+    assert(!pline.contains("lang"), "line-dedup scan must prune to doc_id/text")
+    // PII scan: narrow per-row pass — no join, no exchange at all
+    val ppii = plan(graft.pipeline.Pii.piiScan(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "event_id", "props"))
+    assert(!ppii.contains("Join"), s"PII scan should plan joinless:\n$ppii")
+    assert(!ppii.contains("Exchange"), s"PII scan should plan shuffle-free:\n$ppii")
+    // k-means: centroids broadcast each round, no cartesian materialization
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pkm = plan(Similarity.embedClusters(emb, k = 4, lloydRounds = 1,
+      materialize = false))
+    assert(pkm.contains("BroadcastExchange"), "k-means centroids should broadcast")
+    // one MIS round: equi-joins + min aggregate, never cartesian
+    val adj = docs.sparkSession.range(100)
+      .select((col("id") % 17).as("i"), (col("id") % 23).as("j"))
+      .filter(col("i") =!= col("j"))
+    val act = adj.select(col("i").as("n")).distinct()
+    val actB = act.select(col("n").as("nb"),
+      concat(md5(col("n").cast("string")), lit("-"), col("n").cast("string")).as("bpk"))
+    val nbmin = adj.join(act.select(col("n").as("ai")), col("i") === col("ai"), "leftsemi")
+      .join(actB, col("j") === col("nb"))
+      .groupBy(col("i")).agg(min(col("bpk")).as("mn"))
+    assert(!plan(nbmin).contains("CartesianProduct"))
+  }
+
   test("length quantiles shuffle the value histogram; weighted sample skips the rank window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pq = plan(TextStats.lengthQuantiles(docs))
