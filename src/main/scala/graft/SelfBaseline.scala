@@ -230,6 +230,103 @@ object SelfBaseline {
       println(f"""{"pipeline_docs":$nDocs,"minhash_sec":$minhashSec%.2f,"minhash_docs_per_sec":${(nDocs / minhashSec).toLong},"minhash_pairs":$nd,"ann_sec":$annSec%.2f,"ann_docs_per_sec":${(nDocs / annSec).toLong},"ann_pairs":$np,"exact_sec":$exactSec%.2f,"exact_dup_groups":$ne,"simhash_sec":$simhashSec%.2f,"simhash_pairs":$ns,"contamination_sec":$contSec%.2f,"contaminated":$ncont,"dup_span_sec":$spanSec%.2f,"dup_span_docs":$nspan,"incr_sec":$incrSec%.2f,"incr_kept":$nkeep}""")
       docs.unpersist(); emb.unpersist()
     }
+    // Round-10 sketch/scrub tier (SPARK_GRAFT_SKETCH10X=<nDocs>): the
+    // new operators at 10× bench volume. Note the synthetic corpus's
+    // 20-word vocabulary makes nearly every document's token SET
+    // identical, so its dedup ledger holds only a handful of DISTINCT
+    // digests — the bloom equality check below exercises verdict
+    // parity, not capacity. The CAPACITY claim (one 65536-bit filter
+    // saturates as the key count approaches m; sharding restores the
+    // FP rate by fan-out) is measured separately on nDocs raw digests:
+    // half-known/half-fresh probes, FP = positives among fresh, with
+    // recall on known keys required to be 100% at every occupancy (no
+    // false negatives is structural). CMS accuracy is probed with the
+    // full 20-word vocabulary against exact GROUP BY counts (max
+    // over-count = observed collision mass).
+    sys.env.get("SPARK_GRAFT_SKETCH10X").foreach { nStr =>
+      val nDocs = nStr.toLong
+      val docs = syntheticDocs(spark, nDocs)
+        .withColumn("source", concat(lit("src"), col("doc_id") % 4)).cache()
+      docs.count()
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+      val (exactVerdicts, plainSec) = timed(
+        TextDedup.incrementalDedup(corpus, batch)
+          .filter(col("in_corpus") === 1).count())
+      val (b1, bloom1Sec) = timed {
+        val r = TextDedup.bloomIncrementalDedup(corpus, batch, shards = 1).cache()
+        val pos = r.filter(col("bloom_maybe") === 1).count()
+        val hits = r.filter(col("in_corpus") === 1).count()
+        r.unpersist(false); (pos, hits)
+      }
+      val (b16, bloom16Sec) = timed {
+        val r = TextDedup.bloomIncrementalDedup(corpus, batch, shards = 16).cache()
+        val pos = r.filter(col("bloom_maybe") === 1).count()
+        val hits = r.filter(col("in_corpus") === 1).count()
+        r.unpersist(false); (pos, hits)
+      }
+      require(b1._2 == exactVerdicts && b16._2 == exactVerdicts,
+        s"bloom verdict drifted from exact: ${b1._2}/${b16._2} vs $exactVerdicts")
+      // capacity probe on nDocs DISTINCT digests: ledger = ids
+      // [0, nDocs), probes = nDocs/5 known + nDocs/5 fresh keys
+      val ledgerKeys = spark.range(nDocs)
+        .select(md5(col("id").cast("string")).as("h"))
+      val probeKeys = spark.range(nDocs / 5)
+        .select(col("id"), md5(col("id").cast("string")).as("h"),
+          lit(1L).as("known"))
+        .unionByName(spark.range(nDocs / 5)
+          .select(col("id"), md5((col("id") + 10000000L).cast("string")).as("h"),
+            lit(0L).as("known")))
+      def capacity(shards: Int): (Long, Long) = {
+        def shardOf(h: org.apache.spark.sql.Column) =
+          conv(substring(md5(h), 1, 4), 16, 10).cast("long") % shards
+        val blooms = ledgerKeys.withColumn("shard", shardOf(col("h")))
+          .groupBy("shard").agg(org.apache.spark.sql.graft.BloomState(
+            graft.pipeline.Sketch.bloomPacked(col("h"))).as("bloom"))
+        val probed = probeKeys.withColumn("shard", shardOf(col("h")))
+          .join(broadcast(blooms), Seq("shard"), "left")
+          .withColumn("maybe",
+            when(coalesce(org.apache.spark.sql.graft.BloomMaybe(col("bloom"),
+              graft.pipeline.Sketch.bloomPacked(col("h"))), lit(false)), 1L)
+              .otherwise(0L))
+        val knownPos = probed.filter(col("known") === 1 && col("maybe") === 1).count()
+        val freshPos = probed.filter(col("known") === 0 && col("maybe") === 1).count()
+        require(knownPos == nDocs / 5,
+          s"bloom lost a known key at shards=$shards: $knownPos of ${nDocs / 5}")
+        (knownPos, freshPos)
+      }
+      val fp1 = capacity(1)._2
+      val fp64 = capacity(64)._2
+      // CMS: per-source grids, probed with the whole vocabulary
+      val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi",
+        "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+      val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("tk"))
+      val (cmsMaxOver, cmsSec) = timed {
+        val states = tok.groupBy("source").agg(
+          org.apache.spark.sql.graft.CmsState(
+            graft.pipeline.Sketch.cmsPacked(col("tk"))).as("state"))
+        val probes = spark.createDataFrame(vocab.map(Tuple1(_))).toDF("token")
+        val est = states.join(broadcast(probes))
+          .select(col("source"), col("token"),
+            org.apache.spark.sql.graft.CmsEstimate(col("state"),
+              graft.pipeline.Sketch.cmsPacked(col("token"))).as("est"))
+        val exact = tok.groupBy(col("source"), col("tk").as("token"))
+          .agg(count(lit(1)).as("n"))
+        est.join(exact, Seq("source", "token"))
+          .agg(max(col("est") - col("n"))).collect()(0).getLong(0)
+      }
+      val (nLineDup, lineSec) = timed(
+        TextDedup.lineDedupStats(docs).filter(col("n_dup_lines") > 0).count())
+      val emb = syntheticEmbeddings(spark, nDocs / 2, 32)
+        .withColumnRenamed("doc_id", "vec_id").cache()
+      emb.count()
+      val (nClusters, kmSec) = timed(
+        Similarity.embedClusters(emb, k = 64, lloydRounds = 2)
+          .select("cid").distinct().count())
+      println(f"""{"sketch_docs":$nDocs,"incr_exact_sec":$plainSec%.2f,"incr_hits":$exactVerdicts,"batch_docs":${batch.count()},"bloom1_sec":$bloom1Sec%.2f,"bloom1_positive":${b1._1},"bloom16_sec":$bloom16Sec%.2f,"bloom16_positive":${b16._1},"cap_keys":$nDocs,"cap_fresh_probes":${nDocs / 5},"cap_fp_shards1":$fp1,"cap_fp_shards64":$fp64,"cms_sec":$cmsSec%.2f,"cms_max_overcount":$cmsMaxOver,"line_sec":$lineSec%.2f,"line_dup_docs":$nLineDup,"kmeans_sec":$kmSec%.2f,"kmeans_vectors":${nDocs / 2},"kmeans_clusters":$nClusters}""")
+      docs.unpersist(); emb.unpersist()
+    }
     // SimHash banding tier (SPARK_GRAFT_SIMHASH=<nDocs>, round-8 lead
     // item): planted near-dups over a wide-vocabulary corpus, measured
     // for BOTH the legacy single-table banding (blocks=4, 15-bit keys)

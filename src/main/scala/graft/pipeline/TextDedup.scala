@@ -692,18 +692,37 @@ object TextDedup {
     * OR ([[org.apache.spark.sql.graft.BloomMergeState]] —
     * idempotent, so at-least-once re-merges are harmless).
     *
+    * `shards` is the capacity dial: ONE 65536-bit filter saturates
+    * around ~8k ledger keys (n/m = ⅛ ⇒ ~2.4% FP; at n = m the FP rate
+    * passes 90% and the prefilter stops filtering). Sharding routes
+    * each digest to filter `md5-window(h) mod shards`, so per-shard
+    * occupancy — and with it the FP rate — drops by the fan-out while
+    * the probe stays join-free on the batch side (the shards × 8 KiB
+    * states broadcast; a billion-key ledger at n/m = ⅛ needs ~128k
+    * shards ≈ 1 GiB of states — still a broadcast, or a co-located
+    * join on the shard key past that). shards = 1 is the single-state
+    * layout the oracle mirrors.
+    *
     * Output per batch doc: (doc_id, h, bloom_maybe, in_corpus).
     */
-  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame = {
+  def bloomIncrementalDedup(corpus: DataFrame, batch: DataFrame,
+      shards: Int = 1): DataFrame = {
     val ledger = dedupLedger(corpus)
-    val bloom = ledger.agg(
-      org.apache.spark.sql.graft.BloomState(Sketch.bloomPacked(col("h"))).as("bloom"))
+    def shardOf(h: org.apache.spark.sql.Column) =
+      conv(substring(md5(h), 1, 4), 16, 10).cast(LongType) % shards
+    val blooms = ledger.withColumn("shard", shardOf(col("h")))
+      .groupBy("shard").agg(
+        org.apache.spark.sql.graft.BloomState(Sketch.bloomPacked(col("h"))).as("bloom"))
     val keyed = batch.select(col("doc_id"), normalizedKey(col("text")).as("h"))
-    val probed = keyed.join(broadcast(bloom))
+      .withColumn("shard", shardOf(col("h")))
+    // left join: a batch key routed to a shard no ledger key ever hit
+    // probes a missing state — definitively fresh
+    val probed = keyed.join(broadcast(blooms), Seq("shard"), "left")
       .withColumn("bloom_maybe",
-        when(org.apache.spark.sql.graft.BloomMaybe(
-          col("bloom"), Sketch.bloomPacked(col("h"))), 1L).otherwise(0L))
-      .drop("bloom")
+        when(coalesce(org.apache.spark.sql.graft.BloomMaybe(
+          col("bloom"), Sketch.bloomPacked(col("h"))), lit(false)), 1L)
+          .otherwise(0L))
+      .drop("bloom", "shard")
     // exact confirm pays only for the bloom-positive sliver; negatives
     // are definitively fresh (no false negatives)
     val confirmed = probed.filter(col("bloom_maybe") === 1L)
