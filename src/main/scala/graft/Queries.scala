@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, FastSV, KCore, LabelProp, Mis, PageRank, PregelCC}
+import graft.algo.{Bfs, Coloring, FastSV, KCore, LabelProp, Mis, PageRank, PregelCC}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii}
 import graft.streaming.{DocsStream, EventsStream}
@@ -187,6 +187,45 @@ object Queries {
        m0 AS MATERIALIZED (SELECT n FROM pk WHERE 1 = 0),
        $steps
        SELECT n AS i, CAST(1 AS BIGINT) AS v FROM m$rounds"""
+  }
+
+  /** q_coloring oracle: Jones–Plassmann unrolled round-for-round
+    * (algo/Coloring.scala) — per-round REDRAWN priorities
+    * pkey_r(n) = md5(r || '-' || n) || '-' || n, local minima among
+    * active neighbours color themselves with the mex of their colored
+    * neighbours' colors ({0} ∪ {used+1} anti-joined against used,
+    * MIN). Idempotent past the fixpoint (empty active ⇒ empty
+    * selection); measured depth 10–17 across shipped SFs on the
+    * l_orderkey < 600 subgraph — 30 leaves margin. Same MATERIALIZED
+    * discipline as ccStepsSql.
+    */
+  private def coloringFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"a${k - 1}"
+      val c = s"c${k - 1}"
+      s"""pk$k AS MATERIALIZED (SELECT n, md5('$k-' || CAST(n AS VARCHAR)) || '-' || CAST(n AS VARCHAR) AS pkey FROM $p),
+         nb$k AS MATERIALIZED (SELECT e.a AS n, MIN(p2.pkey) AS mn FROM edges e
+           JOIN pk$k p2 ON p2.n = e.b
+           WHERE e.a IN (SELECT n FROM $p) GROUP BY 1),
+         sel$k AS MATERIALIZED (SELECT a.n FROM $p a JOIN pk$k p1 ON p1.n = a.n
+           LEFT JOIN nb$k m ON m.n = a.n
+           WHERE m.mn IS NULL OR p1.pkey < m.mn),
+         used$k AS MATERIALIZED (SELECT DISTINCT s.n, c2.color FROM sel$k s
+           JOIN edges e ON e.a = s.n JOIN $c c2 ON c2.n = e.b),
+         cand$k AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS cc FROM sel$k
+           UNION ALL SELECT n, color + 1 FROM used$k),
+         newc$k AS MATERIALIZED (SELECT t.n, MIN(t.cc) AS color FROM cand$k t
+           LEFT JOIN used$k u ON u.n = t.n AND u.color = t.cc
+           WHERE u.n IS NULL GROUP BY 1),
+         c$k AS MATERIALIZED (SELECT n, color FROM $c UNION ALL SELECT n, color FROM newc$k),
+         a$k AS MATERIALIZED (SELECT n FROM $p WHERE n NOT IN (SELECT n FROM sel$k))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       a0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM edges),
+       c0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS color WHERE 1 = 0),
+       $steps
+       SELECT n AS i, CAST(color AS BIGINT) AS v FROM c$rounds"""
   }
 
   private def ccFixpointSql(rounds: Int): String = {
@@ -767,6 +806,22 @@ object Queries {
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       KCore.kcore(A, 6L).df
     }),
+    // Jones–Plassmann greedy coloring (per-round hash priorities +
+    // mex color choice) on the BFS subgraph (l_orderkey < 600 — the
+    // traversal-precedent scope: coloring rounds are join-cheap but
+    // round-count-bound, so the smaller graph keeps the bench query
+    // round-dominated rather than scan-dominated)
+    "q_coloring" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+      val offset = 100000L
+      val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      Coloring.greedyColor(A).df
+    }),
     // Luby-style maximal independent set (fixed hash priorities, so
     // the result is the unique lexicographically-first MIS by pkey
     // order) on the same orders↔parts bipartite graph
@@ -962,6 +1017,7 @@ object Queries {
     "q_kcore" -> kcoreFixpointSql(6, 20),
     "q_lpa" -> lpaFixpointSql(7),
     "q_mis" -> misFixpointSql(16),
+    "q_coloring" -> coloringFixpointSql(30),
     "q_empty_new" ->
       "SELECT c_custkey AS i, CAST(ROUND(c_acctbal*100) AS BIGINT) AS v FROM customer",
     "q_build" ->

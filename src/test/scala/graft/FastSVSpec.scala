@@ -193,6 +193,58 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("coloring is proper and matches a driver-side Jones-Plassmann replay on random graphs") {
+    def pkeyR(r: Int, n: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"$r-$n".getBytes("UTF-8")).map(b => f"$b%02x").mkString + "-" + n
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(6)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextInt(100) < 35
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val nbrs = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        // driver replay of the per-round-rehash JP recurrence
+        var active = nbrs.keySet
+        var colors = Map.empty[Long, Long]
+        var r = 0
+        while (active.nonEmpty) {
+          r += 1
+          val sel = active.filter(v =>
+            nbrs(v).filter(active).forall(u => pkeyR(r, v) < pkeyR(r, u)))
+          sel.foreach { v =>
+            val used = nbrs(v).flatMap(colors.get)
+            val mex = Iterator.from(0).map(_.toLong).find(!used.contains(_)).get
+            colors += v -> mex
+          }
+          active = active -- sel
+        }
+        val a = matFromEdges(edges, n)
+        val got = labelsOf(graft.algo.Coloring.greedyColor(a))
+        assert(got == colors, s"trial $trial edges=$edges")
+        edges.foreach { case (x, y) =>
+          assert(got(x) != got(y), s"edge ($x,$y) monochrome") }
+      }
+    }
+  }
+
+  test("coloring a star uses exactly two colors (mex never over-spends)") {
+    // star: center 0 adjacent to 1..4. Whatever order the rounds pick,
+    // the mex forces {center} and {leaves} onto two colors total —
+    // a greedy that over-spent colors would betray a broken mex.
+    val edges = (1L to 4L).map(l => (0L, l))
+    val a = matFromEdges(edges, 5)
+    val got = labelsOf(graft.algo.Coloring.greedyColor(a))
+    val leafColors = (1L to 4L).map(got).toSet
+    assert(leafColors.size == 1, s"leaves must share a color: $got")
+    assert(!leafColors.contains(got(0L)))
+    assert((leafColors + got(0L)) == Set(0L, 1L))
+  }
+
   test("MIS drops self-loops and picks isolated-in-adjacency vertices") {
     // triangle 0-1-2 with a self-loop on 0, plus the pendant edge 3-4
     val triples: Seq[(Long, Long, Any)] = Seq(
