@@ -62,8 +62,11 @@ object Coloring {
     while (n > 0 && iter < maxIter) {
       val act = state.filter(col("color").isNull).select(col("n"))
       val actB = act.select(col("n").as("nb"), pkey(iter + 1, col("n")).as("bpk"))
+      // heads not pre-restricted to active: a leftsemi on i would
+      // re-shuffle the adjacency every round (cache is partitioned on
+      // j — the actB join reuses it shuffle-free); inactive heads die
+      // in sel's act join (the Mis lesson, 2.9x on the bench graph)
       val nbmin = adj
-        .join(act.select(col("n").as("ai")), col("i") === col("ai"), "leftsemi")
         .join(actB, col("j") === col("nb"))
         .groupBy(col("i")).agg(min(col("bpk")).as("mn"))
       val sel = act.join(nbmin, col("n") === col("i"), "left")

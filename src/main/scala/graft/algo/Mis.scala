@@ -57,22 +57,33 @@ object Mis {
     var iter = 0
     while (n > 0 && iter < maxIter) {
       val actB = act.select(col("n").as("nb"), pkey(col("n")).as("bpk"))
-      // min active-neighbour priority per ACTIVE vertex
+      // min active-neighbour priority per edge head. Heads are NOT
+      // pre-restricted to active: a leftsemi on i would re-shuffle the
+      // whole adjacency every round (the cache is partitioned on j, so
+      // the actB join below reuses it shuffle-free, and the groupBy
+      // ships map-side-combined partials only); inactive heads' rows
+      // die in sel's act join
       val nbmin = adj
-        .join(act.select(col("n").as("ai")), col("i") === col("ai"), "leftsemi")
         .join(actB, col("j") === col("nb"))
         .groupBy(col("i")).agg(min(col("bpk")).as("mn"))
+      // eager-checkpoint the selection: nextAct and nextMis both hang
+      // off it, and without the materialization each would recompute
+      // the round's nbmin aggregate from scratch
       val sel = act.join(nbmin, col("n") === col("i"), "left")
         .filter(col("mn").isNull || pkey(col("n")) < col("mn"))
-        .select(col("n"))
+        .select(col("n")).localCheckpoint(true)
+      val selRdd = Iterate.checkpointRdd(sel)
+      // no distinct: left_anti below ignores duplicate right-side rows,
+      // so deduplicating the neighbour set would be a wasted shuffle
       val newOut = adj
         .join(sel.select(col("n").as("s")), col("j") === col("s"), "leftsemi")
-        .select(col("i").as("n")).distinct()
+        .select(col("i").as("n"))
       val nextAct = act.join(sel, Seq("n"), "left_anti")
         .join(newOut, Seq("n"), "left_anti").localCheckpoint(true)
       val nextMis = mis.unionByName(sel).localCheckpoint(true)
       prevAct.foreach(_.unpersist(false))
       prevMis.foreach(_.unpersist(false))
+      selRdd.foreach(_.unpersist(false))
       prevAct = Iterate.checkpointRdd(nextAct)
       prevMis = Iterate.checkpointRdd(nextMis)
       act = nextAct
@@ -81,6 +92,8 @@ object Mis {
       iter += 1
     }
     adj.unpersist(false)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"graft.Mis rounds=$iter")
     new GrbVector(mis.select(col("n").as("i"), lit(1L).as("v")), a.nrows)
   }
 }
