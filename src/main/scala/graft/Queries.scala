@@ -7,7 +7,7 @@ import graft.core._
 import graft.ops.Structure
 import graft.algo.{Bfs, Coloring, FastSV, KCore, LabelProp, Mis, PageRank, PregelCC}
 import graft.io.MatrixMarket
-import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii}
+import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
 
 /** The driver-verified query catalog: one entry per SURVEY §2 operator
@@ -1111,6 +1111,12 @@ object Queries {
         corpus = docs.filter(col("doc_id") % 4 =!= 0),
         batch = docs.filter(col("doc_id") % 4 === 0))
     }),
+    // the end-to-end curation verdict: quality + exact dedup + minhash
+    // near-dup + contamination flags composed into one keep/drop frame
+    // per doc — the integration check over four individually-verified
+    // components (each stage's scale shape documented at its
+    // definition; the composition adds only doc_id equi-joins)
+    "p_curate" -> ((s, dir) => Curate.curationVerdict(pq(s, dir, "documents"))),
     // line-level duplication (CCNet-style boilerplate signal): share
     // of each doc made of lines that also appear in OTHER docs — the
     // duplication whole-document dedup never sees; linear df join on
@@ -1893,6 +1899,60 @@ object Queries {
                 COALESCE(click_id, -1) AS click_id,
                 COALESCE(es - click_es, -1) AS click_lag_s
          FROM w WHERE is_l = 1""",
+    // curation-verdict oracle: the whole pipeline in one statement —
+    // minhash pair chain (shared CTEs), quality rules, exact groups,
+    // and contamination, composed exactly like Curate.curationVerdict
+    "p_curate" -> {
+      val stops = TextStats.stopwordsEn.map(w => s"'$w'").mkString(", ")
+      import TextStats.{qfMinTokens, qfMinMeanLenX100, qfMaxMeanLenX100,
+        qfMaxTopTokPct, qfMaxDup2gramPct}
+      s"""WITH $minhashPairsSql,
+         qs AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(FLOOR(100.0 * list_sum(list_transform(toks, x -> len(x))) / len(toks)) AS BIGINT) AS mean_len_x100,
+                  CAST(len(list_filter(list_distinct(toks), x -> x IN ($stops))) AS BIGINT) AS n_stop_distinct,
+                  CAST(CASE WHEN len(toks) > 1
+                    THEN FLOOR(100.0 * (len(toks) - 1 - len(list_distinct(list_transform(range(len(toks) - 1), x -> toks[x+1] || ' ' || toks[x+2])))) / (len(toks) - 1))
+                    ELSE 0 END AS BIGINT) AS dup_2gram_pct
+                FROM t),
+         qtok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         qtf AS (SELECT doc_id, tk, COUNT(*) AS c FROM qtok GROUP BY 1, 2),
+         qtp AS (SELECT doc_id, MAX(c) AS top_c FROM qtf GROUP BY 1),
+         qk AS (SELECT qs.doc_id,
+                  CAST(n_tokens >= $qfMinTokens
+                       AND mean_len_x100 BETWEEN $qfMinMeanLenX100 AND $qfMaxMeanLenX100
+                       AND n_stop_distinct >= 1
+                       AND FLOOR(100.0 * top_c / n_tokens) <= $qfMaxTopTokPct
+                       AND dup_2gram_pct <= $qfMaxDup2gramPct AS BIGINT) AS q_keep
+                FROM qs JOIN qtp ON qtp.doc_id = qs.doc_id),
+         exg AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+         exd AS (SELECT d.doc_id, CAST(CASE WHEN d.doc_id <> g.keep_id THEN 1 ELSE 0 END AS BIGINT) AS flag_exact_dup
+                 FROM documents d JOIN exg g ON md5(d.text) = g.h),
+         ndb AS (SELECT DISTINCT b AS doc_id FROM nd),
+         szb AS (SELECT doc_id, COUNT(*) AS nb FROM shd WHERE doc_id % 50 = 0 GROUP BY 1),
+         shk AS (SELECT sh FROM (SELECT sh, COUNT(*) AS _df FROM shd WHERE doc_id % 50 <> 0 GROUP BY 1)
+                 WHERE _df <= ${TextDedup.defaultMaxShingleDf}),
+         ix AS (SELECT sa.doc_id AS bench_id, sb.doc_id AS train_id, COUNT(*) AS inter
+                FROM shd sa JOIN shd sb ON sb.sh = sa.sh JOIN shk k ON k.sh = sa.sh
+                WHERE sa.doc_id % 50 = 0 AND sb.doc_id % 50 <> 0
+                GROUP BY 1, 2),
+         ctr AS (SELECT DISTINCT i.train_id AS doc_id FROM ix i
+                 JOIN szb z ON z.doc_id = i.bench_id
+                 WHERE i.inter * 10 >= z.nb * 7)
+         SELECT d.doc_id,
+                CAST(CASE WHEN d.doc_id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bench,
+                CAST(1 - qk.q_keep AS BIGINT) AS flag_quality,
+                exd.flag_exact_dup,
+                CAST(CASE WHEN ndb.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS flag_near_dup,
+                CAST(CASE WHEN ctr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS flag_contaminated,
+                CAST(d.doc_id % 50 <> 0 AND qk.q_keep = 1 AND exd.flag_exact_dup = 0
+                     AND ndb.doc_id IS NULL AND ctr.doc_id IS NULL AS BIGINT) AS keep
+         FROM documents d
+         JOIN qk ON qk.doc_id = d.doc_id
+         JOIN exd ON exd.doc_id = d.doc_id
+         LEFT JOIN ndb ON ndb.doc_id = d.doc_id
+         LEFT JOIN ctr ON ctr.doc_id = d.doc_id"""
+    },
     // k-means oracle: the multi-round Lloyd mirror (seeds, assign,
     // floor-mean recentre ×2), final rank-1 assignment + promille
     "p_embed_clusters" ->

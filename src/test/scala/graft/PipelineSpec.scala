@@ -45,6 +45,33 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("curation verdict: each drop reason fires on its planted doc, clean doc survives") {
+    val base = ("the quick brown fox jumps over a lazy dog near this old river bank " +
+      "today with many other small animal friends walking around here very happily " +
+      "while evening light settles on quiet water").trim
+    val benchText = "the reserved benchmark item holds fifteen carefully distinct evaluation tokens nobody copies"
+    val fix = spark.createDataFrame(Seq(
+      (0L, benchText),                                     // bench slice (0 % 50 == 0)
+      (1L, base),                                          // clean keeper + near-dup canonical
+      (2L, base),                                          // exact copy of 1
+      (3L, base.replace("settles", "descends")),           // near-dup of 1 (one mid token)
+      (4L, benchText + " padded with additional trailing context tokens the benchmark leaked into training data somehow"), // contains the bench doc
+      (5L, "too short")))                                  // fails quality
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.Curate.curationVerdict(fix).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("is_bench"), x.getAs[Long]("flag_quality"),
+          x.getAs[Long]("flag_exact_dup"), x.getAs[Long]("flag_near_dup"),
+          x.getAs[Long]("flag_contaminated"), x.getAs[Long]("keep")))).toMap
+    assert(r.size == 6)
+    assert(r(0L)._1 == 1L && r(0L)._6 == 0L)      // bench never kept
+    assert(r(1L) == ((0L, 0L, 0L, 0L, 0L, 1L)))   // the clean survivor
+    assert(r(2L)._3 == 1L && r(2L)._6 == 0L)      // exact dup dropped
+    assert(r(3L)._4 == 1L && r(3L)._6 == 0L)      // near dup dropped
+    assert(r(4L)._5 == 1L && r(4L)._6 == 0L)      // contaminated dropped
+    assert(r(5L)._2 == 1L && r(5L)._6 == 0L)      // quality reject
+  }
+
   test("PII scan: emails, IPs, digit runs detected and redacted in cascade order") {
     val fix = spark.createDataFrame(Seq(
       (0L, "contact alice.smith+spam@example-host.co.uk or bob@test.io today"),
