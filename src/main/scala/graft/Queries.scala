@@ -1171,6 +1171,11 @@ object Queries {
     "p_bpe_tokens" -> ((s, dir) => TextStats.bpeTokenCount(pq(s, dir, "documents"))),
     // unigram rarity / perplexity-proxy quality signal
     "p_rarity" -> ((s, dir) => TextStats.rarityScore(pq(s, dir, "documents"))),
+    // bigram-level rarity: the scrambled-text signal unigram rarity
+    // can't see (shuffled text keeps unigram stats, loses bigram
+    // co-occurrence); same linear explode + hash-agg + per-occurrence
+    // join shape
+    "p_bigram_rarity" -> ((s, dir) => TextStats.bigramRarity(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
     "p_sample" -> ((s, dir) =>
       Sampling.deterministicSample(pq(s, dir, "documents"), col("text"), 10)
@@ -1791,6 +1796,19 @@ object Queries {
                 CAST(FLOOR(CAST(SUM(ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_tok_ppm,
                 CAST(MIN(ppm) AS BIGINT) AS min_tok_ppm
          FROM tok JOIN ppm ON tok.tk = ppm.tk
+         GROUP BY 1""",
+    // bigram rarity mirrors p_rarity's algebra over 2-gram keys
+    "p_bigram_rarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1), x -> toks[x+1] || ' ' || toks[x+2])) AS bg FROM t),
+         cf AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cf FROM bg GROUP BY 1),
+         tt AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM cf),
+         ppm AS (SELECT bg.bg AS bg, CAST(FLOOR((1000000.0 * cf) / CAST((SELECT total FROM tt) AS DOUBLE)) AS BIGINT) AS ppm FROM cf bg)
+         SELECT bg.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                CAST(FLOOR(CAST(SUM(ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_bg_ppm,
+                CAST(MIN(ppm) AS BIGINT) AS min_bg_ppm
+         FROM bg JOIN ppm ON bg.bg = ppm.bg
          GROUP BY 1""",
     "p_tfidf_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),

@@ -127,6 +127,40 @@ object TextStats {
         min(col("ppm")).as("min_tok_ppm"))
   }
 
+  /** Bigram-level rarity — the scrambled-text signal [[rarityScore]]
+    * cannot see: token-shuffled or cut-up text keeps its unigram
+    * frequencies but its word PAIRS stop co-occurring, so a document
+    * whose tokens are all corpus-common yet whose bigrams are
+    * corpus-rare is a strong gibberish/derangement candidate (the
+    * bigram-LM analogue of the unigram perplexity proxy; the log map
+    * again stays downstream so every statistic is engine-exact).
+    *
+    * Output per doc: n_bigrams, mean/min corpus bigram frequency in
+    * floored ppm. Same linear plan family as rarityScore: one bigram
+    * explode, one corpus bigram hash-aggregate, a broadcast 1-row
+    * total, one per-occurrence equi-join — never a pairing. Docs with
+    * fewer than 2 tokens have no bigrams and drop out (they are the
+    * length filter's job).
+    */
+  def bigramRarity(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val bg = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(t) - 2),
+        x => concat_ws(" ", element_at(t, x + 1), element_at(t, x + 2)))).as("bg"))
+    val cf = bg.groupBy("bg").agg(count(lit(1)).as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("total"))
+    val ppm = cf.crossJoin(broadcast(tot))
+      .select(col("bg"),
+        floor(lit(1000000.0d) * col("cf") / col("total").cast("double"))
+          .cast(LongType).as("ppm"))
+    bg.join(ppm, Seq("bg"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        floor(sum(col("ppm")).cast("double") / count(lit(1)).cast("double"))
+          .cast(LongType).as("mean_bg_ppm"),
+        min(col("ppm")).as("min_bg_ppm"))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, single punctuation —
     * the standard cheap proxy for subword token counts.
     */

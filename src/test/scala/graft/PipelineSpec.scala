@@ -45,6 +45,31 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("bigram rarity: scrambled doc keeps unigram stats but craters bigram ppm") {
+    // 20 copies of the same sentence establish the common bigrams; doc
+    // 100 uses the SAME tokens in a deranged order
+    val sentence = "alpha beta gamma delta epsilon zeta"
+    val scrambled = "zeta gamma alpha epsilon beta delta"
+    val rows = (0L until 20L).map(i => (i, sentence)) :+ (100L, scrambled)
+    val fix = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val bg = TextStats.bigramRarity(fix).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Long]("mean_bg_ppm")))).toMap
+    val uni = TextStats.rarityScore(fix).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("mean_tok_ppm")).toMap
+    // unigram rarity CANNOT separate them (same token multiset)
+    assert(uni(100L) === uni(0L))
+    // bigram rarity can: every scrambled bigram occurs once in the
+    // corpus (ppm ~ 1/105 of total) vs the common sentence's 20×
+    assert(bg(0L)._1 == 5L && bg(100L)._1 == 5L)
+    assert(bg(100L)._2 < bg(0L)._2 / 10,
+      s"scrambled ${bg(100L)._2} should crater vs common ${bg(0L)._2}")
+    // exact values: 105 bigram occurrences total; common bigram cf=20
+    // (ppm 190476), scrambled cf=1 (ppm 9523)
+    assert(bg(0L)._2 === 190476L)
+    assert(bg(100L)._2 === 9523L)
+  }
+
   test("curation verdict: each drop reason fires on its planted doc, clean doc survives") {
     val base = ("the quick brown fox jumps over a lazy dog near this old river bank " +
       "today with many other small animal friends walking around here very happily " +
