@@ -633,6 +633,41 @@ object Queries {
         .reduceScalar(Ops.plusMonoid).df
     }),
 
+    // per-vertex local clustering coefficient — q_triangle's
+    // per-vertex sibling (LAGraph's burble formulation): on the FULL
+    // symmetric adjacency, C⟨A⟩ = A·A over plus_pair counts common
+    // neighbors on every edge, so row-reducing C sums each triangle
+    // at v twice (once per adjacent in-triangle edge): t2 = 2·tri(v).
+    // deg(v) is a plus row-reduce of A itself. cc_ppm =
+    // floor(1e6·t2 / (deg·(deg−1))) as ONE double division of exact
+    // operands (the p_rarity determinism discipline). Zero-triangle
+    // vertices have an empty C row — the left join + fill keeps them,
+    // matching the oracle. One masked mxm + two row-reduces + one
+    // vector join: the Σdeg² wedge work IS the measure, and the mask
+    // caps output at nnz(A).
+    "q_clustering" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
+        .distinct()
+      val e = li.select(col("o"), col("p").as("a"))
+        .join(li.select(col("o"), col("p").as("b")), Seq("o"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("i"), col("b").as("j")).distinct()
+        .withColumn("v", lit(1L))
+      val n = li.agg(max(col("p"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val sym = e.unionByName(e.select(col("j").as("i"), col("i").as("j"), col("v")))
+      val A = GrbMatrix.fromDF(sym, n, n)
+      val C = A.mxm(A, Ops.plusPair, mask = Some(Mask.structural(A.df)))
+      val t2 = C.reduceRowwise(Ops.plusMonoid).df.select(col("i"), col("v").as("t2"))
+      val deg = A.reduceRowwise(Ops.plusMonoid).df.select(col("i"), col("v").as("deg"))
+      deg.join(t2, Seq("i"), "left").na.fill(0L, Seq("t2"))
+        .filter(col("deg") >= 2)
+        .select(col("i"), expr("t2 DIV 2").as("tri"), col("deg"),
+          floor(lit(1000000.0d) * col("t2") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+            .cast(LongType).as("cc_ppm"))
+    }),
+
     // Vector.new: an empty collection is the additive identity of
     // ewise_add (§2.1 row 1)
     "q_empty_new" -> ((s, dir) => {
@@ -925,6 +960,25 @@ object Queries {
          e AS (SELECT DISTINCT a.p AS i, b.p AS j FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
          SELECT CAST(COUNT(*) AS BIGINT) AS v
          FROM e e1 JOIN e e2 ON e2.i = e1.j JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j""",
+    // per-vertex clustering: triangles at v via wedge closure over the
+    // symmetric adjacency, degree from the same adjacency; the ppm
+    // division mirrors the engine's single-double-division expression
+    "q_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+                     FROM lineitem WHERE l_orderkey < 2000),
+         e AS (SELECT DISTINCT a.p AS i, b.p AS j FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         adj AS (SELECT i, j FROM e UNION ALL SELECT j AS i, i AS j FROM e),
+         tri AS (SELECT n1.i AS v, COUNT(*) AS t
+                 FROM adj n1 JOIN adj n2 ON n1.i = n2.i AND n1.j < n2.j
+                 JOIN e ON e.i = n1.j AND e.j = n2.j
+                 GROUP BY 1),
+         deg AS (SELECT i AS v, COUNT(*) AS d FROM adj GROUP BY 1)
+         SELECT deg.v AS i, CAST(COALESCE(tri.t, 0) AS BIGINT) AS tri,
+                CAST(deg.d AS BIGINT) AS deg,
+                CAST(FLOOR(1000000.0 * 2 * COALESCE(tri.t, 0)
+                           / CAST(deg.d * (deg.d - 1) AS DOUBLE)) AS BIGINT) AS cc_ppm
+         FROM deg LEFT JOIN tri ON tri.v = deg.v
+         WHERE deg.d >= 2""",
     "q_extract_slice" ->
       """SELECT CAST((c_custkey - 10) / 3 AS BIGINT) AS i, CAST(c_nationkey AS BIGINT) AS v
          FROM customer WHERE c_custkey >= 10 AND c_custkey < 1000 AND (c_custkey - 10) % 3 = 0""",
@@ -1333,6 +1387,23 @@ object Queries {
         .start()
       q.awaitTermination()
       DocsStream.explodeQuota(s.table(qname), "lang")
+    }),
+
+    // stream-static enrichment join: each arriving event broadcast-
+    // joined to a batch-computed per-user activity tier (no stream
+    // shuffle, no join state — Spark re-resolves the static side per
+    // microbatch), then a constant-state (tier, type) rollup;
+    // complete-mode drain makes it batch-equivalent for the oracle
+    "p_stream_enrich" -> ((s, dir) => {
+      val tiers = EventsStream.activityTiers(pq(s, dir, "events"))
+      val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
+      val qname = s"graft_stream_enrich_${System.nanoTime()}"
+      val q = EventsStream.enrichedTierTotals(src, tiers).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
     }),
 
     // streaming Count-Min: the 32 KiB counter grid is the streaming
@@ -2166,6 +2237,17 @@ object Queries {
                            event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)
          SELECT h_epoch, event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
          FROM e GROUP BY 1, 2""",
+    // stream-static enrichment oracle: the tier dimension as a CTE
+    // (threshold mirrored from EventsStream.activityTiers), plain
+    // join + rollup — batch-equivalent to the complete-mode drain
+    "p_stream_enrich" ->
+      """WITH tiers AS (SELECT user_id,
+                               CASE WHEN COUNT(*) >= 66 THEN 'heavy' ELSE 'light' END AS tier
+                        FROM events GROUP BY user_id)
+         SELECT t.tier, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events e JOIN tiers t ON e.user_id = t.user_id
+         GROUP BY 1, 2""",
     // streaming HLL oracle: p_hll_users' register algebra per
     // (hour-window, type) — complete-mode drain makes the streaming
     // result batch-equivalent

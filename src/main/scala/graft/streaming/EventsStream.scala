@@ -102,6 +102,39 @@ object EventsStream {
       }
   }
 
+  /** Batch-side activity-tier dimension for the stream-static
+    * enrichment join: per-user lifetime event count bucketed into
+    * 'heavy' / 'light' at `threshold`. One hash aggregate over the
+    * historical events table; the output is user-cardinality (small
+    * relative to the event stream) — the classic broadcast dimension.
+    */
+  def activityTiers(batchEvents: DataFrame, threshold: Long = 66L): DataFrame =
+    batchEvents.groupBy("user_id").agg(count(lit(1)).as("n_total"))
+      .select(col("user_id"),
+        when(col("n_total") >= threshold, lit("heavy")).otherwise(lit("light"))
+          .as("tier"))
+
+  /** Stream-static enrichment join — the standard streaming pattern
+    * this module had not yet exercised: each arriving event is joined
+    * to a broadcast batch-computed dimension (no shuffle of the
+    * stream, no state for the join itself), then rolled up per
+    * (tier, event_type) with value totals in integer cents.
+    *
+    * Scale design: the stream side stays on its source partitioning —
+    * a broadcast hash join adds zero shuffle per microbatch, so
+    * enrichment throughput is bounded by ingest, not by the dimension.
+    * Spark re-resolves the static side per microbatch, so a slowly-
+    * changing dimension refreshes for free when its underlying table
+    * is rewritten. Only the downstream aggregation keeps state — one
+    * row per (tier, type), constant in ingest volume.
+    */
+  def enrichedTierTotals(stream: DataFrame, tiers: DataFrame): DataFrame =
+    stream.select(col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("cents"))
+      .join(broadcast(tiers), Seq("user_id"))
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+
   /** convenience: file-source stream over an events parquet directory */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -78,6 +78,31 @@ class MxmPropertySpec extends SparkSpec {
     assert(tri.value.contains(4L))
   }
 
+  test("clustering coefficient: symmetric plus_pair row-reduce == 2x triangles per vertex") {
+    // Same K4-plus-pendant graph as the triangle test. On the full
+    // symmetric adjacency, row-reducing C⟨A⟩ = A·A (plus_pair) gives
+    // 2·tri(v): vertices 0-2 sit in 3 triangles each (t2=6), vertex 3
+    // in 3 (its pendant edge to 4 closes nothing), vertex 4 in none —
+    // and the zero-triangle vertex must still surface with t2 absent
+    // (empty C row), which the query layer backfills to 0.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L))
+    val sym = edges ++ edges.map { case (i, j) => (j, i) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, dim, dim)
+    val c = a.mxm(a, Ops.plusPair, mask = Some(Mask.structural(a.df)))
+    val t2 = c.reduceRowwise(Ops.plusMonoid).toValues
+      .map { case (i, v) => i -> v.asInstanceOf[Long] }.toMap
+    assert(t2 === Map(0L -> 6L, 1L -> 6L, 2L -> 6L, 3L -> 6L))
+    val deg = a.reduceRowwise(Ops.plusMonoid).toValues
+      .map { case (i, v) => i -> v.asInstanceOf[Long] }.toMap
+    assert(deg === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+    // cc = 2tri/(d(d-1)): vertices 0-2 fully connected locally (1.0),
+    // vertex 3 has 6/12 = 0.5
+    assert(6L * 1000000L / (3L * 2L) === 1000000L)
+    assert(6L * 1000000L / (4L * 3L) === 500000L)
+  }
+
   test("mxv min_second == oracle (the FastSV kernel)") {
     val genVec = Gen.mapOf(Gen.zip(Gen.choose(0L, dim - 1), Gen.choose(0L, 99L)))
     run("mxv", Prop.forAll(genMat, genVec) { (a, v) =>

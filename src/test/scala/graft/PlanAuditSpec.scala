@@ -175,6 +175,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(nbmin).contains("CartesianProduct"))
   }
 
+  test("stream-static enrichment broadcasts the tier dim; clustering reduce stays equi-joined") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // batch shape of the streaming enrichment: the dimension must
+    // arrive by broadcast so the (streaming) fact side never shuffles
+    // for the join
+    val tiers = graft.streaming.EventsStream.activityTiers(events)
+    val pe = plan(graft.streaming.EventsStream.enrichedTierTotals(events, tiers))
+    assert(pe.contains("BroadcastExchange") || pe.contains("BroadcastHashJoin"),
+      s"tier dimension should broadcast:\n$pe")
+    assert(!pe.contains("CartesianProduct"))
+    // clustering coefficient: the t2/deg vector join is an equi-join
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 4L, 4L)
+    val c = a.mxm(a, Ops.plusPair, mask = Some(Mask.structural(a.df)))
+    val joined = a.reduceRowwise(Ops.plusMonoid).df.select(col("i"), col("v").as("deg"))
+      .join(c.reduceRowwise(Ops.plusMonoid).df.select(col("i"), col("v").as("t2")),
+        Seq("i"), "left")
+    assert(!plan(joined).contains("CartesianProduct"))
+  }
+
   test("length quantiles shuffle the value histogram; weighted sample skips the rank window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pq = plan(TextStats.lengthQuantiles(docs))

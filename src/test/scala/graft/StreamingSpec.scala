@@ -69,6 +69,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join merges tier totals across microbatches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    // batch dimension: users 1,2 heavy (>= 3 lifetime events), 3 light
+    val hist = Seq(1L -> 3, 2L -> 4, 3L -> 1)
+      .flatMap { case (u, n) => (1 to n).map(i => (u * 100 + i, u)) }
+      .toDF("event_id", "user_id")
+    val tiers = EventsStream.activityTiers(hist, threshold = 3L)
+    val input = MemoryStream[Ev]
+    val q = EventsStream.enrichedTierTotals(input.toDF(), tiers)
+      .writeStream.format("memory").queryName("senrich")
+      .outputMode("complete").start()
+    try {
+      // the same (tier, type) cell fed across TWO microbatches — the
+      // aggregation state must merge, not reset
+      input.addData(Ev(1, ns(10), 1, "click", 1.25), Ev(2, ns(20), 3, "click", 2.00))
+      q.processAllAvailable()
+      input.addData(Ev(3, ns(30), 2, "click", 0.50), Ev(4, ns(40), 1, "view", 3.00))
+      q.processAllAvailable()
+      val got = spark.table("senrich").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        ("heavy", "click", 2L, 175L), // users 1 + 2, one per batch
+        ("heavy", "view", 1L, 300L),
+        ("light", "click", 1L, 200L)))
+    } finally q.stop()
+  }
+
   final case class Doc(doc_id: Long, text: String)
 
   test("streaming exact dedup keeps first doc_id per content across batches") {
