@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, KCore, LabelProp, Mis, PageRank, PregelCC}
+import graft.algo.{Bfs, Coloring, FastSV, KCore, LabelProp, Mis, PageRank, PregelCC, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -270,6 +270,31 @@ object Queries {
        f0 AS MATERIALIZED (SELECT MIN(a) AS n, CAST(0 AS BIGINT) AS l FROM e0),
        $steps
        SELECT n AS i, CAST(l AS BIGINT) AS v FROM f$rounds"""
+  }
+
+  /** q_spcount oracle: the BFS-with-path-counts recurrence unrolled —
+    * per round the frontier's σ sums flow along edges to not-yet-
+    * visited vertices (exactly the engine's plus_times mxv + anti-join
+    * mask); rounds past the true depth are no-ops (empty frontier).
+    */
+  private def spCountFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val pv = s"v${k - 1}"; val pf = s"f${k - 1}"
+      s"""f$k AS MATERIALIZED (
+            SELECT e.b AS n, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+            FROM edges e JOIN $pf f ON f.n = e.a
+            WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.n = e.b)
+            GROUP BY 1),
+         v$k AS MATERIALIZED (
+            SELECT n, d, sigma FROM $pv
+            UNION ALL SELECT n, CAST($k AS BIGINT) AS d, sigma FROM f$k)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       f0 AS MATERIALIZED (SELECT MIN(a) AS n, CAST(1 AS BIGINT) AS sigma FROM e0),
+       v0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS d, sigma FROM f0),
+       $steps
+       SELECT n AS i, d, sigma FROM v$rounds"""
   }
 
   /** q_pagerank oracle: the integer fixed-point recurrence
@@ -579,6 +604,22 @@ object Queries {
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       Bfs.levels(A, src).df
+    }),
+
+    // shortest-path counting — the plus_times sibling of q_bfs and
+    // the σ forward wave of Brandes betweenness (algo/SpCount.scala):
+    // per reached vertex its distance AND the number of distinct
+    // shortest paths from the source, all exact integers
+    "q_spcount" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val bounds = e0.agg(min(col("a")), max(col("b"))).collect()(0) // 1-row driver agg
+      val (src, n) = (bounds.getLong(0), bounds.getLong(1) + 1L)
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      SpCount.counts(A, src)
     }),
 
     // PageRank in integer fixed-point (algo/PageRank.scala) on the
@@ -950,6 +991,7 @@ object Queries {
     "q_reduce_scalar" ->
       s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
     "q_bfs" -> minPlusFixpointSql(40, weighted = false),
+    "q_spcount" -> spCountFixpointSql(40),
     "q_sssp" -> minPlusFixpointSql(45, weighted = true),
     "q_pagerank" -> prFixpointSql(10),
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges

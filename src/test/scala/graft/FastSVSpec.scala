@@ -49,6 +49,49 @@ class FastSVSpec extends SparkSpec {
     // vertices 6..11 are in other components — no level, not level-∞
   }
 
+  test("shortest-path counts: diamond doubles sigma, pendant inherits it, other components absent") {
+    // 0—1, 0—2, 1—3, 2—3 (diamond), 3—4 (pendant), 5—6 (other comp):
+    // from 0: σ(1)=σ(2)=1; vertex 3 is reached at depth 2 along BOTH
+    // arms (σ=2); the pendant 4 inherits σ=2 at depth 3; 5,6 absent
+    val a = matFromEdges(Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (5L, 6L)), 7L)
+    val got = graft.algo.SpCount.counts(a, 0L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      0L -> (0L, 1L), 1L -> (1L, 1L), 2L -> (1L, 1L),
+      3L -> (2L, 2L), 4L -> (3L, 2L)))
+  }
+
+  test("shortest-path counts match a driver-side BFS replay on random graphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 14 + trial * 3
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.14
+      } yield (i.toLong, j.toLong)).toSeq
+      val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // driver BFS with path counting from vertex 0
+      var dist = Map(0L -> 0L); var sigma = Map(0L -> 1L)
+      var frontier = Set(0L); var k = 0L
+      while (frontier.nonEmpty) {
+        k += 1
+        val cand = frontier.toSeq.flatMap(u =>
+          adj.getOrElse(u, Set.empty).map(v => v -> sigma(u)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          .filter { case (v, _) => !dist.contains(v) }
+        cand.foreach { case (v, s) => dist += v -> k; sigma += v -> s }
+        frontier = cand.keySet
+      }
+      val a = matFromEdges(edges, n.toLong)
+      val got = graft.algo.SpCount.counts(a, 0L).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = dist.map { case (v, d) => v -> (d, sigma(v)) }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("SSSP takes the longer-but-lighter path (value improves after first assignment)") {
     // 0—1 (10), 1—2 (10), 0—2 (25): round 1 assigns dist(2)=25 via the
     // direct edge; round 2 improves it to 20 through vertex 1 — the
