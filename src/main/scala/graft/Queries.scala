@@ -1207,6 +1207,17 @@ object Queries {
         corpus = docs.filter(col("doc_id") % 4 =!= 0),
         batch = docs.filter(col("doc_id") % 4 === 0))
     }),
+    // ingest-cycle NEAR-dup: the batch's band signatures probed
+    // against the corpus's persisted signature ledger — candidate-of-
+    // corpus without re-pairing the corpus (same 4th-doc split as
+    // p_dedup_incremental); the ledger is distinct on (band, sig) so
+    // the probe join never fans out
+    "p_minhash_ledger" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      TextDedup.nearDupAgainstLedger(
+        TextDedup.minhashLedger(docs.filter(col("doc_id") % 4 =!= 0)),
+        batch = docs.filter(col("doc_id") % 4 === 0))
+    }),
     // the end-to-end curation verdict: quality + exact dedup + minhash
     // near-dup + contamination flags composed into one keep/drop frame
     // per doc — the integration check over four individually-verified
@@ -1498,7 +1509,12 @@ object Queries {
          SELECT doc_id, unnest(list_transform(range(len(toks) - 2), x -> toks[x+1] || ' ' || toks[x+2] || ' ' || toks[x+3])) AS sh FROM t)),
        hs AS (SELECT doc_id, sh, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shd)"""
 
-  private def minhashSql: String = {
+  /** mh + bands CTEs only (the shared band-signature formula) —
+    * consumed by [[minhashSql]]'s guarded self-join and by the
+    * p_minhash_ledger probe, which needs the signatures without the
+    * candidate machinery.
+    */
+  private def bandSigSql: String = {
     val mins = TextDedup.minhashParams.zipWithIndex.map { case ((a, b), k) =>
       s"CAST(MIN(($a * h + $b) % ${TextDedup.P}) AS BIGINT) AS mh_$k"
     }.mkString(", ")
@@ -1507,7 +1523,11 @@ object Queries {
       s"SELECT doc_id, $b AS band, md5($parts) AS sig FROM mh"
     }.mkString(" UNION ALL ")
     s"""mh AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
-       bands AS ($bands),
+       bands AS ($bands)"""
+  }
+
+  private def minhashSql: String = {
+    s"""$bandSigSql,
        bstat AS (SELECT band, sig, COUNT(*) AS _n, MIN(doc_id) AS _min
                  FROM bands GROUP BY 1, 2),
        bandsk AS (SELECT b.doc_id, b.band, b.sig FROM bands b
@@ -1715,6 +1735,19 @@ object Queries {
                 CAST(CASE WHEN led.h IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_corpus,
                 CAST(CASE WHEN led.h IS NULL AND kb.doc_id = fst.first_id THEN 1 ELSE 0 END AS BIGINT) AS keep
          FROM kb JOIN fst USING (h) LEFT JOIN led ON led.h = kb.h""",
+    // signature-ledger NEAR-dup probe: corpus bands (distinct) left-
+    // joined by the batch's bands — same band formula as
+    // p_dedup_minhash via the shared bandSigSql constants
+    "p_minhash_ledger" ->
+      s"""WITH $shinglesSql, $bandSigSql,
+         led AS (SELECT DISTINCT band, sig FROM bands WHERE doc_id % 4 <> 0),
+         bb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 4 = 0),
+         hits AS (SELECT bb.doc_id, CAST(COUNT(l.band) AS BIGINT) AS n_bands_hit
+                  FROM bb LEFT JOIN led l ON l.band = bb.band AND l.sig = bb.sig
+                  GROUP BY 1)
+         SELECT doc_id, n_bands_hit,
+                CAST(CASE WHEN n_bands_hit > 0 THEN 1 ELSE 0 END AS BIGINT) AS near_corpus
+         FROM hits""",
     // transitive closure over the near-dup pairs: hook+jump CC, label
     // = min doc_id of the duplicate cluster
     "p_dedup_clusters" ->

@@ -733,6 +733,43 @@ object TextDedup {
         coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
   }
 
+  /** The NEAR-dup sibling of [[dedupLedger]]: the corpus's distinct
+    * MinHash band signatures (band, sig) — the persisted signature
+    * store an ingest cycle probes to ask "is this arriving doc an LSH
+    * candidate of anything already ingested?" without re-pairing the
+    * corpus. At 100 TB: store bucketed on (band, sig) and each cycle
+    * appends the batch's own new signatures — the corpus text is never
+    * re-shingled.
+    */
+  def minhashLedger(corpus: DataFrame, bands: Int = 4): DataFrame =
+    lshBandSignatures(corpus, bands).select("band", "sig").distinct()
+
+  /** Ingest-time NEAR-dup probe: each arriving batch document's band
+    * signatures are looked up in the corpus signature ledger. Output
+    * per batch doc (with ≥1 shingle): n_bands_hit (0..bands) and
+    * near_corpus = 1 iff any band collides — LSH-candidate-of-corpus,
+    * the signal that routes the doc to expensive verification or
+    * straight to ingest.
+    *
+    * Scale shape: the ledger is DISTINCT on (band, sig), so the left
+    * join fans out at most 1:1 per batch band row — NO quadratic pair
+    * expansion exists on this path at ANY bucket size (the hot-bucket
+    * guard protects [[lshCandidates]]' corpus self-join; the ledger
+    * probe needs no guard at all). Cost per cycle: shingle + sign the
+    * batch (O(batch tokens)), one equi-join against the bucketed
+    * ledger (co-located, no ledger shuffle), one per-doc hash agg.
+    * A false-positive band collision costs one downstream verify,
+    * never a wrong verdict.
+    */
+  def nearDupAgainstLedger(ledger: DataFrame, batch: DataFrame,
+      bands: Int = 4): DataFrame =
+    lshBandSignatures(batch, bands)
+      .join(ledger.withColumn("_led", lit(1L)), Seq("band", "sig"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("_led").isNotNull, 1L).otherwise(0L)).as("n_bands_hit"))
+      .select(col("doc_id"), col("n_bands_hit"),
+        when(col("n_bands_hit") > 0, 1L).otherwise(0L).as("near_corpus"))
+
   /** [[incrementalDedup]] against a pre-computed ledger frame
     * (`h` column — typically [[dedupLedger]] output persisted
     * bucketed on `h` across ingest cycles).

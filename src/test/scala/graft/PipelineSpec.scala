@@ -45,6 +45,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("minhash ledger probe: corpus near-dup hits all bands, fresh doc hits none") {
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "completely different corpus content about distributed query engines"))).toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // identical → all bands hit
+      (11L, "unrelated fresh arrival text mentioning neither foxes nor engines at all"))).toDF("doc_id", "text")
+    val ledger = TextDedup.minhashLedger(corpus)
+    val r = TextDedup.nearDupAgainstLedger(ledger, batch).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bands_hit"), x.getAs[Long]("near_corpus")))).toMap
+    assert(r(10L) == ((4L, 1L))) // identical text: every band signature collides
+    assert(r(11L) == ((0L, 0L)))
+    assert(r.size == 2)
+  }
+
   test("bigram rarity: scrambled doc keeps unigram stats but craters bigram ppm") {
     // 20 copies of the same sentence establish the common bigrams; doc
     // 100 uses the SAME tokens in a deranged order
