@@ -1475,6 +1475,27 @@ object Queries {
       Sketch.probeWatchlist(s.table(qname))
     }),
 
+    // continuous-ingest near-dup screen: per-doc minhash signature as
+    // streaming aggregation state (min-merge is associative, so rows
+    // split across microbatches drain the exact batch signature); the
+    // band explode + corpus-ledger probe run on the sink side (Spark
+    // disallows generators downstream of a streaming agg). Shares
+    // p_minhash_ledger's oracle — the drain is batch-equivalent
+    "p_stream_neardup" -> ((s, dir) => {
+      val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
+      val qname = s"graft_stream_nd_${System.nanoTime()}"
+      val q = DocsStream.minhashSignatureStates(
+          src.filter(col("doc_id") % 4 === 0)).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ledger = TextDedup.minhashLedger(
+        pq(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
+      TextDedup.probeLedgerBands(
+        TextDedup.bandSigsFromSignatures(s.table(qname)), ledger)
+    }),
+
     // multimodal plumbing over the deterministic synthetic GRFT corpus:
     // header decode (Column algebra) + frame sampling (posexplode),
     // verified against the container format's closed-form arithmetic
@@ -1542,6 +1563,20 @@ object Queries {
                  JOIN bstat k ON k.band = b.band AND k.sig = b.sig
                  WHERE k._n > ${TextDedup.defaultMaxBucket} AND b.doc_id > k._min))"""
   }
+
+  /** shared by p_minhash_ledger and its streaming drain
+    * p_stream_neardup (batch-equivalent by min-merge associativity)
+    */
+  private def minhashLedgerSql: String =
+    s"""WITH $shinglesSql, $bandSigSql,
+       led AS (SELECT DISTINCT band, sig FROM bands WHERE doc_id % 4 <> 0),
+       bb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 4 = 0),
+       hits AS (SELECT bb.doc_id, CAST(COUNT(l.band) AS BIGINT) AS n_bands_hit
+                FROM bb LEFT JOIN led l ON l.band = bb.band AND l.sig = bb.sig
+                GROUP BY 1)
+       SELECT doc_id, n_bands_hit,
+              CAST(CASE WHEN n_bands_hit > 0 THEN 1 ELSE 0 END AS BIGINT) AS near_corpus
+       FROM hits"""
 
   private val simhashBitsSql: String = {
     // mirrors TextDedup.simhash exactly: 60-bit token hash (15 md5 hex
@@ -1738,16 +1773,9 @@ object Queries {
     // signature-ledger NEAR-dup probe: corpus bands (distinct) left-
     // joined by the batch's bands — same band formula as
     // p_dedup_minhash via the shared bandSigSql constants
-    "p_minhash_ledger" ->
-      s"""WITH $shinglesSql, $bandSigSql,
-         led AS (SELECT DISTINCT band, sig FROM bands WHERE doc_id % 4 <> 0),
-         bb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 4 = 0),
-         hits AS (SELECT bb.doc_id, CAST(COUNT(l.band) AS BIGINT) AS n_bands_hit
-                  FROM bb LEFT JOIN led l ON l.band = bb.band AND l.sig = bb.sig
-                  GROUP BY 1)
-         SELECT doc_id, n_bands_hit,
-                CAST(CASE WHEN n_bands_hit > 0 THEN 1 ELSE 0 END AS BIGINT) AS near_corpus
-         FROM hits""",
+    "p_minhash_ledger" -> minhashLedgerSql,
+    // the streaming screen drains to the identical batch result
+    "p_stream_neardup" -> minhashLedgerSql,
     // transitive closure over the near-dup pairs: hook+jump CC, label
     // = min doc_id of the duplicate cluster
     "p_dedup_clusters" ->

@@ -89,9 +89,16 @@ object TextDedup {
   def lshBandSignatures(docs: DataFrame, bands: Int = 4): DataFrame =
     bandsFromShingles(explodedShingles(docs), bands)
 
-  private def bandsFromShingles(sh: DataFrame, bands: Int): DataFrame = {
+  private def bandsFromShingles(sh: DataFrame, bands: Int): DataFrame =
+    bandSigsFromSignatures(signaturesFromShingles(sh), bands)
+
+  /** band keys from an already-built (doc_id, mh_0..mh_{K-1}) signature
+    * frame — the sink-side half of the streaming near-dup screen
+    * (the explode is a generator, which Spark disallows downstream of
+    * a streaming aggregation, so it runs after the drain).
+    */
+  private[graft] def bandSigsFromSignatures(sigs: DataFrame, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sigs = signaturesFromShingles(sh)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)).as("sig"))
@@ -763,7 +770,15 @@ object TextDedup {
     */
   def nearDupAgainstLedger(ledger: DataFrame, batch: DataFrame,
       bands: Int = 4): DataFrame =
-    lshBandSignatures(batch, bands)
+    probeLedgerBands(lshBandSignatures(batch, bands), ledger)
+
+  /** the ledger-probe tail of [[nearDupAgainstLedger]], starting from
+    * an already-built (doc_id, band, sig) frame — shared with the
+    * streaming screen, whose signatures drain from aggregation state.
+    */
+  private[graft] def probeLedgerBands(bandSigs: DataFrame,
+      ledger: DataFrame): DataFrame =
+    bandSigs
       .join(ledger.withColumn("_led", lit(1L)), Seq("band", "sig"), "left")
       .groupBy("doc_id")
       .agg(sum(when(col("_led").isNotNull, 1L).otherwise(0L)).as("n_bands_hit"))

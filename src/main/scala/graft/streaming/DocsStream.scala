@@ -70,6 +70,21 @@ object DocsStream {
       .agg(org.apache.spark.sql.graft.CmsState(
         graft.pipeline.Sketch.cmsPacked(col("tk"))).as("state"))
 
+  /** Streaming MinHash signature states — the continuous-ingest half
+    * of the near-dup screen: per arriving doc a K-column min-hash
+    * signature held as streaming aggregation state (K longs per doc).
+    * MIN-merge is associative and order-free, so a document whose
+    * rows arrive across SEVERAL microbatches still drains the exact
+    * batch signature — the property that makes the state mergeable
+    * rather than merely accumulating. Probe the drained states on the
+    * sink side (TextDedup.bandSigsFromSignatures →
+    * TextDedup.probeLedgerBands): the band explode is a generator,
+    * which Spark disallows downstream of a streaming aggregation, so
+    * it belongs after the drain, like [[explodeQuota]].
+    */
+  def minhashSignatureStates(docs: DataFrame): DataFrame =
+    graft.pipeline.TextDedup.minhashSignatures(docs)
+
   /** file-source stream over a documents parquet directory */
   def readDocsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

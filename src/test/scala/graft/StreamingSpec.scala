@@ -69,6 +69,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash signatures min-merge across microbatches == batch signature") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[Doc]
+    val q = graft.streaming.DocsStream.minhashSignatureStates(input.toDF())
+      .writeStream.format("memory").queryName("ssig")
+      .outputMode("complete").start()
+    try {
+      // ONE doc_id whose shingles arrive split across two microbatches
+      // — the per-column MIN state must merge to the union signature
+      input.addData(Doc(7L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      input.addData(Doc(7L, "zeta eta theta iota kappa lambda"))
+      q.processAllAvailable()
+      val got = spark.table("ssig").collect()
+      assert(got.length === 1)
+      val batch = graft.pipeline.TextDedup.minhashSignatures(Seq(
+        (7L, "alpha beta gamma delta epsilon"),
+        (7L, "zeta eta theta iota kappa lambda")).toDF("doc_id", "text")).collect()
+      assert(got.head.toSeq === batch.head.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join merges tier totals across microbatches") {
     val spark2 = spark
     import spark2.implicits._
