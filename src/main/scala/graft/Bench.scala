@@ -159,5 +159,6 @@ object Bench {
     "p_seq_pack", "q_kcore", "p_hll_ledger", "p_sample_ledger",
     "q_lpa", "p_weighted_sample", "p_length_quantiles",
     "p_cms_tokens", "p_cms_ledger", "p_bloom_probe", "p_line_dedup",
-    "p_pii_scan", "p_embed_clusters", "q_mis", "q_coloring", "p_curate", "p_bigram_rarity")
+    "p_pii_scan", "p_embed_clusters", "q_mis", "q_coloring", "p_curate", "p_bigram_rarity",
+    "q_spcount", "q_clustering", "p_minhash_ledger", "p_stream_enrich")
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.algo.{Bfs, FastSV, PageRank, PregelCC}
+import graft.algo.{Bfs, FastSV, PageRank, PregelCC, SpCount}
 import graft.pipeline.{Similarity, TextDedup}
 
 /** Self-baselines per BASELINE.md: FastSV wall-clock/iteration rate on
@@ -176,7 +176,11 @@ object SelfBaseline {
         val (prMass, prSec) = timed(
           PageRank.ranks(a, scale = a.nrows * 1600L * 100L)
             .df.agg(sum(col("v"))).collect()(0).getLong(0))
-        println(f"""{"edges":$nEdges,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"triangle_sec":$triSec%.2f,"triangles":$nTri,"pagerank_sec":$prSec%.2f,"pagerank_mass":$prMass}""")
+        // shortest-path counting: same wave structure as BFS plus the
+        // plus_times sigma aggregation — the delta over bfs_sec is the
+        // count-carrying premium
+        val (nCounted, spSec) = timed(SpCount.counts(a, 0L).count())
+        println(f"""{"edges":$nEdges,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"triangle_sec":$triSec%.2f,"triangles":$nTri,"pagerank_sec":$prSec%.2f,"pagerank_mass":$prMass,"spcount_sec":$spSec%.2f,"spcount_reached":$nCounted}""")
       }
       a.df.unpersist()
     }
@@ -326,6 +330,29 @@ object SelfBaseline {
           .select("cid").distinct().count())
       println(f"""{"sketch_docs":$nDocs,"incr_exact_sec":$plainSec%.2f,"incr_hits":$exactVerdicts,"batch_docs":${batch.count()},"bloom1_sec":$bloom1Sec%.2f,"bloom1_positive":${b1._1},"bloom16_sec":$bloom16Sec%.2f,"bloom16_positive":${b16._1},"cap_keys":$nDocs,"cap_fresh_probes":${nDocs / 5},"cap_fp_shards1":$fp1,"cap_fp_shards64":$fp64,"cms_sec":$cmsSec%.2f,"cms_max_overcount":$cmsMaxOver,"line_sec":$lineSec%.2f,"line_dup_docs":$nLineDup,"kmeans_sec":$kmSec%.2f,"kmeans_vectors":${nDocs / 2},"kmeans_clusters":$nClusters}""")
       docs.unpersist(); emb.unpersist()
+    }
+    // MinHash-ledger tier (SPARK_GRAFT_LEDGER10X=<nDocs>): the
+    // signature-ledger ingest screen at 10× bench volume — corpus
+    // (90%) signed once into the distinct (band, sig) store, batch
+    // (10%) probed against it. The claim under test: probe cost is
+    // O(batch) and the join NEVER expands (ledger distinct ⇒ ≤1:1 per
+    // band row), so ledger-probe docs/sec should track the signing
+    // throughput, not the corpus size — compare ledger_sec (corpus
+    // sign, paid once per corpus) vs probe_sec (per ingest cycle).
+    sys.env.get("SPARK_GRAFT_LEDGER10X").foreach { nStr =>
+      val nDocs = nStr.toLong
+      val docs = syntheticDocs(spark, nDocs).cache()
+      docs.count()
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val ledger = TextDedup.minhashLedger(corpus).cache()
+      val (ledgerRows, ledgerSec) = timed(ledger.count())
+      val (nearHits, probeSec) = timed(
+        TextDedup.nearDupAgainstLedger(ledger, batch)
+          .filter(col("near_corpus") === 1).count())
+      val nBatch = batch.count()
+      println(f"""{"ledger_docs":$nDocs,"ledger_rows":$ledgerRows,"ledger_sec":$ledgerSec%.2f,"probe_batch_docs":$nBatch,"probe_sec":$probeSec%.2f,"probe_docs_per_sec":${(nBatch / probeSec).toLong},"near_corpus_hits":$nearHits}""")
+      ledger.unpersist(false); docs.unpersist()
     }
     // SimHash banding tier (SPARK_GRAFT_SIMHASH=<nDocs>, round-8 lead
     // item): planted near-dups over a wide-vocabulary corpus, measured

@@ -197,6 +197,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(joined).contains("CartesianProduct"))
   }
 
+  test("minhash ledger probe: equi-join on (band, sig), never cartesian, scan pruned") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ledger = TextDedup.minhashLedger(docs.filter(col("doc_id") % 4 =!= 0))
+    val p = plan(TextDedup.nearDupAgainstLedger(ledger,
+      docs.filter(col("doc_id") % 4 === 0)))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("lang"), "ledger probe scan must prune to doc_id/text")
+  }
+
   test("length quantiles shuffle the value histogram; weighted sample skips the rank window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pq = plan(TextStats.lengthQuantiles(docs))
