@@ -277,7 +277,10 @@ object Queries {
     * visited vertices (exactly the engine's plus_times mxv + anti-join
     * mask); rounds past the true depth are no-ops (empty frontier).
     */
-  private def spCountFixpointSql(rounds: Int): String = {
+  /** the forward CTE chain only (through v{rounds}) — shared by
+    * q_spcount and q_stress's backward accumulation
+    */
+  private def spCountChainSql(rounds: Int): String = {
     val steps = (1 to rounds).map { k =>
       val pv = s"v${k - 1}"; val pf = s"f${k - 1}"
       s"""f$k AS MATERIALIZED (
@@ -289,12 +292,37 @@ object Queries {
             SELECT n, d, sigma FROM $pv
             UNION ALL SELECT n, CAST($k AS BIGINT) AS d, sigma FROM f$k)"""
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+    s"""e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
        edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
        f0 AS MATERIALIZED (SELECT MIN(a) AS n, CAST(1 AS BIGINT) AS sigma FROM e0),
        v0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS d, sigma FROM f0),
-       $steps
+       $steps"""
+  }
+
+  private def spCountFixpointSql(rounds: Int): String =
+    s"""WITH ${spCountChainSql(rounds)}
        SELECT n AS i, d, sigma FROM v$rounds"""
+
+  /** q_stress oracle: the forward chain, the one-level-descending dag,
+    * then the backward continuation counts unrolled — after t rounds
+    * dd holds continuations of length ≤ t, idempotent past the depth.
+    */
+  private def stressFixpointSql(rounds: Int): String = {
+    val back = (1 to rounds).map { t =>
+      s"""dd$t AS MATERIALIZED (
+            SELECT w.n, CAST(COALESCE(s.x, 0) AS BIGINT) AS dd
+            FROM v$rounds w LEFT JOIN (
+              SELECT dag.u AS n, SUM(1 + p.dd) AS x
+              FROM dag JOIN dd${t - 1} p ON p.n = dag.v GROUP BY 1) s ON s.n = w.n)"""
+    }.mkString(",\n")
+    s"""WITH ${spCountChainSql(rounds)},
+       dag AS MATERIALIZED (SELECT e.a AS u, e.b AS v FROM edges e
+         JOIN v$rounds x ON x.n = e.a JOIN v$rounds y ON y.n = e.b
+         WHERE y.d = x.d + 1),
+       dd0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS dd FROM v$rounds),
+       $back
+       SELECT w.n AS i, w.d, w.sigma, CAST(w.sigma * b.dd AS BIGINT) AS stress
+       FROM v$rounds w JOIN dd$rounds b ON b.n = w.n"""
   }
 
   /** q_pagerank oracle: the integer fixed-point recurrence
@@ -620,6 +648,22 @@ object Queries {
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       SpCount.counts(A, src)
+    }),
+
+    // single-source stress centrality — the exact-integer Brandes
+    // two-phase (algo/SpCount.stress): forward σ wave + backward
+    // continuation counts over the BFS dag; stress = σ·D, the number
+    // of s-rooted shortest paths with the vertex non-terminal
+    "q_stress" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val bounds = e0.agg(min(col("a")), max(col("b"))).collect()(0) // 1-row driver agg
+      val (src, n) = (bounds.getLong(0), bounds.getLong(1) + 1L)
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      SpCount.stress(A, src)
     }),
 
     // PageRank in integer fixed-point (algo/PageRank.scala) on the
@@ -992,6 +1036,7 @@ object Queries {
       s"WITH $liMatSql SELECT CAST(SUM(v) AS BIGINT) AS v FROM m",
     "q_bfs" -> minPlusFixpointSql(40, weighted = false),
     "q_spcount" -> spCountFixpointSql(40),
+    "q_stress" -> stressFixpointSql(40),
     "q_sssp" -> minPlusFixpointSql(45, weighted = true),
     "q_pagerank" -> prFixpointSql(10),
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges

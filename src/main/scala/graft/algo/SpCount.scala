@@ -83,4 +83,59 @@ object SpCount {
       System.err.println(s"graft.SpCount rounds=$k")
     res
   }
+
+  /** Single-source STRESS centrality — the exact-integer two-phase
+    * Brandes structure: the forward σ wave ([[counts]]) followed by a
+    * backward accumulation over the BFS dag. Where betweenness sums
+    * σ-RATIOS (rationals — engine-shaped floats), stress counts
+    * PATHS: stress(v) = σ(v) · D(v), where D(v) = number of shortest-
+    * path continuations from v (dag paths to any descendant), via the
+    * integer recurrence D(u) = Σ_{v ∈ succ(u)} (1 + D(v)). After t
+    * rounds D counts continuations of length ≤ t, so max-depth rounds
+    * reach the fixpoint exactly (and further rounds are idempotent —
+    * what lets a fixed-round SQL oracle replay it). stress(v) is the
+    * number of s-rooted shortest paths in which v appears as a
+    * NON-TERMINAL vertex (for v = s: every shortest path from s).
+    *
+    * Scale shape: the dag (edges that descend one level) is built
+    * with two co-partitioned equi-joins against the level frame,
+    * repartitioned ONCE on the backward contraction key and cached;
+    * each of the max-depth rounds is one equi-join + hash agg +
+    * left-join backfill, O(nnz_dag). Counts multiply along branches —
+    * σ·D can overflow int64 on adversarial graphs; the bound is
+    * documented, not silently saturated (the [[counts]] discipline).
+    *
+    * @return (i, d, sigma, stress) per reached vertex
+    */
+  def stress(a: GrbMatrix, source: Long, maxIter: Int = 100): DataFrame = {
+    val fw = counts(a, source, maxIter)
+    val du = fw.select(col("i").as("u"), col("d").as("du"))
+    val dv = fw.select(col("i").as("v"), col("d").as("dv"))
+    val dag = a.df.select(col("i").as("u"), col("j").as("v"))
+      .join(du, Seq("u")).join(dv, Seq("v"))
+      .filter(col("dv") === col("du") + 1)
+      .select(col("u"), col("v"))
+      .repartition(col("v")).cache()
+    val maxd = fw.agg(max(col("d"))).collect()(0).getLong(0) // 1-row driver agg
+    var dd: org.apache.spark.sql.DataFrame = fw
+      .select(col("i"), lit(0L).as("dd")).localCheckpoint(true)
+    var prevDd = Iterate.checkpointRdd(dd)
+    var t = 0L
+    while (t < maxd) {
+      t += 1
+      val up = dag.join(dd.select(col("i").as("v"), col("dd")), Seq("v"))
+        .groupBy(col("u")).agg(sum(col("dd") + 1).as("dd2"))
+      val nextDd = fw.select(col("i"))
+        .join(up.select(col("u").as("i"), col("dd2")), Seq("i"), "left")
+        .select(col("i"), coalesce(col("dd2"), lit(0L)).as("dd"))
+        .localCheckpoint(true)
+      prevDd.foreach(_.unpersist(false))
+      prevDd = Iterate.checkpointRdd(nextDd)
+      dd = nextDd
+    }
+    dag.unpersist(false)
+    fw.join(dd, Seq("i"))
+      .select(col("i"), col("d"), col("sigma"),
+        (col("sigma") * col("dd")).as("stress"))
+  }
 }

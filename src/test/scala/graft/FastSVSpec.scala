@@ -92,6 +92,58 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("stress centrality: diamond hand-computed, pendant tail carries flow") {
+    // same diamond+pendant as the σ test. Continuation counts D:
+    // D(4)=0, D(3)=1, D(1)=D(2)=1+D(3)=2, D(0)=2·(1+2)=6.
+    // stress = σ·D: the source carries all 6 shortest paths; vertex 3
+    // sits inside both length-3 paths to 4 (σ=2 · D=1); 5,6 absent
+    val a = matFromEdges(Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (5L, 6L)), 7L)
+    val got = graft.algo.SpCount.stress(a, 0L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      0L -> ((0L, 1L, 6L)), 1L -> ((1L, 1L, 2L)), 2L -> ((1L, 1L, 2L)),
+      3L -> ((2L, 2L, 2L)), 4L -> ((3L, 2L, 0L))))
+  }
+
+  test("stress centrality matches a driver-side dag replay on random graphs") {
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 2) {
+      val n = 15 + trial * 4
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.13
+      } yield (i.toLong, j.toLong)).toSeq
+      val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // driver BFS + sigma
+      var dist = Map(0L -> 0L); var sigma = Map(0L -> 1L)
+      var frontier = Set(0L); var k = 0L
+      while (frontier.nonEmpty) {
+        k += 1
+        val cand = frontier.toSeq.flatMap(u =>
+          adj.getOrElse(u, Set.empty).map(v => v -> sigma(u)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          .filter { case (v, _) => !dist.contains(v) }
+        cand.foreach { case (v, s) => dist += v -> k; sigma += v -> s }
+        frontier = cand.keySet
+      }
+      // driver D by descending depth: D(u) = sum over succ of (1 + D(v))
+      val succ = dist.keys.map(u => u ->
+        adj.getOrElse(u, Set.empty).filter(v =>
+          dist.get(v).contains(dist(u) + 1))).toMap
+      var dd = Map.empty[Long, Long]
+      dist.toSeq.sortBy(-_._2).foreach { case (u, _) =>
+        dd += u -> succ(u).toSeq.map(v => 1L + dd(v)).sum
+      }
+      val want = dist.map { case (v, d) => v -> ((d, sigma(v), sigma(v) * dd(v))) }
+      val a = matFromEdges(edges, n.toLong)
+      val got = graft.algo.SpCount.stress(a, 0L).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("SSSP takes the longer-but-lighter path (value improves after first assignment)") {
     // 0—1 (10), 1—2 (10), 0—2 (25): round 1 assigns dist(2)=25 via the
     // direct edge; round 2 improves it to 20 through vertex 1 — the
