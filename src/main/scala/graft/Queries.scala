@@ -303,6 +303,25 @@ object Queries {
     s"""WITH ${spCountChainSql(rounds)}
        SELECT n AS i, d, sigma FROM v$rounds"""
 
+  /** q_msbfs oracle: the min_plus fixpoint with a source column —
+    * every source's frontier folds in the same round set
+    */
+  private def msBfsFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"f${k - 1}"
+      s"""f$k AS MATERIALIZED (SELECT s, n, MIN(l) AS l FROM (
+            SELECT * FROM $p
+            UNION ALL
+            SELECT f.s, e.b AS n, f.l + 1 AS l FROM edges e JOIN $p f ON f.n = e.a) GROUP BY 1, 2)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       s0 AS MATERIALIZED (SELECT DISTINCT a AS s FROM e0 ORDER BY a LIMIT 4),
+       f0 AS MATERIALIZED (SELECT s, s AS n, CAST(0 AS BIGINT) AS l FROM s0),
+       $steps
+       SELECT s, n AS i, CAST(l AS BIGINT) AS d FROM f$rounds"""
+  }
+
   /** q_stress oracle: the forward chain, the one-level-descending dag,
     * then the backward continuation counts unrolled — after t rounds
     * dd holds continuations of length ≤ t, idempotent past the depth.
@@ -648,6 +667,22 @@ object Queries {
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       SpCount.counts(A, src)
+    }),
+
+    // multi-source BFS — the matrix-frontier idiom: 4 traversals
+    // expand through ONE F·A mxm per round (algo/Bfs
+    // .multiSourceLevels), sharing every scan and shuffle
+    "q_msbfs" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val srcs = e0.select(col("a")).distinct().orderBy(col("a").asc)
+        .limit(4).collect().map(_.getLong(0)).toSeq // 4-row driver take
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      Bfs.multiSourceLevels(A, srcs)
     }),
 
     // single-source stress centrality — the exact-integer Brandes
@@ -1037,6 +1072,7 @@ object Queries {
     "q_bfs" -> minPlusFixpointSql(40, weighted = false),
     "q_spcount" -> spCountFixpointSql(40),
     "q_stress" -> stressFixpointSql(40),
+    "q_msbfs" -> msBfsFixpointSql(40),
     "q_sssp" -> minPlusFixpointSql(45, weighted = true),
     "q_pagerank" -> prFixpointSql(10),
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges

@@ -83,6 +83,69 @@ object Bfs {
     new GrbVector(res, a.nrows)
   }
 
+  /** Multi-source BFS — the MATRIX-frontier idiom (the GraphBLAS
+    * answer to "run k BFS traversals at once"): the frontier is a
+    * k×n Boolean MATRIX F (one row per source), each round ONE
+    * F·A mxm expands every traversal simultaneously, and the
+    * anti-join mask is keyed on (source, vertex). One k-fold-wider
+    * join per round instead of k sequential BFS runs — k traversals
+    * share every scan, shuffle, and scheduling barrier, which is the
+    * entire point at 100 TB (per-round fixed cost is paid once, not
+    * k times). The frontier loop discipline of [[levels]] applies
+    * per source pair: levels are final on first touch.
+    *
+    * @param sources distinct source vertex ids (each becomes a row of
+    *                the frontier matrix, keyed by its own id)
+    * @return (s, i, d): level of vertex i from source s; unreachable
+    *         pairs absent
+    */
+  def multiSourceLevels(a: GrbMatrix, sources: Seq[Long],
+      maxIter: Int = 100): org.apache.spark.sql.DataFrame = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"msbfs adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.spark
+    val hop = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("i")).cache(),
+      a.nrows, a.ncols)
+    val srcRows = sources.distinct.map(s => (s, s, 0L))
+    var res: org.apache.spark.sql.DataFrame = spark
+      .createDataFrame(srcRows).toDF("s", "i", "d").localCheckpoint(true)
+    var frontier = res.select(col("s"), col("i"))
+    var prevRes = Iterate.checkpointRdd(res)
+    var prevNext: Option[org.apache.spark.rdd.RDD[_]] = None
+    var k = 0L
+    var n = srcRows.size.toLong
+    while (n > 0 && k < maxIter) {
+      k += 1
+      // F·A: contract the frontier's vertex column against the
+      // adjacency's row key — every source's expansion in one product
+      val f = new GrbMatrix(
+        frontier.select(col("s").as("i"), col("i").as("j"), lit(1L).as("v")),
+        a.nrows, a.nrows)
+      val prod = f.mxm(hop, Ops.plusPair).df
+      val next = prod.select(col("i").as("s"), col("j").as("i"))
+        .join(res.select(col("s"), col("i")), Seq("s", "i"), "left_anti")
+        .localCheckpoint(true)
+      val nextRdd = Iterate.checkpointRdd(next)
+      n = next.count()
+      if (n > 0) {
+        val nextRes = res.unionByName(
+          next.select(col("s"), col("i"), lit(k).as("d"))).localCheckpoint(true)
+        prevRes.foreach(_.unpersist(false))
+        prevNext.foreach(_.unpersist(false))
+        prevRes = Iterate.checkpointRdd(nextRes)
+        prevNext = nextRdd
+        res = nextRes
+        frontier = next
+      } else {
+        nextRdd.foreach(_.unpersist(false))
+      }
+    }
+    hop.df.unpersist(false)
+    res
+  }
+
   /** Single-source shortest paths over positive edge weights — the
     * weighted sibling of [[levels]]: the identical min_plus round, but
     * the mult leg adds the EDGE WEIGHT instead of a unit hop

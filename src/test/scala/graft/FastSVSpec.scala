@@ -92,6 +92,20 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("multi-source BFS: each notebook-graph source gets its own level map, cross-component absent") {
+    val a = matFromEdges(notebookEdges, 12L)
+    val got = graft.algo.Bfs.multiSourceLevels(a, Seq(0L, 6L, 9L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // source 0's map == the single-source test; 6 and 9 stay inside
+    // their own components — no (s, i) pair crosses components
+    assert(got.filter(_._1._1 == 0L).map { case ((_, i), d) => i -> d } ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+    assert(got.filter(_._1._1 == 6L).map { case ((_, i), d) => i -> d } ==
+      Map(6L -> 0L, 7L -> 1L, 8L -> 1L))
+    assert(got.filter(_._1._1 == 9L).map { case ((_, i), d) => i -> d } ==
+      Map(9L -> 0L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("stress centrality: diamond hand-computed, pendant tail carries flow") {
     // same diamond+pendant as the σ test. Continuation counts D:
     // D(4)=0, D(3)=1, D(1)=D(2)=1+D(3)=2, D(0)=2·(1+2)=6.
