@@ -1364,6 +1364,10 @@ object Queries {
     // co-occurrence); same linear explode + hash-agg + per-occurrence
     // join shape
     "p_bigram_rarity" -> ((s, dir) => TextStats.bigramRarity(pq(s, dir, "documents"))),
+    // top-k vocabulary + cumulative coverage (tokenizer prep):
+    // histogram-ranked — no corpus-wide window (the giant cf=1 tail
+    // never ranks; see TextStats.vocabulary scale note)
+    "p_vocab" -> ((s, dir) => TextStats.vocabulary(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
     "p_sample" -> ((s, dir) =>
       Sampling.deterministicSample(pq(s, dir, "documents"), col("text"), 10)
@@ -2039,6 +2043,16 @@ object Queries {
     "p_stream_topk" -> stratifiedSampleSql,
     // two-level ledger rollup == one-pass draw (monotone hash-least)
     "p_sample_ledger" -> stratifiedSampleSql,
+    // vocabulary oracle: the naive total-order ROW_NUMBER the engine's
+    // histogram rank must equal exactly (ties broken by token asc)
+    "p_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk FROM documents),
+         cf AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+         tt AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM cf),
+         r AS (SELECT tk, cf, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, tk ASC) AS BIGINT) AS rank FROM cf)
+         SELECT rank, tk, cf,
+                CAST(FLOOR(1000000.0 * (SUM(cf) OVER (ORDER BY rank ASC)) / CAST((SELECT total FROM tt) AS DOUBLE)) AS BIGINT) AS cum_ppm
+         FROM r QUALIFY rank <= 10""",
     // rarity ppm floors the SAME double division Spark runs (integer
     // // could disagree by one near-integer quotients)
     "p_rarity" ->

@@ -161,6 +161,48 @@ object TextStats {
         min(col("ppm")).as("min_bg_ppm"))
   }
 
+  /** Vocabulary construction — the tokenizer-prep operator: the top-k
+    * corpus tokens by frequency (ties broken by token, so the cut is
+    * total-order deterministic) with cumulative corpus coverage in
+    * floored ppm — the "how many tokens cover 95% of the corpus"
+    * curve that sizes a vocabulary.
+    *
+    * Scale design — NO corpus-wide window anywhere (the
+    * lengthQuantiles discipline): rank = (#tokens in strictly-more-
+    * frequent groups) + within-group position. The first term comes
+    * from a cumulative window over the FREQUENCY HISTOGRAM (distinct
+    * cf values — O(√corpus) under Zipf, a few thousand rows at any
+    * size); the second from a window PARTITIONED by cf, run only on
+    * the groups that can still reach top-k (`above < k` prunes the
+    * long tail BEFORE the window, so the giant cf=1 group never
+    * ranks). The coverage window then runs over ≤ k kept rows. A
+    * naive ROW_NUMBER over the full vocabulary — what the oracle
+    * does — would single-partition millions of rows at corpus scale.
+    */
+  def vocabulary(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cf = docs.select(explode(toks(col("text"))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("cf"))
+    val hist = cf.groupBy("cf").agg(count(lit(1)).as("nv"))
+    val wCum = w.orderBy(col("cf").desc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    val base = hist.withColumn("above",
+      coalesce(sum(col("nv")).over(wCum), lit(0L)))
+    val keptCf = base.filter(col("above") < k)
+    val wIn = w.partitionBy("cf").orderBy(col("tk").asc)
+    val ranked = cf.join(keptCf.select("cf", "above"), Seq("cf"))
+      .withColumn("rank", col("above") + row_number().over(wIn))
+      .filter(col("rank") <= k)
+    val tot = cf.agg(sum(col("cf")).as("total"))
+    val wCov = w.orderBy(col("rank").asc)
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("cum_ppm",
+        floor(lit(1000000.0d) * sum(col("cf")).over(wCov)
+          / col("total").cast("double")).cast(LongType))
+      .select(col("rank").cast(LongType).as("rank"), col("tk"),
+        col("cf"), col("cum_ppm"))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, single punctuation —
     * the standard cheap proxy for subword token counts.
     */

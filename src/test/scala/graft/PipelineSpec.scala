@@ -45,6 +45,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("vocabulary: histogram rank equals total-order rank across a straddling tie group") {
+    // cf: a=5, b=c=d=3 (tie group straddles the k=3 cut), e=1
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "a a a b b c"),
+      (1L, "a a b c c d"),
+      (2L, "d d e"))).toDF("doc_id", "text")
+    val r = TextStats.vocabulary(corpus, k = 3).collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[String]("tk"),
+        x.getAs[Long]("cf"), x.getAs[Long]("cum_ppm"))).sortBy(_._1)
+    assert(r === Seq(
+      (1L, "a", 5L, 333333L),  // floor(1e6*5/15)
+      (2L, "b", 3L, 533333L),  // floor(1e6*8/15)
+      (3L, "c", 3L, 733333L))) // floor(1e6*11/15); d cut by tk order
+  }
+
   test("minhash ledger probe: corpus near-dup hits all bands, fresh doc hits none") {
     val corpus = spark.createDataFrame(Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),
