@@ -1368,6 +1368,11 @@ object Queries {
     // histogram-ranked — no corpus-wide window (the giant cf=1 tail
     // never ranks; see TextStats.vocabulary scale note)
     "p_vocab" -> ((s, dir) => TextStats.vocabulary(pq(s, dir, "documents"))),
+    // per-doc OOV rate against the top-k vocabulary (broadcast probe)
+    "p_oov" -> ((s, dir) => TextStats.oovRate(pq(s, dir, "documents"))),
+    // count-based bigram LM: per bigram its count, w1 marginal, and
+    // conditional ppm — one explode + two hash aggs + one w1 join
+    "p_bigram_lm" -> ((s, dir) => TextStats.bigramModel(pq(s, dir, "documents"))),
     "p_tfidf_stats" -> ((s, dir) => TextStats.termFrequencies(pq(s, dir, "documents"))),
     "p_sample" -> ((s, dir) =>
       Sampling.deterministicSample(pq(s, dir, "documents"), col("text"), 10)
@@ -2053,6 +2058,30 @@ object Queries {
          SELECT rank, tk, cf,
                 CAST(FLOOR(1000000.0 * (SUM(cf) OVER (ORDER BY rank ASC)) / CAST((SELECT total FROM tt) AS DOUBLE)) AS BIGINT) AS cum_ppm
          FROM r QUALIFY rank <= 10""",
+    // OOV oracle: vocabulary CTE (same rank formula), per-occurrence
+    // left join, the shared single-double-division ppm
+    "p_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         cf AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+         r AS (SELECT tk, ROW_NUMBER() OVER (ORDER BY cf DESC, tk ASC) AS rank FROM cf),
+         v AS (SELECT tk FROM r WHERE rank <= 10)
+         SELECT tok.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                CAST(FLOOR(1000000.0 * SUM(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END)
+                           / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS oov_ppm
+         FROM tok LEFT JOIN v ON v.tk = tok.tk
+         GROUP BY 1""",
+    // bigram-LM oracle: pair counts, w1 marginal re-aggregated from
+    // the pair frame, identical conditional-ppm division
+    "p_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         bg AS (SELECT unnest(list_transform(range(len(toks) - 1), x -> [toks[x+1], toks[x+2]])) AS b FROM t),
+         c12 AS (SELECT b[1] AS w1, b[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
+         SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+                CAST(FLOOR(1000000.0 * c12.c12 / CAST(c1.c1 AS DOUBLE)) AS BIGINT) AS cond_ppm
+         FROM c12 JOIN c1 ON c1.w1 = c12.w1""",
     // rarity ppm floors the SAME double division Spark runs (integer
     // // could disagree by one near-integer quotients)
     "p_rarity" ->

@@ -203,6 +203,51 @@ object TextStats {
         col("cf"), col("cum_ppm"))
   }
 
+  /** Per-document out-of-vocabulary rate against the [[vocabulary]]
+    * top-k — the signal that decides whether a vocabulary (or the
+    * corpus slice) is usable: n_tokens, n_oov, oov_ppm per doc. The
+    * vocabulary is top-k small by construction, so it broadcasts;
+    * the probe is a per-occurrence broadcast left join + one doc
+    * hash aggregate — linear, no shuffle beyond the doc rollup.
+    */
+  def oovRate(docs: DataFrame, k: Int = 10): DataFrame = {
+    val vocab = vocabulary(docs, k).select(col("tk")).withColumn("_v", lit(1L))
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      .join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        floor(lit(1000000.0d) * col("n_oov") / col("n_tokens").cast("double"))
+          .cast(LongType).as("oov_ppm"))
+  }
+
+  /** Count-based bigram language model — the estimation half of the
+    * rarity/perplexity family: per observed bigram (w1, w2) its count,
+    * the w1 marginal, and the conditional P(w2|w1) in floored ppm.
+    * The marginal comes from re-aggregating the bigram frame itself
+    * (never a second corpus scan), so the whole operator is one
+    * explode + two hash aggregates + one equi-join on w1 — linear in
+    * token occurrences, output bounded by distinct bigrams.
+    */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    // sequence(0, n-2) DESCENDS when n < 2 (Spark fills stop < start
+    // with step -1) — guard single-token docs to an empty bigram list
+    val bg = docs.select(
+      explode(when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          x => struct(element_at(t, x + 1).as("w1"), element_at(t, x + 2).as("w2"))))
+        .otherwise(array())).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        floor(lit(1000000.0d) * col("c12") / col("c1").cast("double"))
+          .cast(LongType).as("cond_ppm"))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, single punctuation —
     * the standard cheap proxy for subword token counts.
     */

@@ -60,6 +60,35 @@ class PipelineSpec extends SparkSpec {
       (3L, "c", 3L, 733333L))) // floor(1e6*11/15); d cut by tk order
   }
 
+  test("bigram LM: pair counts, marginals, conditional ppm; single-token doc contributes nothing") {
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "a b a b c"),
+      (1L, "x"))).toDF("doc_id", "text") // 1 token -> no bigrams
+    val r = TextStats.bigramModel(corpus).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getAs[Long]("c12"), x.getAs[Long]("c1"), x.getAs[Long]("cond_ppm")))).toMap
+    assert(r === Map(
+      ("a", "b") -> ((2L, 2L, 1000000L)),
+      ("b", "a") -> ((1L, 2L, 500000L)),
+      ("b", "c") -> ((1L, 2L, 500000L))))
+  }
+
+  test("OOV rate flags tokens outside the top-k vocabulary") {
+    // cf: a=4, b=3, c=2, d=1 -> k=2 vocab {a, b}; doc 1 is 2/4 OOV
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "a a a b b"),
+      (1L, "a b c d"),
+      (2L, "c"))).toDF("doc_id", "text")
+    val r = TextStats.oovRate(corpus, k = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_oov"),
+          x.getAs[Long]("oov_ppm")))).toMap
+    assert(r === Map(
+      0L -> ((5L, 0L, 0L)),
+      1L -> ((4L, 2L, 500000L)),
+      2L -> ((1L, 1L, 1000000L))))
+  }
+
   test("minhash ledger probe: corpus near-dup hits all bands, fresh doc hits none") {
     val corpus = spark.createDataFrame(Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),
