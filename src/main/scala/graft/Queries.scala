@@ -303,6 +303,28 @@ object Queries {
     s"""WITH ${spCountChainSql(rounds)}
        SELECT n AS i, d, sigma FROM v$rounds"""
 
+  /** q_pseudo_diam oracle: two unrolled BFS chains — the second's
+    * source is the first's (max level, min id) row
+    */
+  private def doubleSweepSql(rounds: Int): String = {
+    def chain(pfx: String, f0: String) = {
+      val steps = (1 to rounds).map { k =>
+        val p = s"$pfx${k - 1}"
+        s"""$pfx$k AS MATERIALIZED (SELECT n, MIN(l) AS l FROM (
+              SELECT * FROM $p
+              UNION ALL
+              SELECT e.b AS n, f.l + 1 AS l FROM edges e JOIN $p f ON f.n = e.a) GROUP BY 1)"""
+      }.mkString(",\n")
+      s"$f0,\n$steps"
+    }
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       ${chain("fa", "fa0 AS MATERIALIZED (SELECT MIN(a) AS n, CAST(0 AS BIGINT) AS l FROM e0)")},
+       far AS MATERIALIZED (SELECT n FROM fa$rounds ORDER BY l DESC, n ASC LIMIT 1),
+       ${chain("fb", s"fb0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS l FROM far)")}
+       SELECT n AS i, CAST(l AS BIGINT) AS v FROM fb$rounds"""
+  }
+
   /** q_msbfs oracle: the min_plus fixpoint with a source column —
     * every source's frontier folds in the same round set
     */
@@ -667,6 +689,26 @@ object Queries {
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       SpCount.counts(A, src)
+    }),
+
+    // pseudo-diameter double sweep: BFS from an arbitrary vertex,
+    // re-sweep from the farthest found (max level, min-id tie-break —
+    // a deterministic 1-row driver take); the second sweep's
+    // eccentricity is the standard diameter lower bound, and its
+    // level map is the output
+    "q_pseudo_diam" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val bounds = e0.agg(min(col("a")), max(col("b"))).collect()(0) // 1-row driver agg
+      val (src, n) = (bounds.getLong(0), bounds.getLong(1) + 1L)
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      val far = Bfs.levels(A, src).df
+        .orderBy(col("v").desc, col("i").asc).limit(1)
+        .collect()(0).getLong(0) // 1-row driver take
+      Bfs.levels(A, far).df
     }),
 
     // multi-source BFS — the matrix-frontier idiom: 4 traversals
@@ -1073,6 +1115,7 @@ object Queries {
     "q_spcount" -> spCountFixpointSql(40),
     "q_stress" -> stressFixpointSql(40),
     "q_msbfs" -> msBfsFixpointSql(40),
+    "q_pseudo_diam" -> doubleSweepSql(40),
     "q_sssp" -> minPlusFixpointSql(45, weighted = true),
     "q_pagerank" -> prFixpointSql(10),
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges
