@@ -45,9 +45,19 @@ object BucketedCoo {
     * and return the bucket-aware read-back frame.
     */
   def saveLoad(spark: SparkSession, df: DataFrame, name: String, key: String,
-      buckets: Int, root: String = defaultRoot): DataFrame = {
+      buckets: Int, root: String = defaultRoot): DataFrame =
+    saveLoadKeys(spark, df, name, Seq(key), buckets, root)
+
+  /** multi-key variant — for frames probed on a composite key (e.g.
+    * the minhash signature ledger's (band, sig)): bucketing on the
+    * full join key set lets the probe plan with no exchange on the
+    * persisted side.
+    */
+  def saveLoadKeys(spark: SparkSession, df: DataFrame, name: String,
+      keys: Seq[String], buckets: Int, root: String = defaultRoot): DataFrame = {
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", s"$root/$name")
       .saveAsTable(name)
     spark.table(name)

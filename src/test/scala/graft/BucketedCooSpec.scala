@@ -97,6 +97,46 @@ class BucketedCooSpec extends SparkSpec {
     }
   }
 
+  test("bucketed minhash ledger probes without a ledger-side exchange (composite key)") {
+    import graft.pipeline.TextDedup
+    val corpus = spark.createDataFrame(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again today"),
+      (1L, "completely different corpus content about distributed engines")))
+      .toDF("doc_id", "text")
+    val batch = spark.createDataFrame(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "unrelated fresh arrival text mentioning nothing familiar")))
+      .toDF("doc_id", "text")
+    val plainLedger = TextDedup.minhashLedger(corpus)
+    val ledger = BucketedCoo.saveLoadKeys(spark, plainLedger,
+      "graft_spec_mh_ledger", Seq("band", "sig"), 4)
+
+    val plainR = TextDedup.nearDupAgainstLedger(plainLedger, batch)
+      .collect().map(_.toString).sorted.toSeq
+    val bucketedR = TextDedup.nearDupAgainstLedger(ledger, batch)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bucketedR == plainR)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+      val plain = TextDedup.nearDupAgainstLedger(plainLedger, batch)
+      val bucketed = TextDedup.nearDupAgainstLedger(ledger, batch)
+      assert(exchanges(bucketed) < exchanges(plain))
+      val planStr = bucketed.queryExecution.executedPlan.toString
+      assert(planStr.contains("graft_spec_mh_ledger"), s"ledger scan missing:\n$planStr")
+      assert(planStr.contains("SelectedBucketsCount") || planStr.contains("Bucketed: true"),
+        s"ledger scan not bucket-aware:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("saveLoad replaces a previous table of the same name") {
     val first = coo(Seq((0L, 0L, 1L)))
     val second = coo(Seq((5L, 6L, 7L), (8L, 9L, 10L)))
