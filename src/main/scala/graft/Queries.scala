@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, KCore, LabelProp, Mis, PageRank, PregelCC, SpCount}
+import graft.algo.{Bfs, Coloring, FastSV, KCore, KTruss, LabelProp, Mis, PageRank, PregelCC, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -830,6 +830,23 @@ object Queries {
             .cast(LongType).as("cc_ppm"))
     }),
 
+    // k-truss decomposition (k=4): iterated triangle-support pruning
+    // on the same co-occurrence graph — one masked plus_pair mxm per
+    // round (algo/KTruss.scala)
+    "q_ktruss" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
+        .distinct()
+      val e = li.select(col("o"), col("p").as("a"))
+        .join(li.select(col("o"), col("p").as("b")), Seq("o"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("i"), col("b").as("j")).distinct()
+        .withColumn("v", lit(1L))
+      val n = li.agg(max(col("p"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val sym = e.unionByName(e.select(col("j").as("i"), col("i").as("j"), col("v")))
+      KTruss.ktruss(GrbMatrix.fromDF(sym, n, n), k = 4L)
+    }),
+
     // Vector.new: an empty collection is the additive identity of
     // ewise_add (§2.1 row 1)
     "q_empty_new" -> ((s, dir) => {
@@ -1126,6 +1143,25 @@ object Queries {
          e AS (SELECT DISTINCT a.p AS i, b.p AS j FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)
          SELECT CAST(COUNT(*) AS BIGINT) AS v
          FROM e e1 JOIN e e2 ON e2.i = e1.j JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j""",
+    // k-truss oracle: 5 unrolled support-prune rounds (fixpoint ≤3 at
+    // every shipped SF, idempotent past it); final support computed on
+    // the fixpoint edge set
+    "q_ktruss" -> {
+      val rounds = 5
+      val steps = (1 to rounds).map { t =>
+        val p = s"sy${t - 1}"
+        s"""s$t AS MATERIALIZED (SELECT a.i AS i, b.j AS j, CAST(COUNT(*) AS BIGINT) AS sup
+              FROM $p a JOIN $p b ON b.i = a.j JOIN $p c ON c.i = a.i AND c.j = b.j
+              GROUP BY 1, 2),
+           sy$t AS MATERIALIZED (SELECT i, j FROM s$t WHERE sup >= 2)"""
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+                     FROM lineitem WHERE l_orderkey < 2000),
+         e AS (SELECT DISTINCT a.p AS i, b.p AS j FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         sy0 AS MATERIALIZED (SELECT i, j FROM e UNION ALL SELECT j AS i, i AS j FROM e),
+         $steps
+         SELECT i, j, sup FROM s$rounds WHERE sup >= 2 AND i < j"""
+    },
     // per-vertex clustering: triangles at v via wedge closure over the
     // symmetric adjacency, degree from the same adjacency; the ppm
     // division mirrors the engine's single-double-division expression

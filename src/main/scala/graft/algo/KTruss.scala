@@ -1,0 +1,62 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** k-truss decomposition — the triangle-cohesion pruning loop (the
+  * LAGraph/GraphChallenge flagship alongside triangle counting): keep
+  * exactly the edges supported by ≥ k−2 triangles among surviving
+  * edges, iterating because each drop can strip support from its
+  * neighbours. The fixpoint is the maximal subgraph where every edge
+  * closes k−2 triangles — the standard community-core sharper than
+  * k-core (degree can be faked by stars; triangles cannot).
+  *
+  * Per round ONE masked plus_pair mxm — C⟨E⟩ = E·E on the symmetric
+  * surviving edge set gives every edge's common-neighbour count (its
+  * support) at triangle-counting cost, the identical plan shape as
+  * q_triangle/q_clustering — then a filter and a count. Support is
+  * symmetric, so filtering preserves the symmetric edge set.
+  * Convergence is count-stability: the kept set is always a subset of
+  * the round's input, so an unchanged count IS set equality (the
+  * KCore nvals-shrink argument). Measured on the bench co-occurrence
+  * graph: fixpoint in ≤3 rounds at every shipped SF; the oracle
+  * unrolls 5 (idempotent past the fixpoint).
+  *
+  * @param a symmetric adjacency (self-loops dropped); values ignored
+  * @return surviving strictly-upper edges (i, j, sup) with their
+  *         final support — sup ≥ k−2 everywhere by construction
+  */
+object KTruss {
+
+  def ktruss(a: GrbMatrix, k: Long, maxIter: Int = 50): DataFrame = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"ktruss adjacency must be square: ${a.nrows}x${a.ncols}")
+    require(k >= 3L, s"ktruss needs k >= 3, got $k")
+    var e: DataFrame = a.df.select(col("i"), col("j"))
+      .filter(col("i") =!= col("j")).localCheckpoint(true)
+    var prev = Iterate.checkpointRdd(e)
+    var n = e.count()
+    var sup: DataFrame = e.withColumn("v", lit(0L)).limit(0)
+    var done = n == 0L
+    var iter = 0
+    while (!done && iter < maxIter) {
+      iter += 1
+      val em = new GrbMatrix(e.withColumn("v", lit(1L)), a.nrows, a.ncols)
+      val c = em.mxm(em, Ops.plusPair, mask = Some(Mask.structural(em.df)))
+      val s = c.df.filter(col("v") >= k - 2).localCheckpoint(true)
+      val sRdd = Iterate.checkpointRdd(s)
+      val n2 = s.count()
+      prev.foreach(_.unpersist(false))
+      prev = sRdd
+      sup = s
+      // kept ⊆ input edges, so equal count == equal set == fixpoint
+      if (n2 == n) done = true
+      else { n = n2; e = s.select(col("i"), col("j")) }
+    }
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"graft.KTruss rounds=$iter")
+    sup.filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("v").as("sup"))
+  }
+}

@@ -92,6 +92,25 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("k-truss: weak triangle pruned, surviving supports recomputed on the fixpoint set") {
+    // K4 {0,1,2,3} + triangle {2,3,4}: at k=4, edges (2,4),(3,4) have
+    // support 1 and drop in round 1; edge (2,3) starts at support 3
+    // (the extra triangle through 4) but its FINAL support — computed
+    // on survivors — must be 2, like every other K4 edge
+    val a = matFromEdges(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L),
+      (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)), 6L)
+    val got = graft.algo.KTruss.ktruss(a, 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 1L) -> 2L, (0L, 2L) -> 2L, (0L, 3L) -> 2L,
+      (1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 2L))
+    // k=3 keeps the pendant triangle too, with its support of 1
+    val got3 = graft.algo.KTruss.ktruss(a, 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got3((2L, 4L)) === 1L && got3((3L, 4L)) === 1L && got3((2L, 3L)) === 3L)
+    assert(got3.size === 8)
+  }
+
   test("multi-source BFS: each notebook-graph source gets its own level map, cross-component absent") {
     val a = matFromEdges(notebookEdges, 12L)
     val got = graft.algo.Bfs.multiSourceLevels(a, Seq(0L, 6L, 9L)).collect()
