@@ -1494,6 +1494,11 @@ object Queries {
     "p_embed_clusters" -> ((s, dir) =>
       Similarity.embedClusters(pq(s, dir, "embeddings"), k = 16, lloydRounds = 2)),
     "p_sessionize" -> ((s, dir) => Events.sessionize(pq(s, dir, "events"))),
+    // cohort retention matrix: first-seen-day cohorts x day offsets
+    "p_retention" -> ((s, dir) => Events.retention(pq(s, dir, "events"))),
+    // strict ordered funnel: each stage's first event must follow the
+    // previous stage's — per-user scalar joins, no event sorting
+    "p_funnel" -> ((s, dir) => Events.funnel(pq(s, dir, "events"))),
     "p_event_window" -> ((s, dir) => Events.hourlyByType(pq(s, dir, "events"))),
     "p_user_profile" -> ((s, dir) => Events.userProfile(pq(s, dir, "events"))),
     // semi-structured payload extraction: explicit-schema from_json
@@ -2479,6 +2484,25 @@ object Queries {
          flagged AS (SELECT user_id, CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END AS ns FROM lagged)
          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(ns) AS BIGINT) AS n_sessions
          FROM flagged GROUP BY 1""",
+    "p_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+                           CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day FROM events),
+         c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+         SELECT CAST(c.cohort_day AS BIGINT) AS cohort_day,
+                CAST(d.day - c.cohort_day AS BIGINT) AS offset_days,
+                CAST(COUNT(*) AS BIGINT) AS n_users
+         FROM d JOIN c ON c.user_id = d.user_id
+         GROUP BY 1, 2""",
+    "p_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+         s1 AS (SELECT user_id, MIN(es) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.es) AS t FROM e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.es > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.es) AS t FROM e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.es > s2.t GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+         UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""",
     "p_event_window" ->
       """WITH e AS (SELECT CAST(FLOOR(CAST(epoch(date_trunc('second', ts)) AS BIGINT) / 3600) AS BIGINT) AS h,
                            event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events)

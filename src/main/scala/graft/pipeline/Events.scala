@@ -65,6 +65,57 @@ object Events {
     events.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Cohort retention — the standard growth-analytics matrix: users
+    * cohorted by first-seen day; for each (cohort_day, offset_days)
+    * the count of cohort members active that many days later.
+    * Plan: one (user, day) distinct, one per-user min (the cohort),
+    * one equi-join back on user, one hash aggregate — all linear,
+    * shuffles keyed on user then (cohort, offset). Day = floor
+    * epoch-seconds / 86400: pure integer, engine-exact.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"),
+      (epochS(events).cast(LongType) / 86400L).cast(LongType).as("day")).distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered funnel — strict stage progression per user: t1 = first
+    * stage-1 event, t2 = first stage-2 event STRICTLY AFTER t1, t3 =
+    * first stage-3 event strictly after t2 (a user who purchases
+    * before ever viewing does not convert — the ordering is the
+    * point, and what a naive per-type min gets wrong). Output one row
+    * per stage with the converting-user count.
+    *
+    * Plan: one conditional aggregate per stage with an equi-join on
+    * user between stages — stages × O(events) linear passes, no
+    * windows, no per-user event sorting (at 100 TB a sort-within-user
+    * window would shuffle the full log per stage; the conditional
+    * min + join shape ships only per-user scalars between stages).
+    */
+  def funnel(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val spark = events.sparkSession
+    val base = events.select(col("user_id"), col("event_type"),
+      epochS(events).cast(LongType).as("es"))
+    var converted = base.select(col("user_id")).distinct()
+      .withColumn("t", lit(Long.MinValue))
+    val counts = stages.map { st =>
+      val next = base.filter(col("event_type") === st)
+        .join(converted, Seq("user_id"))
+        .filter(col("es") > col("t"))
+        .groupBy("user_id").agg(min(col("es")).as("t"))
+      converted = next
+      st -> next
+    }
+    counts.zipWithIndex.map { case ((st, df), ix) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ix + 1L).as("stage"), lit(st).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Semi-structured property extraction + stats: `props` is a JSON
     * string (the universal event-payload shape); `from_json` with an
     * EXPLICIT schema parses it inside codegen (one pass, no schema

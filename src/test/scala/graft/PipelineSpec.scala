@@ -775,6 +775,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(32L), None, None))
   }
 
+  test("funnel: strict ordering — a purchase before the first view never converts") {
+    val ns = 1000000000L
+    val ev = spark.createDataFrame(Seq(
+      (1L, 10L * ns, 1L, "view", 0.0), (2L, 20L * ns, 1L, "click", 0.0),
+      (3L, 30L * ns, 1L, "purchase", 0.0),
+      // user 2 purchased BEFORE viewing: stages 1-2 pass, 3 must not
+      (4L, 5L * ns, 2L, "purchase", 0.0), (5L, 10L * ns, 2L, "view", 0.0),
+      (6L, 20L * ns, 2L, "click", 0.0),
+      // user 3 only clicks: no stage converts
+      (7L, 10L * ns, 3L, "click", 0.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.funnel(ev).collect()
+      .map(x => x.getAs[Long]("stage") -> x.getAs[Long]("n_users")).toMap
+    assert(r === Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("retention: cohort by first-seen day, offsets count returning users") {
+    val day = 86400L * 1000000000L
+    val ev = spark.createDataFrame(Seq(
+      (1L, 0L, 1L, "click", 0.0), (2L, 2L * day, 1L, "click", 0.0),
+      (3L, 10L, 2L, "view", 0.0),
+      (4L, 1L * day, 3L, "click", 0.0), (5L, 1L * day + 10L, 3L, "view", 0.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.retention(ev).collect()
+      .map(x => (x.getAs[Long]("cohort_day"), x.getAs[Long]("offset_days")) ->
+        x.getAs[Long]("n_users")).toMap
+    // users 1+2 cohort day 0 (u1 returns at offset 2); user 3 cohort day 1
+    assert(r === Map((0L, 0L) -> 2L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("sessionize splits on gap, counts events") {
     val ev = spark.createDataFrame(Seq(
       (1L, 100L * 1000000000L, 7L), // epoch-ns longs (nanosAsLong shape)
