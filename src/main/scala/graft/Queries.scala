@@ -1633,6 +1633,22 @@ object Queries {
       s.table(qname)
     }),
 
+    // streaming funnel: the strict-ordered conversion tracker as a
+    // per-user state machine (two longs of state per user at any
+    // ingest volume vs the batch path's per-stage log re-joins);
+    // drained reach rolls up to the batch counts on the sink side —
+    // shares p_funnel's oracle
+    "p_stream_funnel" -> ((s, dir) => {
+      val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
+      val qname = s"graft_stream_funnel_${System.nanoTime()}"
+      val q = EventsStream.funnelStages(src).toDF()
+        .writeStream.format("memory").queryName(qname).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      EventsStream.funnelCounts(s.table(qname))
+    }),
+
     // streaming Count-Min: the 32 KiB counter grid is the streaming
     // aggregation state (constant per source at any ingest volume —
     // the sketch answer to a streaming GROUP BY token); sum-merge
@@ -2556,6 +2572,17 @@ object Queries {
                 CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k,
                 CAST(MAX(k) AS BIGINT) AS max_k
          FROM x GROUP BY 1""",
+    // streaming funnel drains to the batch funnel's counts
+    "p_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+         s1 AS (SELECT user_id, MIN(es) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, MIN(e.es) AS t FROM e JOIN s1 ON s1.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.es > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, MIN(e.es) AS t FROM e JOIN s2 ON s2.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.es > s2.t GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+         UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+         UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""",
     "p_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
          lagged AS (SELECT user_id, es, LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC) AS prev FROM e),

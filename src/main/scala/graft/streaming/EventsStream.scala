@@ -102,6 +102,62 @@ object EventsStream {
       }
   }
 
+  final case class FunnelEvent(userId: Long, tpe: String, es: Long)
+  final case class FunnelState(stage: Int, t: Long)
+  final case class FunnelReach(userId: Long, stage: Long)
+
+  /** Streaming funnel — the strict-ordered conversion tracker as a
+    * per-user STATE MACHINE: state is (stage reached, time of that
+    * stage's event) — two longs per user at ANY ingest volume, where
+    * the batch formulation re-joins the full log per stage. Events
+    * are processed in event-time order within each microbatch; an
+    * event advances the machine iff it is the next stage's type and
+    * STRICTLY later than the previous stage's time — exactly the
+    * batch conditional-min recursion ([[graft.pipeline.Events
+    * .funnel]]), so the drained result is batch-equivalent and
+    * shares its oracle. Cross-batch arrivals must be in-order per
+    * user (the sessionize ingest contract): the machine never
+    * retracts.
+    */
+  def funnelStages(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelReach] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.withColumn("tsc", tsCol(events))
+      .select(col("user_id").as("userId"), col("event_type").as("tpe"),
+        unix_timestamp(col("tsc")).as("es"))
+      .as[FunnelEvent]
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelReach](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          rows.toSeq.sortBy(e => (e.es, e.tpe)).foreach { e =>
+            if (s.stage < stages.length && e.tpe == stages(s.stage) && e.es > s.t)
+              s = FunnelState(s.stage + 1, e.es)
+          }
+          state.update(s)
+          Iterator.single(FunnelReach(userId, s.stage.toLong))
+      }
+  }
+
+  /** sink-side rollup of [[funnelStages]]'s drained per-user reach to
+    * the batch funnel's (stage, event_type, n_users) rows: a user
+    * converting through stage s counts toward every stage ≤ s.
+    */
+  def funnelCounts(drained: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    // update mode emits one row per user per microbatch it fired in;
+    // stage is monotone, so max-per-user is the final reach even when
+    // AvailableNow split the drain across batches
+    val fin = drained.groupBy("userId").agg(max(col("stage")).as("stage"))
+    stages.zipWithIndex.map { case (st, ix) =>
+      fin.filter(col("stage") >= ix + 1L)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(ix + 1L).as("stage"), lit(st).as("event_type"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Batch-side activity-tier dimension for the stream-static
     * enrichment join: per-user lifetime event count bucketed into
     * 'heavy' / 'light' at `threshold`. One hash aggregate over the

@@ -93,6 +93,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: the state machine advances across microbatches, ordering stays strict") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventsStream.funnelStages(input.toDF()).toDF()
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode("update").start()
+    try {
+      // batch 1: u1 views; u2 purchases FIRST (must never convert
+      // stage 3 later), then views
+      input.addData(Ev(1, ns(10), 1, "view", 0.0),
+        Ev(2, ns(5), 2, "purchase", 0.0), Ev(3, ns(10), 2, "view", 0.0))
+      q.processAllAvailable()
+      // batch 2: u1 clicks then purchases (state carries the view);
+      // u2 clicks — stage 2, but its old purchase is gone for good
+      input.addData(Ev(4, ns(20), 1, "click", 0.0),
+        Ev(5, ns(30), 1, "purchase", 0.0), Ev(6, ns(20), 2, "click", 0.0))
+      q.processAllAvailable()
+      val counts = EventsStream.funnelCounts(spark.table("sfunnel")).collect()
+        .map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+      assert(counts === Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join merges tier totals across microbatches") {
     val spark2 = spark
     import spark2.implicits._
