@@ -197,6 +197,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(joined).contains("CartesianProduct"))
   }
 
+  test("funnel and retention stay window-free and equi-joined; vocabulary never ranks the tail") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val pf = plan(graft.pipeline.Events.funnel(events))
+    assert(!pf.contains("Window"), "funnel must not sort the log per user")
+    assert(!pf.contains("CartesianProduct"))
+    val pr = plan(graft.pipeline.Events.retention(events))
+    assert(!pr.contains("Window"))
+    assert(!pr.contains("CartesianProduct"))
+    // vocabulary: the only unpartitioned window runs over the cf
+    // HISTOGRAM (post-aggregate), and the within-group window is
+    // partitioned by cf — no window touches raw token occurrences
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pv = plan(TextStats.vocabulary(docs))
+    assert(pv.contains("Window"), "vocabulary uses bounded windows")
+    assert(!pv.contains("CartesianProduct") || pv.contains("BroadcastNestedLoopJoin"),
+      "only the broadcast 1-row total may nested-loop")
+  }
+
   test("minhash ledger probe: equi-join on (band, sig), never cartesian, scan pruned") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val ledger = TextDedup.minhashLedger(docs.filter(col("doc_id") % 4 =!= 0))
