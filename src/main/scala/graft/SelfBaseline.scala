@@ -180,7 +180,12 @@ object SelfBaseline {
         // plus_times sigma aggregation — the delta over bfs_sec is the
         // count-carrying premium
         val (nCounted, spSec) = timed(SpCount.counts(a, 0L).count())
-        println(f"""{"edges":$nEdges,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"triangle_sec":$triSec%.2f,"triangles":$nTri,"pagerank_sec":$prSec%.2f,"pagerank_mass":$prMass,"spcount_sec":$spSec%.2f,"spcount_reached":$nCounted}""")
+        // k-truss: rounds x the triangle-count mxm; the hash-random
+        // graph's sparse triangles make k=3 prune nearly everything,
+        // so this times the per-round support computation at scale
+        val (nTruss, ktSec) = timed(
+          graft.algo.KTruss.ktruss(a, 3L).count())
+        println(f"""{"edges":$nEdges,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"triangle_sec":$triSec%.2f,"triangles":$nTri,"pagerank_sec":$prSec%.2f,"pagerank_mass":$prMass,"spcount_sec":$spSec%.2f,"spcount_reached":$nCounted,"ktruss_sec":$ktSec%.2f,"ktruss_edges":$nTruss}""")
       }
       a.df.unpersist()
     }
