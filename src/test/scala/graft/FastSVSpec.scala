@@ -111,6 +111,64 @@ class FastSVSpec extends SparkSpec {
     assert(got3.size === 8)
   }
 
+  test("k-truss matches a driver-side support peel on random graphs") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val n = 12 + trial * 3
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (i.toLong, j.toLong)).toSet
+      // driver peel at k=4: recompute support on survivors, drop < 2
+      var cur = edges
+      var stable = false
+      var sup = Map.empty[(Long, Long), Int]
+      while (!stable) {
+        val adj = cur.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        sup = cur.map { case (u, v) =>
+          (u, v) -> (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size
+        }.toMap
+        val kept = cur.filter(e => sup(e) >= 2)
+        stable = kept == cur
+        cur = kept
+      }
+      val want = cur.map(e => e -> sup(e).toLong).toMap
+      val a = matFromEdges(edges.toSeq, n.toLong)
+      val got = graft.algo.KTruss.ktruss(a, 4L).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("multi-source BFS equals per-source driver BFS on random graphs") {
+    val rnd = new scala.util.Random(53)
+    val n = 18
+    val edges = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      if rnd.nextDouble() < 0.12
+    } yield (i.toLong, j.toLong)).toSeq
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def bfs(src: Long): Map[Long, Long] = {
+      var dist = Map(src -> 0L); var frontier = Set(src); var k = 0L
+      while (frontier.nonEmpty) {
+        k += 1
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(v => dist += v -> k)
+        frontier = next
+      }
+      dist
+    }
+    val sources = Seq(0L, 3L, 7L)
+    val want = sources.flatMap(s => bfs(s).map { case (v, d) => (s, v) -> d }).toMap
+    val a = matFromEdges(edges, n.toLong)
+    val got = graft.algo.Bfs.multiSourceLevels(a, sources).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
   test("multi-source BFS: each notebook-graph source gets its own level map, cross-component absent") {
     val a = matFromEdges(notebookEdges, 12L)
     val got = graft.algo.Bfs.multiSourceLevels(a, Seq(0L, 6L, 9L)).collect()
