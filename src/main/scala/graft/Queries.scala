@@ -1064,6 +1064,26 @@ object Queries {
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       LabelProp.communities(A, 7).df
     }),
+    // incremental CC maintenance: 90% of the events graph labels as
+    // the persisted base; the other 10% of edges arrive as a batch
+    // and merge through PregelCC.incremental's label contraction —
+    // the result must equal full-graph CC (the oracle), which is the
+    // correctness claim of the contraction
+    "q_cc_incremental" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem")
+      val offset = 1L << 20
+      val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val base0 = e0.filter((col("a") + col("b")) % 10 =!= 0)
+      val new0 = e0.filter((col("a") + col("b")) % 10 === 0)
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val baseEdges = base0.unionByName(base0.select(col("b").as("a"), col("a").as("b")))
+      val baseLabels = PregelCC.connectedComponents(GrbMatrix.fromDF(
+        baseEdges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n))
+      PregelCC.incremental(baseLabels,
+        new0.select(col("a").as("i"), col("b").as("j"))).df
+        .groupBy(col("v")).agg(count(lit(1)).as("n_nodes"))
+    }),
     "q_cc_events" -> ((s, dir) => {
       val li = pq(s, dir, "lineitem")
       val offset = 1L << 20
@@ -1270,6 +1290,8 @@ object Queries {
          lab AS (SELECT n AS i, CAST(MIN(l) AS BIGINT) AS v FROM cc GROUP BY 1)
          SELECT i, v FROM lab""",
     "q_cc_events" -> ccFixpointSql(12),
+    // the incremental merge must reproduce full-graph CC exactly
+    "q_cc_incremental" -> ccFixpointSql(12),
     "q_kcore" -> kcoreFixpointSql(6, 20),
     "q_lpa" -> lpaFixpointSql(7),
     "q_mis" -> misFixpointSql(16),

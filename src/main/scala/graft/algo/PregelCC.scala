@@ -62,4 +62,44 @@ object PregelCC {
     }
     new GrbVector(df, a.nrows)
   }
+
+  /** Incremental CC maintenance — the ingest-cycle pattern at scale:
+    * given an existing labeling (label = min member id, the
+    * [[connectedComponents]]/FastSV contract) and a batch of NEW
+    * edges, produce the union graph's labeling WITHOUT touching the
+    * base edge set. Each new edge contracts to a LABEL-space edge
+    * (L(u), L(v)); CC over that batch-sized graph merges whole
+    * components at once, and one equi-join relabels the old frame.
+    * Min-label composition is exact because labels ARE vertex ids:
+    * the min label of a merged cluster of labels is the min member id
+    * of the merged component. Endpoints unseen by the base labeling
+    * enter self-labeled (exactly how a fresh vertex starts in CC).
+    *
+    * Cost per cycle: O(batch) joins + CC on a graph whose size is
+    * bounded by the BATCH (≤ 2·|newEdges| label-vertices), never the
+    * corpus — at 100 TB the base labeling is a persisted frame
+    * (bucket it on `v` for the relabel join) and a 0.1% edge ingest
+    * pays 0.1%-sized work instead of a full recompute.
+    */
+  def incremental(labels: GrbVector, newEdges: org.apache.spark.sql.DataFrame): GrbVector = {
+    val verts = newEdges.select(col("i").as("n"))
+      .unionByName(newEdges.select(col("j").as("n"))).distinct()
+    val lab = verts.join(labels.df.select(col("i").as("n"), col("v")), Seq("n"), "left")
+      .select(col("n"), coalesce(col("v"), col("n")).as("l"))
+      .localCheckpoint(true) // feeds the contraction twice + the new-vertex union
+    val e2 = newEdges
+      .join(lab.select(col("n").as("i"), col("l").as("li")), Seq("i"))
+      .join(lab.select(col("n").as("j"), col("l").as("lj")), Seq("j"))
+      .select(col("li").as("i"), col("lj").as("j"))
+      .filter(col("i") =!= col("j"))
+    val sym = e2.unionByName(e2.select(col("j").as("i"), col("i").as("j")))
+      .withColumn("v", lit(1L))
+    val cc2 = connectedComponents(new GrbMatrix(sym, labels.size, labels.size)).df
+    val newVerts = lab.select(col("n").as("i"), col("l").as("v"))
+      .join(labels.df.select(col("i")), Seq("i"), "left_anti")
+    val all = labels.df.unionByName(newVerts)
+    val out = all.join(cc2.select(col("i").as("v"), col("v").as("v2")), Seq("v"), "left")
+      .select(col("i"), coalesce(col("v2"), col("v")).as("v"))
+    new GrbVector(out, labels.size)
+  }
 }

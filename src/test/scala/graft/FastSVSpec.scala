@@ -111,6 +111,23 @@ class FastSVSpec extends SparkSpec {
     assert(got3.size === 8)
   }
 
+  test("incremental CC: new edges merge components through label contraction; fresh vertices enter") {
+    val spark2 = spark
+    import spark2.implicits._
+    // base: {0,1,2} and {3,4}; batch: (2,3) merges them, (6,7) is a
+    // brand-new component never seen by the base labeling
+    val base = matFromEdges(Seq((0L, 1L), (1L, 2L), (3L, 4L)), 8L)
+    val labels = graft.algo.PregelCC.connectedComponents(base)
+    val newEdges = Seq((2L, 3L), (6L, 7L)).toDF("i", "j")
+    val got = labelsOf(graft.algo.PregelCC.incremental(labels, newEdges))
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      6L -> 6L, 7L -> 6L))
+    // and with an empty batch the labeling passes through unchanged
+    val got2 = labelsOf(graft.algo.PregelCC.incremental(labels,
+      Seq.empty[(Long, Long)].toDF("i", "j")))
+    assert(got2 === labelsOf(labels))
+  }
+
   test("k-truss matches a driver-side support peel on random graphs") {
     val rnd = new scala.util.Random(47)
     for (trial <- 1 to 3) {
