@@ -161,5 +161,6 @@ object Bench {
     "p_cms_tokens", "p_cms_ledger", "p_bloom_probe", "p_line_dedup",
     "p_pii_scan", "p_embed_clusters", "q_mis", "q_coloring", "p_curate", "p_bigram_rarity",
     "q_spcount", "q_clustering", "p_minhash_ledger", "p_stream_enrich",
-    "q_stress", "q_msbfs", "q_pseudo_diam", "p_bigram_lm", "q_ktruss")
+    "q_stress", "q_msbfs", "q_pseudo_diam", "p_bigram_lm", "q_ktruss",
+    "q_scc")
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, KCore, KTruss, LabelProp, Mis, PageRank, PregelCC, SpCount}
+import graft.algo.{Bfs, Coloring, FastSV, KCore, KTruss, LabelProp, Mis, PageRank, PregelCC, Scc, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -226,6 +226,59 @@ object Queries {
        c0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS color WHERE 1 = 0),
        $steps
        SELECT n AS i, CAST(color AS BIGINT) AS v FROM c$rounds"""
+  }
+
+  /** q_scc oracle: the forward/backward min-label block-refinement
+    * rounds of algo/Scc.scala unrolled — per OUTER round the active
+    * same-block edge set, an INNER unroll of synchronous min-label
+    * steps for f (min id reaching n) and b (min id n reaches) to
+    * fixpoint, then finalize f=b and refine blocks to (f, b). The
+    * min-label fixpoint is a lattice least-fixpoint (unique under any
+    * update order), so a fixed inner depth ≥ the in-block diameter
+    * reproduces the engine bit-for-bit, and extra rounds of either
+    * kind are idempotent (measured on the handoff graph: outer 2 /
+    * inner 5 worst-case across shipped SFs — 5/14 leaves wide
+    * margin). Edge CTE mirrors Events.handoffEdges: per-`props.k`
+    * timeline, second-truncated epochs, event_id tie-break, 1-hour
+    * handoff gap. Same MATERIALIZED discipline as ccStepsSql.
+    */
+  private def sccFixpointSql(outerRounds: Int, innerRounds: Int): String = {
+    val rounds = (1 to outerRounds).map { r =>
+      val prevSt = s"st${r - 1}"
+      val inner = (1 to innerRounds).map { d =>
+        val p = s"fb${r}_${d - 1}"
+        s"""fb${r}_$d AS MATERIALIZED (SELECT x.n, MIN(x.f) AS f, MIN(x.b) AS b FROM (
+             SELECT n, f, b FROM $p
+             UNION ALL SELECT e.v AS n, p2.f AS f, NULL AS b FROM ae$r e JOIN $p p2 ON p2.n = e.u
+             UNION ALL SELECT e.u AS n, NULL AS f, p2.b AS b FROM ae$r e JOIN $p p2 ON p2.n = e.v) x
+           GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""act$r AS MATERIALIZED (SELECT n, bf, bb FROM $prevSt WHERE NOT done),
+         ae$r AS MATERIALIZED (SELECT e.u, e.v FROM edges e
+           JOIN act$r su ON su.n = e.u JOIN act$r sv ON sv.n = e.v
+           WHERE su.bf = sv.bf AND su.bb = sv.bb),
+         fb${r}_0 AS MATERIALIZED (SELECT n, n AS f, n AS b FROM act$r),
+         $inner,
+         st$r AS MATERIALIZED (SELECT s.n,
+           COALESCE(x.f, s.bf) AS bf, COALESCE(x.b, s.bb) AS bb,
+           s.done OR x.f = x.b AS done,
+           CASE WHEN s.done THEN s.scc WHEN x.f = x.b THEN x.f END AS scc
+           FROM $prevSt s LEFT JOIN fb${r}_$innerRounds x ON x.n = s.n)"""
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (SELECT event_id, user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events),
+       sq AS MATERIALIZED (SELECT user_id, es,
+         LAG(user_id) OVER (PARTITION BY k ORDER BY es, event_id) AS pu,
+         LAG(es) OVER (PARTITION BY k ORDER BY es, event_id) AS pes
+         FROM ev WHERE k IS NOT NULL),
+       edges AS MATERIALIZED (SELECT DISTINCT pu AS u, user_id AS v FROM sq
+         WHERE pu IS NOT NULL AND pu <> user_id AND es - pes <= 3600),
+       nodes AS MATERIALIZED (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+       st0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS bf, CAST(0 AS BIGINT) AS bb,
+         FALSE AS done, CAST(NULL AS BIGINT) AS scc FROM nodes),
+       $rounds
+       SELECT n AS i, CAST(scc AS BIGINT) AS v FROM st$outerRounds"""
   }
 
   private def ccFixpointSql(rounds: Int): String = {
@@ -1102,7 +1155,14 @@ object Queries {
       // identical min-vertex-id labeling (FastSVSpec cross-checks).
       PregelCC.connectedComponents(A).df
         .groupBy(col("v")).agg(count(lit(1)).as("n_nodes"))
-    }))
+    }),
+    // strongly connected components of the DIRECTED user-handoff
+    // graph (who hands a shared resource to whom): forward/backward
+    // min-label coloring with block refinement — algo/Scc.scala.
+    // Output = per-user SCC label (min member id).
+    "q_scc" -> ((s, dir) =>
+      Scc.scc(Events.handoffEdges(pq(s, dir, "events")))
+        .select(col("n").as("i"), col("scc").as("v"))))
 
   val coreOracle: Map[String, String] = Map(
     "q_matrix_build" ->
@@ -1292,6 +1352,7 @@ object Queries {
     "q_cc_events" -> ccFixpointSql(12),
     // the incremental merge must reproduce full-graph CC exactly
     "q_cc_incremental" -> ccFixpointSql(12),
+    "q_scc" -> sccFixpointSql(5, 14),
     "q_kcore" -> kcoreFixpointSql(6, 20),
     "q_lpa" -> lpaFixpointSql(7),
     "q_mis" -> misFixpointSql(16),

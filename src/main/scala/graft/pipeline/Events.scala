@@ -116,6 +116,36 @@ object Events {
     }.reduce(_.unionByName(_))
   }
 
+  /** Directed user-handoff graph: for each `props.k` value (the
+    * shared-resource key of the event payload), order that resource's
+    * events by (epoch-second, event_id) and draw an edge from each
+    * event's user to the NEXT user touching the same resource within
+    * `gapSeconds` — who hands work to whom. Self-loops dropped,
+    * edges deduplicated. This is the directed input of [[graft.algo.Scc]]
+    * (q_scc): handoff cycles = working groups, the directed-graph
+    * analogue of the CC communities.
+    *
+    * Plan: one window over the (k)-partitioned event log (the shuffle
+    * key IS the resource key — at 100 TB each resource's timeline
+    * sorts independently) + one distinct on the edge pair. Ordering
+    * uses second-truncated epochs with the event_id tie-break, so the
+    * lag is engine-exact.
+    */
+  def handoffEdges(events: DataFrame, gapSeconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("es").asc, col("event_id").asc)
+    events.select(col("event_id"), col("user_id"),
+        epochS(events).cast(LongType).as("es"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("pu", lag(col("user_id"), 1).over(w))
+      .withColumn("pes", lag(col("es"), 1).over(w))
+      .filter(col("pu").isNotNull && col("pu") =!= col("user_id") &&
+        col("es") - col("pes") <= gapSeconds)
+      .select(col("pu").as("u"), col("user_id").as("v")).distinct()
+  }
+
   /** Semi-structured property extraction + stats: `props` is a JSON
     * string (the universal event-payload shape); `from_json` with an
     * EXPLICIT schema parses it inside codegen (one pass, no schema
