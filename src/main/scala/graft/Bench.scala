@@ -162,5 +162,5 @@ object Bench {
     "p_pii_scan", "p_embed_clusters", "q_mis", "q_coloring", "p_curate", "p_bigram_rarity",
     "q_spcount", "q_clustering", "p_minhash_ledger", "p_stream_enrich",
     "q_stress", "q_msbfs", "q_pseudo_diam", "p_bigram_lm", "q_ktruss",
-    "q_scc")
+    "q_scc", "p_stream_join")
 }

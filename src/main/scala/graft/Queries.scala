@@ -1716,6 +1716,23 @@ object Queries {
       s.table(qname)
     }),
 
+    // stream-stream interval join: view→click attribution within 1 h —
+    // both sides unbounded, state bounded by watermark + the two-sided
+    // time-range condition; drained pairs roll up per user and share
+    // the batch oracle's join semantics exactly
+    "p_stream_join" -> ((s, dir) => {
+      val staged = stagedEventsDir(dir)
+      val qname = s"graft_stream_join_${System.nanoTime()}"
+      val q = EventsStream.attributedPairs(
+          EventsStream.readEventsStream(s, staged),
+          EventsStream.readEventsStream(s, staged)).writeStream
+        .format("memory").queryName(qname).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      EventsStream.attributionCounts(s.table(qname))
+    }),
+
     // streaming funnel: the strict-ordered conversion tracker as a
     // per-user state machine (two longs of state per user at any
     // ingest volume vs the batch path's per-stage log re-joins);
@@ -2666,6 +2683,17 @@ object Queries {
          SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
          UNION ALL SELECT CAST(2 AS BIGINT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
          UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""",
+    // the interval join's matched-pair set, rolled up per user —
+    // second-truncated epochs in the predicate mirror the engine
+    "p_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
+         v AS (SELECT user_id, event_id AS view_id, es AS ves FROM e WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id AS click_id, es AS ces FROM e WHERE event_type = 'click'),
+         j AS (SELECT v.user_id, v.view_id, c.click_id FROM v JOIN c
+               ON c.user_id = v.user_id AND c.ces > v.ves AND c.ces <= v.ves + 3600)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views_attributed
+         FROM j GROUP BY 1""",
     "p_stream_sessions" ->
       """WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es FROM events),
          lagged AS (SELECT user_id, es, LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC, event_id ASC) AS prev FROM e),

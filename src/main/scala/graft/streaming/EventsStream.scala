@@ -191,6 +191,52 @@ object EventsStream {
       .groupBy("tier", "event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
 
+  /** Stream-stream interval join — attribution: each 'view' joined to
+    * the same user's 'click's landing STRICTLY after it and within
+    * `horizonSeconds`. The missing classic of the streaming family:
+    * both sides are unbounded, so Spark buffers each in join state
+    * and the WATERMARK + the two-sided time-range condition are what
+    * make that state reclaimable — a view older than watermark −
+    * horizon can never match a future click and is evicted, ditto
+    * consumed clicks; without the range bound the state is the whole
+    * history (Spark would reject the append-mode join outright).
+    *
+    * Timestamps are second-truncated BEFORE the join condition so the
+    * matched pair set is engine-exact (the Events.epochS rule applied
+    * to the join predicate). Inner join ⇒ every emitted pair is
+    * final — append output, batch-equivalent under any microbatch
+    * split (the file source may drain in several batches; pairs only
+    * ever emit once).
+    *
+    * Scale shape: state is per-user recent rows within the horizon —
+    * bounded by ingest RATE × horizon, not history; the join keys on
+    * user_id so both sides shuffle once per microbatch onto the same
+    * state-store partitioning.
+    */
+  def attributedPairs(views: DataFrame, clicks: DataFrame,
+      horizonSeconds: Long = 3600L): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withColumn("vts", date_trunc("second", tsCol(views)))
+      .withWatermark("vts", "2 hours")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("vts"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withColumn("cts", date_trunc("second", tsCol(clicks)))
+      .withWatermark("cts", "2 hours")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("cts"))
+    v.join(c, col("v_user") === col("c_user") &&
+        col("cts") > col("vts") &&
+        col("cts") <= col("vts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+  }
+
+  /** sink-side rollup of [[attributedPairs]] to per-user attribution
+    * counts: (user_id, n_pairs, n_views_attributed) — integers only.
+    */
+  def attributionCounts(drained: DataFrame): DataFrame =
+    drained.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("view_id")).as("n_views_attributed"))
+
   /** convenience: file-source stream over an events parquet directory */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

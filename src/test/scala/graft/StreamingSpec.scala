@@ -40,6 +40,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: strictly-after within horizon, cross-batch pairs match") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventsStream.attributedPairs(views.toDF(), clicks.toDF(),
+      horizonSeconds = 100L)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        Ev(1, ns(1000), 7, "view", 0.0),
+        Ev(2, ns(5000), 7, "view", 0.0),
+        Ev(3, ns(1000), 8, "view", 0.0))
+      clicks.addData(
+        Ev(10, ns(1000), 7, "click", 0.0),  // NOT after → no match
+        Ev(11, ns(1050), 7, "click", 0.0),  // within horizon → matches view 1
+        Ev(12, ns(1101), 7, "click", 0.0),  // 101 s later → outside horizon
+        Ev(13, ns(1050), 9, "click", 0.0))  // other user → no match
+      q.processAllAvailable()
+      // a second batch can still match an EARLIER view held in state
+      clicks.addData(Ev(14, ns(5080), 7, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+          r.getAs[Long]("click_id"))).toSet
+      assert(rows == Set((7L, 1L, 11L), (7L, 2L, 14L)))
+    } finally q.stop()
+  }
+
   test("streaming HLL registers merge across microbatches == batch sketch") {
     val spark2 = spark
     import spark2.implicits._
