@@ -50,8 +50,14 @@ object Coloring {
   def greedyColor(a: GrbMatrix, maxIter: Int = 200): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"coloring adjacency must be square: ${a.nrows}x${a.ncols}")
-    val adj = a.df.select(col("i"), col("j")).filter(col("i") =!= col("j"))
-      .repartition(col("j")).cache()
+    val spark = a.df.sparkSession
+    val raw = a.df.select(col("i"), col("j")).filter(col("i") =!= col("j"))
+      .cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
+    val adj = raw.repartition(width, col("j")).cache()
+    adj.count() // materialize before freeing the sizing pass's cache
+    raw.unpersist(false)
     // single state frame: (n, color) with color NULL while active
     var state: DataFrame = adj.select(col("i").as("n")).distinct()
       .withColumn("color", lit(null).cast("long"))
@@ -98,5 +104,6 @@ object Coloring {
     if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
       System.err.println(s"graft.Coloring rounds=$iter")
     new GrbVector(state.select(col("n").as("i"), col("color").as("v")), a.nrows)
+    } // withLoopWidth
   }
 }

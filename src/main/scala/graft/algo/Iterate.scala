@@ -87,4 +87,40 @@ object Iterate {
 
   /** truncate a DataFrame's lineage eagerly */
   def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Run `body` with `spark.sql.shuffle.partitions` sized for an
+    * iterative loop over ~`workRows` rows per round, restoring the
+    * session's setting afterwards.
+    *
+    * Why: the session-level width is sized for the suite's heaviest
+    * single aggregation (per-task hash state — Bench uses 4× cores,
+    * PERF_NOTES §5), but an iterative algorithm runs MANY small jobs:
+    * per round every exchange fans out map×reduce shuffle blocks and
+    * every eager checkpoint materializes one block per partition, so
+    * fixed cost scales with width × rounds. Measured on the sf0.1
+    * bipartite graph (1.2M nnz, warm JVM): kcore 30.1 s at width 128
+    * vs 8.5 s at 32; MIS 24.3 vs 13.7; LPA 26.3 vs 16.1 — a 2-3.5×
+    * tax AQE does not claw back (coalescing happens per-stage, but
+    * map-side block count and checkpoint block count follow the
+    * configured width).
+    *
+    * The rule a 100 TB cluster needs is the same one local[32] needs:
+    * width = max(cluster parallelism, workRows / rowsPerTask) — wide
+    * enough that every core works and per-task state stays bounded
+    * (~500k edge rows ≈ tens of MB), narrow enough that a 20-round
+    * loop is not 20 × (width × blocks) of scheduler and shuffle-fetch
+    * overhead. State rows per round are ≤ nnz for every loop here
+    * (frontier/survivor/label frames join against the adjacency), so
+    * nnz is the sizing input.
+    */
+  def withLoopWidth[T](spark: org.apache.spark.sql.SparkSession,
+      workRows: Long)(body: Int => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val width = math.min(math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      workRows / 500000L), 1000000L).toInt
+    spark.conf.set(key, width.toString)
+    try body(width) finally spark.conf.set(key, prev)
+  }
 }

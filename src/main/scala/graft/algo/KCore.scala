@@ -44,9 +44,18 @@ object KCore {
       shrinkThreshold: Long = 10000000L): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"kcore adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.df.sparkSession
+    // one pass to learn nnz (cached so the loop-width repartition below
+    // does not recompute the upstream), then the whole loop runs at a
+    // shuffle width sized for the loop's per-round work, not the
+    // session's heaviest-single-aggregate width (Iterate.withLoopWidth)
+    val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
     var A = new GrbMatrix(
-      a.df.select(col("i"), col("j"), lit(1L).as("v"))
-        .repartition(col("j")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
+    A.df.count() // materialize before freeing the sizing pass's cache
+    raw.unpersist(false)
     def coreDegree(s: GrbVector): GrbVector =
       A.mxv(s, Ops.plusPair, mask = Some(Mask.structural(s.df)),
         broadcastVec = false)
@@ -86,7 +95,7 @@ object KCore {
           .join(s.df.select(col("i").as("sb")), col("j") === col("sb"), "leftsemi")
           .select(col("i"), col("j"), col("v"))
         val nextA = new GrbMatrix(
-          shrunk.repartition(col("j")).cache(), a.nrows, a.ncols)
+          shrunk.repartition(width, col("j")).cache(), a.nrows, a.ncols)
         nextA.df.count() // materialize before dropping the old basis
         A.df.unpersist(false)
         A = nextA
@@ -97,6 +106,9 @@ object KCore {
       coreDegree(s).df.localCheckpoint(true), a.nrows)
     prev.foreach(_.unpersist(false))
     A.df.unpersist(false)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
+      System.err.println(s"graft.KCore rounds=$iter")
     out
+    } // withLoopWidth
   }
 }

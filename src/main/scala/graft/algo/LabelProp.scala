@@ -40,14 +40,22 @@ object LabelProp {
   def communities(a: GrbMatrix, rounds: Int = 7): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"lpa adjacency must be square: ${a.nrows}x${a.ncols}")
-    val adj = a.df.select(col("i"), col("j"))
-      .repartition(col("j")).cache()
-    val init = new GrbVector(
-      adj.select(col("i")).distinct()
-        .select(col("i"), col("i").cast("long").as("v")), a.nrows)
-    Iterate.vectorLoop(init, rounds) { (l, _) =>
-      new GrbVector(round(adj, l.df), a.nrows)
-    } { (_, _) => false } // fixed horizon — see scaladoc
+    val spark = a.df.sparkSession
+    val raw = a.df.select(col("i"), col("j")).cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
+      val adj = raw.repartition(width, col("j")).cache()
+      adj.count() // materialize before freeing the sizing pass's cache
+      raw.unpersist(false)
+      val init = new GrbVector(
+        adj.select(col("i")).distinct()
+          .select(col("i"), col("i").cast("long").as("v")), a.nrows)
+      val out = Iterate.vectorLoop(init, rounds) { (l, _) =>
+        new GrbVector(round(adj, l.df), a.nrows)
+      } { (_, _) => false } // fixed horizon — see scaladoc
+      adj.unpersist(false)
+      out
+    }
   }
 
   /** one synchronous vote/adopt step over labels (i, v) — exposed for

@@ -46,8 +46,14 @@ object Mis {
   def mis(a: GrbMatrix, maxIter: Int = 100): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"mis adjacency must be square: ${a.nrows}x${a.ncols}")
-    val adj = a.df.select(col("i"), col("j")).filter(col("i") =!= col("j"))
-      .repartition(col("j")).cache()
+    val spark = a.df.sparkSession
+    val raw = a.df.select(col("i"), col("j")).filter(col("i") =!= col("j"))
+      .cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
+    val adj = raw.repartition(width, col("j")).cache()
+    adj.count() // materialize before freeing the sizing pass's cache
+    raw.unpersist(false)
     var act: DataFrame = adj.select(col("i").as("n")).distinct()
       .localCheckpoint(true)
     var mis: DataFrame = act.filter(lit(false)).localCheckpoint(true)
@@ -95,5 +101,6 @@ object Mis {
     if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
       System.err.println(s"graft.Mis rounds=$iter")
     new GrbVector(mis.select(col("n").as("i"), lit(1L).as("v")), a.nrows)
+    } // withLoopWidth
   }
 }
