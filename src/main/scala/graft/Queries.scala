@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, KCore, KTruss, LabelProp, Mis, PageRank, PregelCC, Scc, SpCount}
+import graft.algo.{Bfs, Coloring, FastSV, KCore, KTruss, LabelProp, LinkPred, Mis, PageRank, PregelCC, Scc, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -381,7 +381,7 @@ object Queries {
   /** q_msbfs oracle: the min_plus fixpoint with a source column —
     * every source's frontier folds in the same round set
     */
-  private def msBfsFixpointSql(rounds: Int): String = {
+  private def msBfsChainSql(rounds: Int): String = {
     val steps = (1 to rounds).map { k =>
       val p = s"f${k - 1}"
       s"""f$k AS MATERIALIZED (SELECT s, n, MIN(l) AS l FROM (
@@ -389,12 +389,47 @@ object Queries {
             UNION ALL
             SELECT f.s, e.b AS n, f.l + 1 AS l FROM edges e JOIN $p f ON f.n = e.a) GROUP BY 1, 2)"""
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+    s"""e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
        edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
        s0 AS MATERIALIZED (SELECT DISTINCT a AS s FROM e0 ORDER BY a LIMIT 4),
        f0 AS MATERIALIZED (SELECT s, s AS n, CAST(0 AS BIGINT) AS l FROM s0),
-       $steps
+       $steps"""
+  }
+
+  private def msBfsFixpointSql(rounds: Int): String =
+    s"""WITH ${msBfsChainSql(rounds)}
        SELECT s, n AS i, CAST(l AS BIGINT) AS d FROM f$rounds"""
+
+  /** q_harmonic oracle: the msbfs chain folded to Σ floor(1e6/d) per
+    * source — every term an integer, so the centrality hash-matches.
+    */
+  private def harmonicSql(rounds: Int): String =
+    s"""WITH ${msBfsChainSql(rounds)}
+       SELECT s, CAST(SUM(1000000 // l) AS BIGINT) AS harmonic
+       FROM f$rounds WHERE l > 0 GROUP BY 1"""
+
+  /** q_ppr oracle: the seed-teleport integer recurrence unrolled —
+    * identical floor discipline to prFixpointSql, but the base term
+    * union-sums onto the seed row only and r0 is the seed's full
+    * mass (the frame stays sparse: round k covers the k-hop ball).
+    */
+  private def pprFixpointSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS MATERIALIZED (SELECT r.n AS n, CAST(r.r // d.d AS BIGINT) AS cv FROM $p r JOIN deg d ON d.n = r.n),
+         m$k AS MATERIALIZED (SELECT e.b AS n, CAST((85 * SUM(c.cv)) // 100 AS BIGINT) AS r
+           FROM edges e JOIN c$k c ON c.n = e.a GROUP BY 1),
+         r$k AS MATERIALIZED (SELECT n, CAST(SUM(r) AS BIGINT) AS r FROM (
+           SELECT * FROM m$k UNION ALL SELECT n, (SELECT bb FROM bs) AS r FROM s0) GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       deg AS MATERIALIZED (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+       s0 AS MATERIALIZED (SELECT MIN(a) AS n FROM e0),
+       bs AS MATERIALIZED (SELECT CAST(1000000 - (1000000 * 85) // 100 AS BIGINT) AS bb),
+       r0 AS MATERIALIZED (SELECT n, CAST(1000000 AS BIGINT) AS r FROM s0),
+       $steps
+       SELECT n AS i, r AS v FROM r$rounds"""
   }
 
   /** q_stress oracle: the forward chain, the one-level-descending dag,
@@ -811,6 +846,64 @@ object Queries {
       PageRank.ranks(A).df
     }),
 
+    // personalized PageRank — the seed-teleport sibling of q_pagerank
+    // (algo/PageRank.personalized): every round's teleport mass lands
+    // on one seed vertex, so the rank vector stays SPARSE (round k's
+    // support = the k-hop ball around the seed — the property that
+    // makes PPR tractable on graphs where global PageRank is not)
+    "q_ppr" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val bounds = e0.agg(min(col("a")), max(col("b"))).collect()(0) // 1-row driver agg
+      val (seed, n) = (bounds.getLong(0), bounds.getLong(1) + 1L)
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      PageRank.personalized(A, seed).df
+    }),
+
+    // harmonic centrality from 4 landmark sources — the msbfs
+    // distances folded to Σ 1/d in exact floor-ppm units
+    // (floor(1e6/d) per reached vertex, summed — integer-exact, so
+    // the statistic hash-matches across engines where the real-valued
+    // form cannot). One msbfs (all 4 traversals share every F·A
+    // product) + one hash aggregate on the source key.
+    "q_harmonic" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val srcs = e0.select(col("a")).distinct().orderBy(col("a").asc)
+        .limit(4).collect().map(_.getLong(0)).toSeq // 4-row driver take
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      Bfs.multiSourceLevels(A, srcs)
+        .filter(col("d") > 0)
+        .groupBy(col("s"))
+        .agg(sum(expr("1000000 DIV d")).cast(LongType).as("harmonic"))
+    }),
+
+    // link prediction on the part co-occurrence graph: common-
+    // neighbour count, Resource-Allocation index, and neighbour-set
+    // Jaccard from ONE packed plus_times mxm (algo/LinkPred — the
+    // dual-accumulator trick and the determinism discipline live
+    // there). Scored pairs = wedge-closure pairs at cn ≥ 2, i < j.
+    "q_linkpred" -> ((s, dir) => {
+      val li = pq(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").cast(LongType).as("p"))
+        .distinct()
+      val e = li.select(col("o"), col("p").as("a"))
+        .join(li.select(col("o"), col("p").as("b")), Seq("o"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("i"), col("b").as("j")).distinct()
+        .withColumn("v", lit(1L))
+      val n = li.agg(max(col("p"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val sym = e.unionByName(e.select(col("j").as("i"), col("i").as("j"), col("v")))
+      LinkPred.scores(GrbMatrix.fromDF(sym, n, n))
+    }),
+
     // single-source shortest paths — the weighted min_plus sibling of
     // q_bfs (algo/Bfs.sssp): edge weight = min line quantity, parallel
     // edges pre-combined with min
@@ -1212,9 +1305,27 @@ object Queries {
     "q_spcount" -> spCountFixpointSql(40),
     "q_stress" -> stressFixpointSql(40),
     "q_msbfs" -> msBfsFixpointSql(40),
+    "q_harmonic" -> harmonicSql(40),
     "q_pseudo_diam" -> doubleSweepSql(40),
     "q_sssp" -> minPlusFixpointSql(45, weighted = true),
     "q_pagerank" -> prFixpointSql(10),
+    "q_ppr" -> pprFixpointSql(10),
+    // the wedge join with both accumulators computed directly — COUNT
+    // mirrors the packed high bits, SUM(1e6 // deg z) the low 40
+    "q_linkpred" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+                     FROM lineitem WHERE l_orderkey < 2000),
+         e AS MATERIALIZED (SELECT DISTINCT a.p AS i, b.p AS j FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         sym AS MATERIALIZED (SELECT i, j FROM e UNION ALL SELECT j AS i, i AS j FROM e),
+         deg AS MATERIALIZED (SELECT i AS n, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+         wed AS (SELECT x.i AS i, y.j AS j, x.j AS z FROM sym x JOIN sym y ON y.i = x.j WHERE x.i < y.j),
+         agg AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS cn,
+                        CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra_ppm
+                 FROM wed JOIN deg dz ON dz.n = wed.z GROUP BY 1, 2)
+         SELECT a.i AS i, a.j AS j, a.cn AS cn, a.ra_ppm AS ra_ppm,
+                CAST((1000000 * a.cn) // (di.d + dj.d - a.cn) AS BIGINT) AS jaccard_ppm
+         FROM agg a JOIN deg di ON di.n = a.i JOIN deg dj ON dj.n = a.j
+         WHERE a.cn >= 2""",
     // wedge (i,j)-(j,k) closed by edge (i,k); strictly-upper edges
     // make each triangle a single (i<j<k) wedge+closure
     "q_triangle" ->
@@ -1563,6 +1674,18 @@ object Queries {
     // min-id representative sweep
     "p_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDuplicates(pq(s, dir, "embeddings"))),
+    // SemDeDup endgame: transitive closure over the semantic near-dup
+    // pairs (LSH-verified cosine ∪ identical-embedding star) — every
+    // vector in a semantic-duplicate cluster labeled with the
+    // cluster's min vec_id, the embedding-space sibling of
+    // p_dedup_clusters (same Pregel CC engine, different pair source)
+    "p_semantic_clusters" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(emb)
+        .select(col("a").as("i"), col("b").as("j"), lit(1L).as("v"))
+      val n = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      PregelCC.connectedComponents(GrbMatrix.fromDF(pairs, n, n)).df
+    }),
     "p_ann_ivf" -> ((s, dir) => Similarity.ivfPairs(pq(s, dir, "embeddings"))),
     // IVF-accelerated top-k search: the scale path beside p_ann_topk's
     // brute-force baseline (same output shape, probed-cells candidates)
@@ -2339,6 +2462,17 @@ object Queries {
          up AS (SELECT a, b FROM simv WHERE sim >= 0.4 UNION SELECT a, b FROM exp_)
          SELECT b AS vec_id, CAST(MIN(a) AS BIGINT) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_dups
          FROM up GROUP BY 1""",
+    // SemDeDup closure: the same pair source (LSH-verified ∪ exact
+    // star), hook+jump CC — label = min vec_id of the semantic cluster
+    "p_semantic_clusters" ->
+      s"""WITH $lshSimvSql,
+         exg AS (SELECT q, MIN(vec_id) AS a0 FROM en GROUP BY q HAVING COUNT(*) > 1),
+         exp_ AS (SELECT g.a0 AS a, e.vec_id AS b FROM exg g JOIN en e ON e.q = g.q AND e.vec_id > g.a0),
+         up AS (SELECT a, b FROM simv WHERE sim >= 0.4 UNION SELECT a, b FROM exp_),
+         edges AS MATERIALIZED (SELECT a, b FROM up UNION ALL SELECT b AS a, a AS b FROM up),
+         f0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edges),
+         ${ccStepsSql(10)}
+         SELECT n AS i, CAST(l AS BIGINT) AS v FROM f10""",
     // mirrors ivfPairs end-to-end: trained centroids (ivfScoredSql),
     // then 2-probe assignment + candidate join + exact-cosine verify
     "p_ann_ivf" ->

@@ -62,4 +62,53 @@ object PageRank {
     ones.df.unpersist(false)
     out
   }
+
+  /** Personalized PageRank: the same integer fixed-point recurrence,
+    * but every round's teleport mass lands on ONE seed vertex instead
+    * of being spread uniformly — the "similarity to this vertex"
+    * ranking used for recommendation and local community scoring
+    * (reference surface: the mxv/ewise/apply ops this composes are
+    * dask_grblas' matrix.py/vector.py public API).
+    *
+    * The rank vector stays SPARSE: round k's support is exactly the
+    * k-hop ball around the seed (mass diffuses like a BFS frontier),
+    * so early rounds touch a fraction of the graph — the reason PPR
+    * scales to huge graphs where global PageRank must touch every
+    * vertex every round. Vertices the mass never reaches are absent
+    * from the output (not zero rows), matching the sparse oracle.
+    *
+    * Determinism: identical floor-arithmetic discipline to [[ranks]]
+    * — contribution = r DIV degree, damped = (85·Σ) DIV 100, teleport
+    * = base only at the seed via a one-row ewise_add — every step
+    * integer, oracle-reproducible bit-for-bit.
+    */
+  def personalized(a: GrbMatrix, seed: Long, rounds: Int = 10,
+      dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = Scale): GrbVector = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"ppr adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.df.sparkSession
+    val ones = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("j")).cache(), a.nrows, a.ncols)
+    val deg = new GrbVector(
+      Iterate.truncate(ones.reduceRowwise(Ops.plusMonoid).df).cache(), a.nrows)
+    val base = scale - scale * dampNum / dampDen
+    // one-row frames: the seed's full starting mass and its per-round
+    // teleport refill (broadcast-joined by ewiseAdd's planner choice)
+    val init = new GrbVector(
+      spark.range(1).select(lit(seed).as("i"), lit(scale).as("v")), a.nrows)
+    val teleport = new GrbVector(
+      spark.range(1).select(lit(seed).as("i"), lit(base).as("v")), a.nrows)
+    val out = Iterate.vectorLoop(init, rounds) { (r, _) =>
+      val contrib = r.ewiseMult(deg, Ops.floordiv)
+      ones.mxv(contrib, Ops.plusTimes, broadcastVec = false)
+        .applyRight(Ops.times, lit(dampNum))
+        .applyRight(Ops.floordiv, lit(dampDen))
+        .ewiseAdd(teleport, Ops.plus)
+    } { (_, _) => false } // fixed round count
+    deg.df.unpersist(false)
+    ones.df.unpersist(false)
+    out
+  }
 }

@@ -226,6 +226,21 @@ object Similarity {
       .select(col("a"), col("vec_id").as("b"))
   }
 
+  /** The raw semantic near-duplicate PAIR set (a, b), a < b: LSH-
+    * verified cosine pairs at/above the milli-threshold UNIONed with
+    * the [[exactPairs]] identical-embedding star. This is the edge
+    * list both the min-id dedup sweep ([[embeddingNearDuplicates]])
+    * and the transitive-closure clustering (p_semantic_clusters)
+    * consume — computed once, shared by both decision layers.
+    */
+  def nearDupPairs(emb: DataFrame, simMilli: Int = 400,
+      bands: Int = 4, rowsPerBand: Int = 4, dims: Int = -1,
+      materialize: Boolean = true, maxBucket: Int = -1): DataFrame =
+    annPairs(emb, simMilli, bands, rowsPerBand, dims, materialize, maxBucket)
+      .select("a", "b")
+      .unionByName(exactPairs(emb))
+      .distinct()
+
   /** Embedding-cosine near-duplicate DEDUP decision — the semantic-
     * space member of the dedup family (exact / minhash / simhash work
     * on surface text; this one catches paraphrases that share no
@@ -253,10 +268,8 @@ object Similarity {
   def embeddingNearDuplicates(emb: DataFrame, simMilli: Int = 400,
       bands: Int = 4, rowsPerBand: Int = 4, dims: Int = -1,
       materialize: Boolean = true, maxBucket: Int = -1): DataFrame =
-    annPairs(emb, simMilli, bands, rowsPerBand, dims, materialize, maxBucket)
-      .select("a", "b")
-      .unionByName(exactPairs(emb))
-      .distinct()
+    nearDupPairs(emb, simMilli, bands, rowsPerBand, dims, materialize,
+      maxBucket)
       .groupBy(col("b").as("vec_id"))
       .agg(min(col("a")).as("dup_of"), count(lit(1)).as("n_dups"))
 

@@ -512,4 +512,72 @@ class FastSVSpec extends SparkSpec {
     val l = labelsOf(FastSV.connectedComponents(a))
     assert((0L until n).forall(l(_) == 0L))
   }
+
+  test("personalized PageRank matches a driver-side replay; support grows like the hop ball") {
+    // path graph 0—1—2—3, seed 0: after round 1 mass reaches only
+    // vertex 1 (plus the seed's teleport) — the sparse-frontier
+    // property — and after 10 rounds every vertex holds the exact
+    // integer recurrence value
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val a = matFromEdges(edges, 4L)
+    val one = labelsOf(graft.algo.PageRank.personalized(a, 0L, rounds = 1))
+    assert(one.keySet == Set(0L, 1L)) // round 1 = the 1-hop ball
+    val got = labelsOf(graft.algo.PageRank.personalized(a, 0L, rounds = 10))
+    // replay the recurrence on plain Maps with identical integer ops
+    val sym = edges.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val scale = graft.algo.PageRank.Scale
+    val base = scale - scale * 85L / 100L
+    var r = Map(0L -> scale)
+    for (_ <- 1 to 10) {
+      val contrib = r.collect { case (v, m) if deg.contains(v) => v -> m / deg(v) }
+      val moved = sym.filter(e => contrib.contains(e._1))
+        .groupBy(_._2).map { case (v, es) =>
+          v -> es.map(e => contrib(e._1)).sum * 85L / 100L }
+      r = (moved.keySet + 0L).map(v =>
+        v -> (moved.getOrElse(v, 0L) + (if (v == 0L) base else 0L))).toMap
+    }
+    assert(got == r)
+    assert(got(0L) > got(1L) && got(1L) > got(3L)) // mass decays with distance from the seed
+  }
+
+  test("harmonic fold over multi-source BFS distances is integer-exact") {
+    // notebook graph, sources 0 and 6 (different components): harmonic
+    // centrality = sum over reached vertices of floor(1e6 / d)
+    val a = matFromEdges(notebookEdges, 12L)
+    val got = graft.algo.Bfs.multiSourceLevels(a, Seq(0L, 6L))
+      .filter(col("d") > 0)
+      .groupBy(col("s")).agg(sum(expr("1000000 DIV d")).as("harmonic"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from 0: d(1)=d(2)=d(3)=1, d(4)=d(5)=2 -> 3*1e6 + 2*5e5
+    // from 6: d(7)=d(8)=1 -> 2*1e6
+    assert(got == Map(0L -> 4000000L, 6L -> 2000000L))
+  }
+
+  test("link prediction: packed mxm matches brute-force cn/RA/Jaccard on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(8)
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextInt(3) == 0
+      } yield (i.toLong, j.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val want = (for {
+          i <- adj.keys; j <- adj.keys if i < j
+          cn = (adj(i) & adj(j)).size.toLong if cn >= 2
+        } yield {
+          val ra = (adj(i) & adj(j)).toSeq.map(z => 1000000L / adj(z).size).sum
+          val jac = 1000000L * cn / (adj(i).size + adj(j).size - cn)
+          (i, j) -> ((cn, ra, jac))
+        }).toMap
+        val a = matFromEdges(edges, n.toLong)
+        val got = graft.algo.LinkPred.scores(a).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        assert(got == want, s"trial $trial edges=$edges")
+      }
+    }
+  }
 }

@@ -718,6 +718,27 @@ class PipelineSpec extends SparkSpec {
     assert(dups.contains((3L, 1L)) && dups.contains((4L, 2L)))
   }
 
+  test("semantic clusters: nearDupPairs closure groups cosine AND exact links transitively") {
+    // vecs ∪ an exact copy of vector 1 (id 4): the LSH-verified path
+    // links (0,1) at 900‰ and the exact star links (1,4) — the
+    // closure must label {0, 1, 4} with min-id 0 even though no
+    // single pair source connects all three; 2 and 3 stay apart
+    val emb = vecs.unionByName(vecs.sparkSession.createDataFrame(Seq(
+      (4L, Array(0.99f, 0.01f, 0f, 0f, 1.01f, 0f, 0f, 0f))))
+      .toDF("vec_id", "embedding"))
+    val pairs = Similarity.nearDupPairs(emb, simMilli = 900,
+      bands = 4, rowsPerBand = 2, dims = 8)
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ps.contains((0L, 1L)) && ps.contains((1L, 4L)))
+    assert(!ps.exists { case (a, b) => a == 2L || b == 2L || a == 3L || b == 3L })
+    val edges = pairs.select(col("a").as("i"), col("b").as("j"),
+      lit(1L).as("v"))
+    val labels = graft.algo.PregelCC.connectedComponents(
+      graft.core.GrbMatrix.fromDF(edges, 5L, 5L)).toValues
+      .map { case (i, v) => i -> v.asInstanceOf[Long] }.toMap
+    assert(labels(0L) == 0L && labels(1L) == 0L && labels(4L) == 0L)
+  }
+
   test("IVF ANN finds the near-parallel pair within a cell; never all-pairs") {
     // k=2 makes 0 and 1 their own centroids (separate cells) — the
     // 2nd probe is what catches the cross-cell boundary pair
