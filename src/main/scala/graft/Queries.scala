@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, KCore, KTruss, LabelProp, LinkPred, Mis, PageRank, PregelCC, Scc, SpCount}
+import graft.algo.{Bfs, Coloring, FastSV, Hits, KCore, KTruss, LabelProp, LinkPred, Mis, PageRank, PregelCC, Scc, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -454,6 +454,51 @@ object Queries {
        FROM v$rounds w JOIN dd$rounds b ON b.n = w.n"""
   }
 
+  /** q_betweenness oracle: the stress backward chain with the Brandes
+    * σ-ratio term — per dag edge floor(σᵤ·(10⁶ + δᵥ) // σᵥ), the
+    * identical per-edge floor the engine takes (SpCount.betweenness)
+    */
+  private def betweennessFixpointSql(rounds: Int): String = {
+    val back = (1 to rounds).map { t =>
+      s"""dd$t AS MATERIALIZED (
+            SELECT w.n, CAST(COALESCE(s.x, 0) AS BIGINT) AS dd
+            FROM v$rounds w LEFT JOIN (
+              SELECT dag.u AS n, SUM((dag.su * (1000000 + p.dd)) // dag.sv) AS x
+              FROM dag JOIN dd${t - 1} p ON p.n = dag.v GROUP BY 1) s ON s.n = w.n)"""
+    }.mkString(",\n")
+    s"""WITH ${spCountChainSql(rounds)},
+       dag AS MATERIALIZED (SELECT e.a AS u, e.b AS v, x.sigma AS su, y.sigma AS sv
+         FROM edges e
+         JOIN v$rounds x ON x.n = e.a JOIN v$rounds y ON y.n = e.b
+         WHERE y.d = x.d + 1),
+       dd0 AS MATERIALIZED (SELECT n, CAST(0 AS BIGINT) AS dd FROM v$rounds),
+       $back
+       SELECT w.n AS i, w.d, w.sigma, b.dd AS btw_ppm
+       FROM v$rounds w JOIN dd$rounds b ON b.n = w.n"""
+  }
+
+  /** q_hits oracle: the alternating hub/authority products unrolled,
+    * each normalized by its own max to exact ppm — scalar-subquery
+    * max mirrors the engine's lazy broadcast scalar attach
+    */
+  private def hitsSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""a${k}r AS (SELECT e.b AS n, CAST(SUM(h.v) AS BIGINT) AS v
+            FROM e0 e JOIN h${k - 1} h ON h.n = e.a GROUP BY 1),
+         a$k AS MATERIALIZED (SELECT n, CAST((v * 1000000) // (SELECT MAX(v) FROM a${k}r) AS BIGINT) AS v FROM a${k}r),
+         h${k}r AS (SELECT e.a AS n, CAST(SUM(a.v) AS BIGINT) AS v
+            FROM e0 e JOIN a$k a ON a.n = e.b GROUP BY 1),
+         h$k AS MATERIALIZED (SELECT n, CAST((v * 1000000) // (SELECT MAX(v) FROM h${k}r) AS BIGINT) AS v FROM h${k}r)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       h0 AS MATERIALIZED (SELECT DISTINCT a AS n, CAST(1 AS BIGINT) AS v FROM e0),
+       $steps
+       SELECT COALESCE(h.n, a.n) AS i,
+              CAST(COALESCE(h.v, 0) AS BIGINT) AS hub_ppm,
+              CAST(COALESCE(a.v, 0) AS BIGINT) AS auth_ppm
+       FROM h$rounds h FULL OUTER JOIN a$rounds a ON a.n = h.n"""
+  }
+
   /** q_pagerank oracle: the integer fixed-point recurrence
     * (algo/PageRank.scala) unrolled round-for-round — contribution =
     * r // degree, new rank = base + (85·Σ) // 100, all integer floor
@@ -829,6 +874,35 @@ object Queries {
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       SpCount.stress(A, src)
+    }),
+
+    // single-source betweenness dependency — the FULL Brandes backward
+    // accumulation (algo/SpCount.betweenness): σ-ratio dependencies
+    // δ(v) = Σ σ(v)/σ(w)·(1+δ(w)) over the BFS dag, in exact
+    // floor-ppm integer arithmetic (per-edge floor, oracle-mirrored)
+    "q_betweenness" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val bounds = e0.agg(min(col("a")), max(col("b"))).collect()(0) // 1-row driver agg
+      val (src, n) = (bounds.getLong(0), bounds.getLong(1) + 1L)
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      SpCount.betweenness(A, src)
+    }),
+
+    // HITS hubs-and-authorities (algo/Hits): alternating Aᵀh / Aa
+    // products on the DIRECTED order→part graph, max-normalized to
+    // exact ppm each round — orders rank as hubs, parts as authorities
+    "q_hits" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        e0.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      Hits.scores(A)
     }),
 
     // PageRank in integer fixed-point (algo/PageRank.scala) on the
@@ -1304,6 +1378,8 @@ object Queries {
     "q_bfs" -> minPlusFixpointSql(40, weighted = false),
     "q_spcount" -> spCountFixpointSql(40),
     "q_stress" -> stressFixpointSql(40),
+    "q_betweenness" -> betweennessFixpointSql(40),
+    "q_hits" -> hitsSql(10),
     "q_msbfs" -> msBfsFixpointSql(40),
     "q_harmonic" -> harmonicSql(40),
     "q_pseudo_diam" -> doubleSweepSql(40),
@@ -1637,6 +1713,10 @@ object Queries {
     // co-occurrence); same linear explode + hash-agg + per-occurrence
     // join shape
     "p_bigram_rarity" -> ((s, dir) => TextStats.bigramRarity(pq(s, dir, "documents"))),
+    // Gopher-style within-doc repetition: top-bigram share + duplicate-
+    // trigram share in exact floor-ppm (TextStats.repetition) — the
+    // boilerplate/template signal exact dedup never sees
+    "p_repetition" -> ((s, dir) => TextStats.repetition(pq(s, dir, "documents"))),
     // top-k vocabulary + cumulative coverage (tokenizer prep):
     // histogram-ranked — no corpus-wide window (the giant cf=1 tail
     // never ranks; see TextStats.vocabulary scale note)
@@ -2431,6 +2511,19 @@ object Queries {
                 CAST(MIN(ppm) AS BIGINT) AS min_bg_ppm
          FROM bg JOIN ppm ON bg.bg = ppm.bg
          GROUP BY 1""",
+    // within-doc repetition mirrors the engine's per-(doc, gram) hash
+    // aggregation: top bigram share and duplicate-trigram share, both
+    // integer-floored against the doc's own occurrence totals
+    "p_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g2 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 1), x -> toks[x+1] || ' ' || toks[x+2])) AS g FROM t),
+         g3 AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 2), x -> toks[x+1] || ' ' || toks[x+2] || ' ' || toks[x+3])) AS g FROM t),
+         c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         t2 AS (SELECT doc_id, CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS top2_ppm FROM c2 GROUP BY 1),
+         t3 AS (SELECT doc_id, CAST((1000000 * SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)) // SUM(c) AS BIGINT) AS dup3_ppm FROM c3 GROUP BY 1)
+         SELECT t2.doc_id, t2.top2_ppm, t3.dup3_ppm
+         FROM t2 JOIN t3 ON t2.doc_id = t3.doc_id""",
     "p_tfidf_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
          tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

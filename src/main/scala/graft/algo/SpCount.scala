@@ -138,4 +138,66 @@ object SpCount {
       .select(col("i"), col("d"), col("sigma"),
         (col("sigma") * col("dd")).as("stress"))
   }
+
+  /** Single-source BETWEENNESS dependency — the full Brandes backward
+    * accumulation completing the family ([[counts]] = σ forward wave,
+    * [[stress]] = integer path-count backward): here each vertex
+    * accumulates the σ-RATIO dependency
+    *   δ(v) = Σ_{w ∈ succ(v)}  σ(v)/σ(w) · (1 + δ(w))
+    * — the per-source summand of betweenness centrality (Brandes
+    * 2001, eq. 8). Ratios are rationals, so the engine keeps them in
+    * exact floor-ppm units: each edge term is
+    * floor(σ(v) · (10⁶ + δ_ppm(w)) / σ(w)) — every step integer,
+    * oracle-replayable bit-for-bit (the same discipline PageRank and
+    * harmonic use; the floor is taken per dag edge, so the oracle
+    * mirrors it per edge too).
+    *
+    * Fixpoint shape is [[stress]]'s: δ depends only on strictly deeper
+    * levels, the deepest level is 0 under the COALESCE(0) backfill,
+    * so max-depth rounds reach the fixpoint and further rounds are
+    * idempotent — a fixed-round SQL oracle replays it exactly.
+    *
+    * Scale shape: the dag is built with two co-partitioned equi-joins
+    * against the level frame WITH σ attached per endpoint (paid once,
+    * cached on the backward contraction key); each round is one
+    * equi-join + hash agg + left-join backfill, O(nnz_dag). Bound:
+    * per-edge term ≤ σ(v)·(10⁶·(1+n)) — int64-safe while
+    * σ_max·n < 9·10¹²; documented, not silently saturated.
+    *
+    * @return (i, d, sigma, btw_ppm) per reached vertex; btw_ppm(s) is
+    *         the source's own (excluded-by-convention) accumulation,
+    *         emitted for completeness
+    */
+  def betweenness(a: GrbMatrix, source: Long, maxIter: Int = 100,
+      scale: Long = 1000000L): DataFrame = {
+    val fw = counts(a, source, maxIter)
+    val su = fw.select(col("i").as("u"), col("d").as("du"), col("sigma").as("su"))
+    val sv = fw.select(col("i").as("v"), col("d").as("dv"), col("sigma").as("sv"))
+    val dag = a.df.select(col("i").as("u"), col("j").as("v"))
+      .join(su, Seq("u")).join(sv, Seq("v"))
+      .filter(col("dv") === col("du") + 1)
+      .select(col("u"), col("v"), col("su"), col("sv"))
+      .repartition(col("v")).cache()
+    val maxd = fw.agg(max(col("d"))).collect()(0).getLong(0) // 1-row driver agg
+    var dd: org.apache.spark.sql.DataFrame = fw
+      .select(col("i"), lit(0L).as("dd")).localCheckpoint(true)
+    var prevDd = Iterate.checkpointRdd(dd)
+    var t = 0L
+    while (t < maxd) {
+      t += 1
+      val up = dag.join(dd.select(col("i").as("v"), col("dd")), Seq("v"))
+        .groupBy(col("u"))
+        .agg(sum(expr(s"(su * ($scale + dd)) DIV sv")).as("dd2"))
+      val nextDd = fw.select(col("i"))
+        .join(up.select(col("u").as("i"), col("dd2")), Seq("i"), "left")
+        .select(col("i"), coalesce(col("dd2"), lit(0L)).as("dd"))
+        .localCheckpoint(true)
+      prevDd.foreach(_.unpersist(false))
+      prevDd = Iterate.checkpointRdd(nextDd)
+      dd = nextDd
+    }
+    dag.unpersist(false)
+    fw.join(dd, Seq("i"))
+      .select(col("i"), col("d"), col("sigma"), col("dd").as("btw_ppm"))
+  }
 }

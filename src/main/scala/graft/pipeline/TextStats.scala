@@ -161,6 +161,46 @@ object TextStats {
         min(col("ppm")).as("min_bg_ppm"))
   }
 
+  /** Within-document repetition signals — the Gopher-style (Rae et
+    * al. 2021 §A1.1) repetition filters that catch boilerplate,
+    * keyword-stuffed, and template-generated pages exact dedup never
+    * sees (the duplication is INSIDE one document):
+    *
+    *  - `top2_ppm`: share of bigram occurrences taken by the single
+    *    most frequent bigram — floor(10⁶ · max(count) / Σcount).
+    *    High = one phrase dominates ("click here click here …").
+    *  - `dup3_ppm`: share of trigram occurrences whose trigram occurs
+    *    at least twice — floor(10⁶ · Σ_{c≥2} c / Σc). High = the
+    *    document repeats its own passages.
+    *
+    * Both exact floor-ppm integers (oracle hash-matches). Documents
+    * with fewer than 3 tokens have no trigram and are absent — a
+    * too-short doc is the length filter's job, not repetition's.
+    *
+    * Scale shape: one explode per n, hash-aggregated on the composite
+    * (doc_id, gram) key — map-side partial aggregation absorbs the
+    * within-partition repeats (the repeated grams are, by
+    * construction of what this measures, co-located in their doc's
+    * split), then one hash agg per doc_id. No corpus-wide state, no
+    * window, no join except the final per-doc pairing — linear in
+    * corpus size and embarrassingly partition-parallel.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    def grams(n: Int) = explode(transform(sequence(lit(0), size(t) - n),
+      x => concat_ws(" ", (1 to n).map(o => element_at(t, x + o)): _*)))
+    // the size guard keeps sequence() ascending (a too-short doc has
+    // no n-gram; without it sequence(0, m-n) runs BACKWARD for m < n)
+    def counts(n: Int) = docs.filter(size(t) >= n)
+      .select(col("doc_id"), grams(n).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val top2 = counts(2).groupBy("doc_id")
+      .agg(expr("(1000000 * MAX(c)) DIV SUM(c)").as("top2_ppm"))
+    val dup3 = counts(3).groupBy("doc_id")
+      .agg(expr("(1000000 * SUM(IF(c >= 2, c, 0))) DIV SUM(c)").as("dup3_ppm"))
+    top2.join(dup3, Seq("doc_id"))
+  }
+
   /** Vocabulary construction — the tokenizer-prep operator: the top-k
     * corpus tokens by frequency (ties broken by token, so the cut is
     * total-order deterministic) with cumulative corpus coverage in

@@ -554,6 +554,74 @@ class FastSVSpec extends SparkSpec {
     assert(got == Map(0L -> 4000000L, 6L -> 2000000L))
   }
 
+  test("betweenness dependency matches a driver-side replay on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextInt(3) == 0
+      } yield (i.toLong, j.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val src = edges.map(_._1).min
+        // forward: BFS levels + sigma (exact path counts)
+        var d = Map(src -> 0L); var sigma = Map(src -> 1L)
+        var frontier = Seq(src); var lev = 0L
+        while (frontier.nonEmpty) {
+          lev += 1
+          val grouped = frontier
+            .flatMap(u => adj.getOrElse(u, Seq()).map(v => (v, sigma(u))))
+            .filterNot(p => d.contains(p._1))
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          d ++= grouped.keys.map(_ -> lev)
+          sigma ++= grouped
+          frontier = grouped.keys.toSeq
+        }
+        // backward: per-edge floor-ppm sigma-ratio accumulation
+        val dag = for {
+          (u, vs) <- adj.toSeq; v <- vs
+          if d.contains(u) && d.contains(v) && d(v) == d(u) + 1
+        } yield (u, v)
+        var delta = d.keys.map(_ -> 0L).toMap
+        for (_ <- 1L to (if (d.nonEmpty) d.values.max else 0L)) {
+          delta = d.keys.map { u =>
+            u -> dag.filter(_._1 == u)
+              .map { case (_, v) => sigma(u) * (1000000L + delta(v)) / sigma(v) }
+              .sum
+          }.toMap
+        }
+        val a = matFromEdges(edges, n.toLong)
+        val got = graft.algo.SpCount.betweenness(a, src).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        val want = d.keys.map(u => u -> ((d(u), sigma(u), delta(u)))).toMap
+        assert(got == want, s"trial $trial edges=$edges")
+      }
+    }
+  }
+
+  test("HITS alternating products match a driver-side replay; max normalizes to exactly 1e6") {
+    // directed order→part shape: 0..3 are hubs, 10..12 authorities
+    val edges = Seq((0L, 10L), (0L, 11L), (1L, 10L), (2L, 11L), (2L, 12L), (3L, 12L))
+    val a = GrbMatrix.fromValues(spark,
+      edges.map { case (x, y) => (x, y, 1L: Any) }, GrbType.INT64, 20L, 20L)
+    val got = graft.algo.Hits.scores(a).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var h: Map[Long, Long] = edges.map(_._1).distinct.map(_ -> 1L).toMap
+    var au: Map[Long, Long] = Map()
+    for (_ <- 1 to 10) {
+      val ar = edges.groupBy(_._2).view.mapValues(es => es.map(e => h(e._1)).sum).toMap
+      au = ar.view.mapValues(v => v * 1000000L / ar.values.max).toMap
+      val hr = edges.groupBy(_._1).view.mapValues(es => es.map(e => au(e._2)).sum).toMap
+      h = hr.view.mapValues(v => v * 1000000L / hr.values.max).toMap
+    }
+    val want = (h.keySet ++ au.keySet)
+      .map(i => i -> ((h.getOrElse(i, 0L), au.getOrElse(i, 0L)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).max == 1000000L)
+    assert(got.values.map(_._2).max == 1000000L)
+  }
+
   test("link prediction: packed mxm matches brute-force cn/RA/Jaccard on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 5) {

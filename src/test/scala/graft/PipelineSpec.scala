@@ -718,6 +718,19 @@ class PipelineSpec extends SparkSpec {
     assert(dups.contains((3L, 1L)) && dups.contains((4L, 2L)))
   }
 
+  test("repetition signals: top-bigram and duplicate-trigram shares are exact floor-ppm") {
+    val rep = spark.createDataFrame(Seq(
+      (0L, "a b a b a b"), // bigrams: 'a b'×3, 'b a'×2 → top 3/5; trigrams all dup → 4/4
+      (1L, "x y z w"),     // all distinct: top 1/3; dup 0/2
+      (2L, "q r")          // bigram but NO trigram → absent from output
+    )).toDF("doc_id", "text")
+    val got = TextStats.repetition(rep).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((600000L, 1000000L)),
+      1L -> ((333333L, 0L))))
+  }
+
   test("semantic clusters: nearDupPairs closure groups cosine AND exact links transitively") {
     // vecs ∪ an exact copy of vector 1 (id 4): the LSH-verified path
     // links (0,1) at 900‰ and the exact star links (1,4) — the

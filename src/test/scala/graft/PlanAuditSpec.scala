@@ -271,6 +271,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan(round.df).contains("CartesianProduct"))
   }
 
+  test("round-11 operators: linkpred/repetition stay equi-joined; PPR teleport broadcasts") {
+    // link prediction: ONE packed mxm — equi-join on the contraction
+    // key + degree re-attach joins, never a cartesian pair expansion
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val sym = edges.flatMap { case (i, j) => Seq((i, j, 1L: Any), (j, i, 1L: Any)) }
+    val a = GrbMatrix.fromValues(spark, sym, GrbType.INT64, 4L, 4L)
+    val plp = plan(graft.algo.LinkPred.scores(a))
+    assert(!plp.contains("CartesianProduct"))
+    // PPR loop body: the one-row teleport attaches as a broadcast
+    // ewise, the contribution path is equi-join + hash agg
+    val seedv = GrbVector.fromValues(spark, Seq((0L, 1000000L: Any)), GrbType.INT64, 4L)
+    val deg = a.reduceRowwise(Ops.plusMonoid)
+    val body = a.mxv(seedv.ewiseMult(deg, Ops.floordiv), Ops.plusTimes, broadcastVec = false)
+      .applyRight(Ops.times, lit(85L)).applyRight(Ops.floordiv, lit(100L))
+      .ewiseAdd(seedv, Ops.plus)
+    assert(!plan(body.df).contains("CartesianProduct"))
+    // HITS normalize: the max bound is a broadcast ≤1-row scalar
+    // attach, not a shuffled join or a window
+    val hn = seedv.applyRight(Ops.times, lit(1000000L))
+      .applyRightScalar(Ops.floordiv, seedv.reduce(Ops.maxMonoid))
+    val phn = plan(hn.df)
+    assert(phn.contains("BroadcastExchange") || phn.contains("BroadcastNestedLoopJoin"))
+    assert(!phn.contains("Window"))
+    // repetition: per-(doc, gram) hash aggregation — no window, no
+    // cartesian, scan pruned to doc_id/text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prep = plan(TextStats.repetition(docs))
+    assert(!prep.contains("CartesianProduct"))
+    assert(!prep.contains("Window"))
+    assert(!prep.contains("lang"), "repetition scan must prune to doc_id/text")
+  }
+
   test("masked mxm pushes the mask before the aggregate") {
     val m = GrbMatrix.fromValues(spark,
       Seq((0L, 0L, 1L: Any), (0L, 1L, 1L: Any), (1L, 0L, 1L: Any)),
