@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, Hits, KCore, KTruss, LabelProp, LinkPred, Mis, PageRank, PregelCC, Scc, SpCount}
+import graft.algo.{Bfs, Coloring, FastSV, Hits, KCore, KTruss, LabelProp, LinkPred, Mis, Msf, PageRank, PregelCC, Scc, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -477,6 +477,56 @@ object Queries {
        FROM v$rounds w JOIN dd$rounds b ON b.n = w.n"""
   }
 
+  /** q_msf oracle: Borůvka unrolled — each outer round relabels the
+    * edge list, MINs the packed (w, a, b) key per component, and
+    * contracts the picked edges with an inner hook+jump CC chain
+    * (the ccStepsSql shape, names prefixed per round). Idempotent
+    * once no cross edge survives, so outer rounds past convergence
+    * pick nothing and the final union is exact.
+    */
+  private def msfSql(outer: Int, inner: Int): String = {
+    val sw = 1L << 42; val sa = 1L << 21
+    val rounds = (1 to outer).map { r =>
+      val pl = s"lab${r - 1}"
+      val cc = (1 to inner).map { k =>
+        val p = if (k == 1) s"g${r}f0" else s"g${r}f${k - 1}"
+        s"""g${r}m$k AS MATERIALIZED (SELECT e.b AS n, MIN(f.l) AS l FROM g${r}e e JOIN $p f ON f.n = e.a GROUP BY 1),
+           g${r}u$k AS MATERIALIZED (SELECT n, MIN(l) AS l FROM (SELECT * FROM $p UNION ALL SELECT * FROM g${r}m$k) GROUP BY 1),
+           g${r}f$k AS MATERIALIZED (SELECT u.n AS n, g.l AS l FROM g${r}u$k u JOIN g${r}u$k g ON g.n = u.l)"""
+      }.mkString(",\n")
+      s"""x$r AS MATERIALIZED (SELECT e.a, e.b, e.w, la.l AS la, lb.l AS lb
+            FROM ew e JOIN $pl la ON la.v = e.a JOIN $pl lb ON lb.v = e.b
+            WHERE la.l <> lb.l),
+         s$r AS MATERIALIZED (SELECT DISTINCT pk FROM (
+            SELECT c, MIN(pk) AS pk FROM (
+              SELECT la AS c, w * $sw + a * $sa + b AS pk FROM x$r
+              UNION ALL
+              SELECT lb AS c, w * $sw + a * $sa + b AS pk FROM x$r) GROUP BY 1)),
+         se$r AS MATERIALIZED (SELECT CAST(pk // $sw AS BIGINT) AS w,
+            CAST((pk // $sa) % $sa AS BIGINT) AS a,
+            CAST(pk % $sa AS BIGINT) AS b FROM s$r),
+         g${r}e AS MATERIALIZED (SELECT la.l AS a, lb.l AS b
+            FROM se$r s JOIN $pl la ON la.v = s.a JOIN $pl lb ON lb.v = s.b
+            UNION ALL
+            SELECT lb.l AS a, la.l AS b
+            FROM se$r s JOIN $pl la ON la.v = s.a JOIN $pl lb ON lb.v = s.b),
+         g${r}f0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM g${r}e),
+         $cc,
+         lab$r AS MATERIALIZED (SELECT l.v, COALESCE(c.l, l.l) AS l
+            FROM $pl l LEFT JOIN g${r}f$inner c ON c.n = l.l)"""
+    }.mkString(",\n")
+    val union = (1 to outer).map(r => s"SELECT a, b, w FROM se$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ew AS MATERIALIZED (SELECT CAST(l_orderkey AS BIGINT) AS a,
+          CAST(l_partkey + 100000 AS BIGINT) AS b,
+          CAST(MIN(l_quantity) AS BIGINT) AS w
+          FROM lineitem WHERE l_orderkey < 600 GROUP BY 1, 2),
+       lab0 AS MATERIALIZED (SELECT v, v AS l FROM (
+          SELECT a AS v FROM ew UNION SELECT b AS v FROM ew)),
+       $rounds
+       SELECT a, b, w FROM ($union)"""
+  }
+
   /** q_hits oracle: the alternating hub/authority products unrolled,
     * each normalized by its own max to exact ppm — scalar-subquery
     * max mirrors the engine's lazy broadcast scalar attach
@@ -903,6 +953,19 @@ object Queries {
       val A = GrbMatrix.fromDF(
         e0.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       Hits.scores(A)
+    }),
+
+    // minimum spanning forest by Borůvka (algo/Msf): per round each
+    // component picks its lightest incident cross edge under the
+    // packed (w, a, b) total order — distinct keys make the forest
+    // unique, so a Kruskal replay and the unrolled oracle agree
+    "q_msf" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .groupBy(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b"))
+        .agg(min(col("l_quantity").cast(LongType)).as("w"))
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      Msf.forest(e0, n)
     }),
 
     // PageRank in integer fixed-point (algo/PageRank.scala) on the
@@ -1380,6 +1443,7 @@ object Queries {
     "q_stress" -> stressFixpointSql(40),
     "q_betweenness" -> betweennessFixpointSql(40),
     "q_hits" -> hitsSql(10),
+    "q_msf" -> msfSql(12, 8),
     "q_msbfs" -> msBfsFixpointSql(40),
     "q_harmonic" -> harmonicSql(40),
     "q_pseudo_diam" -> doubleSweepSql(40),

@@ -600,6 +600,30 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("Borůvka MSF equals a driver-side Kruskal under the same (w, a, b) total order") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(10)
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextInt(3) == 0
+      } yield (i.toLong, j.toLong, 1L + rnd.nextInt(9))).toSeq
+      if (edges.nonEmpty) {
+        // Kruskal with union-find over the identical total order
+        val parent = scala.collection.mutable.Map((0L until n.toLong).map(v => v -> v): _*)
+        def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        val want = edges.sortBy { case (a, b, w) => (w, a, b) }
+          .filter { case (a, b, _) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { parent(ra) = rb; true } else false
+          }.toSet
+        val df = spark.createDataFrame(edges).toDF("a", "b", "w")
+        val got = graft.algo.Msf.forest(df, n.toLong).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == want, s"trial $trial edges=$edges")
+      }
+    }
+  }
+
   test("HITS alternating products match a driver-side replay; max normalizes to exactly 1e6") {
     // directed order→part shape: 0..3 are hubs, 10..12 authorities
     val edges = Seq((0L, 10L), (0L, 11L), (1L, 10L), (2L, 11L), (2L, 12L), (3L, 12L))
