@@ -162,5 +162,7 @@ object Bench {
     "p_pii_scan", "p_embed_clusters", "q_mis", "q_coloring", "p_curate", "p_bigram_rarity",
     "q_spcount", "q_clustering", "p_minhash_ledger", "p_stream_enrich",
     "q_stress", "q_msbfs", "q_pseudo_diam", "p_bigram_lm", "q_ktruss",
-    "q_scc", "p_stream_join")
+    "q_scc", "p_stream_join", "q_cc_incremental",
+    "q_ppr", "q_harmonic", "q_linkpred", "p_semantic_clusters",
+    "q_betweenness", "q_hits", "p_repetition", "q_msf", "p_knn_graph")
 }

@@ -1834,6 +1834,10 @@ object Queries {
     // IVF-accelerated top-k search: the scale path beside p_ann_topk's
     // brute-force baseline (same output shape, probed-cells candidates)
     "p_ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(pq(s, dir, "embeddings"))),
+    // k-NN graph over the whole corpus (Similarity.knnGraph): every
+    // vector's top-3 IVF-probed exact-cosine neighbours + the mutual
+    // flag — the SemDeDup/curation base frame
+    "p_knn_graph" -> ((s, dir) => Similarity.knnGraph(pq(s, dir, "embeddings"))),
     // embedding-space data quality: per-label centroid distance,
     // bottom-k cosines = mislabel/noise candidates
     "p_embed_outliers" -> ((s, dir) => Similarity.labelOutliers(pq(s, dir, "embeddings"))),
@@ -2662,6 +2666,25 @@ object Queries {
                            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
                     FROM scored)
          SELECT qid AS q, nid AS n, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5""",
+    // knn graph: the ivf_topk oracle with the WHOLE corpus as the
+    // query set (2-probe), k=3, plus the mutual back-edge flag
+    "p_knn_graph" ->
+      s"""WITH $ivfScoredSql,
+         rs AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rnk FROM s2),
+         corpus AS (SELECT vec_id AS nid, cid FROM rs WHERE rnk = 1),
+         qcells AS (SELECT vec_id AS qid, cid FROM rs WHERE rnk <= 2),
+         cand AS (SELECT q.qid, c.nid FROM qcells q JOIN corpus c ON c.cid = q.cid AND c.nid != q.qid),
+         scored AS (SELECT cand.qid, cand.nid,
+                           CAST(list_sum(list_transform(range(len(eq.q)), i -> eq.q[i+1] * en_.q[i+1])) AS BIGINT)
+                             / sqrt(CAST(eq.n2 AS DOUBLE)) / sqrt(CAST(en_.n2 AS DOUBLE)) AS sim
+                    FROM cand JOIN en eq ON eq.vec_id = cand.qid JOIN en en_ ON en_.vec_id = cand.nid),
+         ranked AS (SELECT qid, nid,
+                           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+                    FROM scored),
+         knn AS (SELECT qid AS a, nid AS b, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3)
+         SELECT k1.a, k1.b, k1.rank,
+                CAST(CASE WHEN k2.a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
+         FROM knn k1 LEFT JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a""",
     // label-centroid outliers: floor-mean centroid per label (the IVF
     // recentre recipe), exact integer cosine, bottom-10 per label
     "p_embed_outliers" ->

@@ -528,4 +528,34 @@ object Similarity {
       out
     }
   }
+
+  /** k-NN GRAPH construction — EVERY vector's k nearest neighbours
+    * (IVF-probed candidates, exact-integer-cosine verified, the
+    * [[ivfTopK]] machinery with the whole corpus as the query set)
+    * plus the `mutual` flag marking edges present in BOTH directions.
+    * The mutual-kNN graph is the curation workhorse: SemDeDup-style
+    * cluster pruning, density-based quality scoring, and diversity
+    * sampling all start from exactly this frame.
+    *
+    * Scale shape: candidate work is Σ cell² (the IVF bound — never
+    * all-pairs), per-vector selection is the TopKPairs typed
+    * aggregate (O(k) state per group, no corpus-wide window), and the
+    * mutual flag is one self-equi-join on the (a, b) edge key over
+    * the O(n·k) result — each stage linear-ish in corpus size.
+    * Determinism: exact integer dots, sim-DESC/id-ASC tie-break —
+    * the oracle replays the ranking bit-for-bit.
+    *
+    * @return (a, b, rank, mutual): b is a's rank-th neighbour;
+    *         mutual = 1 iff a is also among b's top k
+    */
+  def knnGraph(emb: DataFrame, k: Int = 3, kCells: Int = -1,
+      probes: Int = 2, materialize: Boolean = true,
+      lloydRounds: Int = 1): DataFrame = {
+    val nn = ivfTopK(emb, Long.MaxValue, k, kCells, probes, materialize,
+      lloydRounds)
+    val rev = nn.select(col("n").as("q"), col("q").as("n"), lit(1L).as("_m"))
+    nn.join(rev, Seq("q", "n"), "left")
+      .select(col("q").as("a"), col("n").as("b"), col("rank"),
+        coalesce(col("_m"), lit(0L)).as("mutual"))
+  }
 }

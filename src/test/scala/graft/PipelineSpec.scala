@@ -752,6 +752,21 @@ class PipelineSpec extends SparkSpec {
     assert(labels(0L) == 0L && labels(1L) == 0L && labels(4L) == 0L)
   }
 
+  test("knn graph: near pair is a mutual edge; mutual flags are exactly the symmetric edges") {
+    val g = Similarity.knnGraph(vecs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val edges = g.map { case (a, b, _, _) => (a, b) }.toSet
+    // k=1: at most one out-edge per vector
+    assert(g.groupBy(_._1).values.forall(_.length == 1))
+    // the near-parallel pair finds each other → mutual both ways
+    assert(edges.contains((0L, 1L)) && edges.contains((1L, 0L)))
+    // mutual flag == presence of the reverse edge, for every edge
+    g.foreach { case (a, b, _, m) =>
+      assert((m == 1L) == edges.contains((b, a)), s"edge ($a,$b) mutual=$m")
+    }
+    assert(g.find(e => e._1 == 0L && e._2 == 1L).get._4 == 1L)
+  }
+
   test("IVF ANN finds the near-parallel pair within a cell; never all-pairs") {
     // k=2 makes 0 and 1 their own centroids (separate cells) — the
     // 2nd probe is what catches the cross-cell boundary pair
