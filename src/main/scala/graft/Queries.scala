@@ -1944,6 +1944,29 @@ object Queries {
     // streaming exact dedup: the continuous-ingestion ledger, drained
     // with AvailableNow — complete mode makes it batch-equivalent to
     // p_dedup_exact (they share the oracle SQL)
+    // ingest-time contamination screen: static bench shingle ledger,
+    // streaming train docs, COUNT state per (bench, train) pair;
+    // threshold + nb attach sink-side (DocsStream.contaminationStates)
+    "p_stream_contamination" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val ledger = DocsStream.benchShingleLedger(bench)
+      val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
+        .filter(col("doc_id") % 50 =!= 0)
+      val qname = s"graft_stream_contam_${System.nanoTime()}"
+      val q = DocsStream.contaminationStates(src, ledger).writeStream
+        .format("memory").queryName(qname).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nb = DocsStream.benchShingleLedger(bench)
+        .groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+      s.table(qname).join(nb, Seq("bench_id"))
+        .filter(col("inter") * 10 >= col("nb") * 7)
+        .select(col("bench_id"), col("train_id"), col("inter"),
+          col("nb").cast(LongType).as("nb"))
+    }),
+
     "p_stream_dedup" -> ((s, dir) => {
       val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
       val qname = s"graft_stream_dedup_${System.nanoTime()}"
@@ -2296,6 +2319,20 @@ object Queries {
     "p_dedup_exact" ->
       "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
     // the streaming path drains to the identical batch result
+    // the batch contamination oracle WITHOUT the train-side
+    // stop-shingle cap — the documented streaming contract (the cap's
+    // df is unbounded streaming state; cap the static ledger instead)
+    "p_stream_contamination" ->
+      s"""WITH $shinglesSql,
+         szb AS (SELECT doc_id, COUNT(*) AS nb FROM shd WHERE doc_id % 50 = 0 GROUP BY 1),
+         ix AS (SELECT sa.doc_id AS bench_id, sb.doc_id AS train_id, COUNT(*) AS inter
+                FROM shd sa JOIN shd sb ON sb.sh = sa.sh
+                WHERE sa.doc_id % 50 = 0 AND sb.doc_id % 50 <> 0
+                GROUP BY 1, 2)
+         SELECT i.bench_id AS bench_id, i.train_id AS train_id,
+                CAST(i.inter AS BIGINT) AS inter, CAST(z.nb AS BIGINT) AS nb
+         FROM ix i JOIN szb z ON z.doc_id = i.bench_id
+         WHERE i.inter * 10 >= z.nb * 7""",
     "p_stream_dedup" ->
       "SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY 1",
     "p_dedup_minhash" ->

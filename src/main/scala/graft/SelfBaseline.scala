@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
-import graft.algo.{Bfs, FastSV, PageRank, PregelCC, SpCount}
+import graft.algo.{Bfs, FastSV, Hits, LinkPred, Msf, PageRank, PregelCC, SpCount}
 import graft.pipeline.{Similarity, TextDedup}
 
 /** Self-baselines per BASELINE.md: FastSV wall-clock/iteration rate on
@@ -518,6 +518,35 @@ object SelfBaseline {
       a.df.unpersist(true)
       val leftover = spark.sparkContext.getPersistentRDDs.size
       println(f"""{"edges":$nEdges,"nnz":$nnz,"pregel_sec":$prSec%.2f,"components":$nc,"bfs_sec":$bfsSec%.2f,"bfs_reached":$nReached,"persistent_rdds_after":$leftover$fsv}""")
+    }
+    // Graph-algorithm family tier (SPARK_GRAFT_GRAPHFAM=<edges>):
+    // the round-11 additions at synthetic-graph scale — MSF
+    // (Borůvka), betweenness (Brandes backward), link prediction
+    // (packed wedge mxm), HITS (10 alternating products). Edge cap
+    // ~4M on this tier: MSF's packed key needs ids < 2²¹ and
+    // betweenness's per-edge product σᵤ·(10⁶+δᵥ) needs
+    // σ_max·n·10⁶ < 2⁶³ — both hold at n = edges/8 ≤ 500k with this
+    // generator's ~log₁₆(n) diameter (bounds in the scaladocs; a
+    // bigger corpus needs the log-space σ variant, documented not
+    // silently saturated).
+    sys.env.get("SPARK_GRAFT_GRAPHFAM").foreach { eStr =>
+      val nEdges = eStr.toLong
+      val g = syntheticGraph(spark, nEdges)
+      val a = new GrbMatrix(g.df.cache(), g.nrows, g.ncols)
+      val nnz = a.nvals
+      val n = a.nrows
+      val ew = a.df.filter(col("i") < col("j"))
+        .select(col("i").as("a"), col("j").as("b"),
+          (pmod(hash(col("i") * 131 + col("j")), lit(50)) + 1)
+            .cast("long").as("w"))
+      val (msfEdges, msfSec) = timed(Msf.forest(ew, n).count())
+      val (btwReached, btwSec) = timed(SpCount.betweenness(a, 0L).count())
+      val (lpPairs, lpSec) = timed(LinkPred.scores(a, minCn = 3L).count())
+      val (hitsRows, hitsSec) = timed(Hits.scores(
+        new GrbMatrix(a.df.filter(col("i") < col("j")), n, n)).count())
+      a.df.unpersist(true)
+      val leftover = spark.sparkContext.getPersistentRDDs.size
+      println(f"""{"tier":"graphfam","edges":$nEdges,"nnz":$nnz,"n":$n,"msf_sec":$msfSec%.2f,"msf_edges":$msfEdges,"btw_sec":$btwSec%.2f,"btw_reached":$btwReached,"linkpred_sec":$lpSec%.2f,"linkpred_pairs":$lpPairs,"hits_sec":$hitsSec%.2f,"hits_rows":$hitsRows,"persistent_rdds_after":$leftover}""")
     }
     // Planted-skew tier (SPARK_GRAFT_SKEW=<nDocs>): a 10% boilerplate
     // cluster (one hot LSH bucket of n/10 docs per band) drives the

@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -54,7 +55,7 @@ object Bfs {
         .repartition(col("j")).cache(),
       a.nrows, a.ncols)
     var res: org.apache.spark.sql.DataFrame = spark.range(1)
-      .select(lit(source).as("i"), lit(0L).as("v")).localCheckpoint(true)
+      .select(lit(source).as("i"), lit(0L).as("v")).freshCheckpoint(true)
     var frontier = res
     var prevRes = Iterate.checkpointRdd(res)
     var prevNext: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -64,11 +65,11 @@ object Bfs {
       k += 1
       val cand = hop.mxv(new GrbVector(frontier, a.nrows), Ops.minPlus).df
       val next = cand.join(res.select(col("i")), Seq("i"), "left_anti")
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       val nextRdd = Iterate.checkpointRdd(next)
       n = next.count()
       if (n > 0) {
-        val nextRes = res.unionByName(next).localCheckpoint(true)
+        val nextRes = res.unionByName(next).freshCheckpoint(true)
         prevRes.foreach(_.unpersist(false))
         prevNext.foreach(_.unpersist(false))
         prevRes = Iterate.checkpointRdd(nextRes)
@@ -110,7 +111,7 @@ object Bfs {
       a.nrows, a.ncols)
     val srcRows = sources.distinct.map(s => (s, s, 0L))
     var res: org.apache.spark.sql.DataFrame = spark
-      .createDataFrame(srcRows).toDF("s", "i", "d").localCheckpoint(true)
+      .createDataFrame(srcRows).toDF("s", "i", "d").freshCheckpoint(true)
     var frontier = res.select(col("s"), col("i"))
     var prevRes = Iterate.checkpointRdd(res)
     var prevNext: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -126,12 +127,12 @@ object Bfs {
       val prod = f.mxm(hop, Ops.plusPair).df
       val next = prod.select(col("i").as("s"), col("j").as("i"))
         .join(res.select(col("s"), col("i")), Seq("s", "i"), "left_anti")
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       val nextRdd = Iterate.checkpointRdd(next)
       n = next.count()
       if (n > 0) {
         val nextRes = res.unionByName(
-          next.select(col("s"), col("i"), lit(k).as("d"))).localCheckpoint(true)
+          next.select(col("s"), col("i"), lit(k).as("d"))).freshCheckpoint(true)
         prevRes.foreach(_.unpersist(false))
         prevNext.foreach(_.unpersist(false))
         prevRes = Iterate.checkpointRdd(nextRes)

@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -61,7 +62,7 @@ object Coloring {
     // single state frame: (n, color) with color NULL while active
     var state: DataFrame = adj.select(col("i").as("n")).distinct()
       .withColumn("color", lit(null).cast("long"))
-      .localCheckpoint(true)
+      .freshCheckpoint(true)
     var prev = Iterate.checkpointRdd(state)
     var n = state.filter(col("color").isNull).count()
     var iter = 0
@@ -93,7 +94,7 @@ object Coloring {
       val nextState = state.join(newc.select(col("n").as("wn"), col("color").as("wc")),
         col("n") === col("wn"), "left")
         .select(col("n"), coalesce(col("color"), col("wc")).as("color"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       prev.foreach(_.unpersist(false))
       prev = Iterate.checkpointRdd(nextState)
       state = nextState

@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import graft.core._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -89,7 +90,7 @@ object FastSV {
       // iteration count. f1's checkpoint is lazy — materialized as a
       // side effect of the gather's eager checkpoint job (one fewer
       // job per round than two eager checkpoints).
-      f = new GrbVector(f1.localCheckpoint(false), n)
+      f = new GrbVector(f1.freshCheckpoint(false), n)
       // gp = f[f]: gather parent-of-parent through a distributed
       // index, comparing against the previous gp IN THE SAME JOB —
       // the notebook's gp-stability convergence test (mod =
@@ -104,7 +105,7 @@ object FastSV {
         .join(gp.df.select(col("i"), col("v").as("_ov")), Seq("i"), "left")
         .select(col("i"), col("v"),
           (col("_ov").isNull || col("v") =!= col("_ov")).as("_chg"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       gp = new GrbVector(cmp.select(col("i"), col("v")), n)
       // limit-1 scan over the just-checkpointed blocks — no shuffle
       change = !cmp.filter(col("_chg")).isEmpty

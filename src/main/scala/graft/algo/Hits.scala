@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -53,29 +54,43 @@ object Hits {
       scale: Long = 1000000L): DataFrame = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"hits adjacency must be square: ${a.nrows}x${a.ncols}")
-    val adj = new GrbMatrix(
-      a.df.select(col("i"), col("j"), lit(1L).as("v")).cache(),
-      a.nrows, a.ncols)
+    // two cached orientations — CSR/CSC, the standard trade: vxm
+    // contracts on i, mxv on j, and each product must NOT re-shuffle
+    // the O(nnz) adjacency per round. The score vectors broadcast
+    // (≤ BroadcastGuard) so the products join adjacency in place; past
+    // the guard the join falls back to shuffle and these cached
+    // partitionings keep the exchange on the O(n) vector side only
+    // (the PageRank pattern).
+    val adjI = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("i")).cache(), a.nrows, a.ncols)
+    val adjJ = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("j")).cache(), a.nrows, a.ncols)
     // hub support = vertices with out-edges, starting mass 1 each
     var hub = new GrbVector(
-      adj.df.select(col("i")).distinct().select(col("i"), lit(1L).as("v"))
-        .localCheckpoint(true), a.nrows)
-    var auth: GrbVector = null
+      adjI.df.select(col("i")).distinct().select(col("i"), lit(1L).as("v"))
+        .freshCheckpoint(true), a.nrows)
     var prevHub = Iterate.checkpointRdd(hub.df)
-    var prevAuth: Option[org.apache.spark.rdd.RDD[_]] = None
-    for (_ <- 1 to rounds) {
-      val a1 = normalize(hub.vxm(adj, Ops.plusTimes), scale)
-      val nextAuth = new GrbVector(a1.df.localCheckpoint(true), a.nrows)
-      val h1 = normalize(adj.mxv(nextAuth, Ops.plusTimes), scale)
-      val nextHub = new GrbVector(h1.df.localCheckpoint(true), a.nrows)
+    var auth: GrbVector = null
+    for (r <- 1 to rounds) {
+      // auth stays LAZY inside the round: the hub checkpoint is the
+      // round's ONE job (Spark's ReuseExchange shares the vxm/mxv
+      // shuffles between each normalize's value and max sides), so 10
+      // rounds schedule 10 jobs, not 20 — only the final round
+      // materializes auth, which the output needs
+      val a1 = normalize(
+        hub.vxm(adjI, Ops.plusTimes, broadcastSelf = true), scale)
+      if (r == rounds) auth = new GrbVector(a1.df.freshCheckpoint(true), a.nrows)
+      val h1 = normalize(
+        adjJ.mxv(if (r == rounds) auth else a1, Ops.plusTimes), scale)
+      val nextHub = new GrbVector(h1.df.freshCheckpoint(true), a.nrows)
       prevHub.foreach(_.unpersist(false))
-      prevAuth.foreach(_.unpersist(false))
       prevHub = Iterate.checkpointRdd(nextHub.df)
-      prevAuth = Iterate.checkpointRdd(nextAuth.df)
       hub = nextHub
-      auth = nextAuth
     }
-    adj.df.unpersist(false)
+    adjI.df.unpersist(false)
+    adjJ.df.unpersist(false)
     hub.df.select(col("i"), col("v").as("_h"))
       .join(auth.df.select(col("i"), col("v").as("_a")), Seq("i"), "full_outer")
       .select(col("i"), coalesce(col("_h"), lit(0L)).as("hub_ppm"),

@@ -14,6 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Iterate {
 
+  /** Loop-internal checkpoint: `localCheckpoint` semantics WITHOUT
+    * inheriting the source plan's statistics. The non-CBO size
+    * visitor estimates joins as the PRODUCT of child sizes, so a loop
+    * that checkpoints a join/union of its own previous checkpoint
+    * compounds sizeInBytes geometrically — after enough rounds the
+    * driver's main thread spins whole minutes multiplying
+    * million-digit BigIntegers inside Dataset.checkpoint while
+    * executors idle (first hit by Borůvka's FastSV contraction; any
+    * deep-enough loop gets there). Fresh stats are the conf default
+    * — inside a loop a behavioral no-op, because the inherited
+    * products were already astronomically past every broadcast
+    * threshold (the engines broadcast explicitly where it matters).
+    * Terminal results keep the standard localCheckpoint and their
+    * honest stats. See org.apache.spark.sql.graft.FreshCheckpoint.
+    */
+  implicit class FreshOps(private val df: DataFrame) extends AnyVal {
+    def freshCheckpoint(eager: Boolean = true): DataFrame =
+      org.apache.spark.sql.graft.FreshCheckpoint(df, eager)
+  }
+
   /** Run `step` until `converged` or `maxIter` rounds. The state
     * DataFrame returned by each step is checkpointed eagerly;
     * `converged` is the round's single driver-side action.
@@ -38,7 +58,7 @@ object Iterate {
       step: (GrbVector, Int) => GrbVector)(
       converged: (GrbVector, GrbVector) => Boolean): GrbVector =
     loop(init, maxIter)(step)(converged)(v =>
-      new GrbVector(v.df.localCheckpoint(true), v.size))
+      new GrbVector(v.df.freshCheckpoint(true), v.size))
 
   /** the localCheckpoint block-RDD behind a checkpointed frame (lazy
     * and eager checkpoints both wrap a LogicalRDD). Used to free
@@ -73,7 +93,7 @@ object Iterate {
         .join(f.df.select(col("i"), col("v").as("_ov")), Seq("i"), "left")
         .select(col("i"), col("v"),
           (col("_ov").isNull || col("v") =!= col("_ov")).as("_chg"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       f = new GrbVector(cmp.select(col("i"), col("v")), next.size)
       change = !cmp.filter(col("_chg")).isEmpty
       // this round's state is materialized and lineage-free; the
@@ -86,7 +106,7 @@ object Iterate {
   }
 
   /** truncate a DataFrame's lineage eagerly */
-  def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  def truncate(df: DataFrame): DataFrame = df.freshCheckpoint(true)
 
   /** Run `body` with `spark.sql.shuffle.partitions` sized for an
     * iterative loop over ~`workRows` rows per round, restoring the

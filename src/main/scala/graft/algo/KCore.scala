@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.functions._
 import graft.core._
 
@@ -61,7 +62,7 @@ object KCore {
         broadcastVec = false)
     var s = new GrbVector(
       A.df.select(col("i"), lit(1L).as("v")).distinct()
-        .localCheckpoint(true), a.nrows)
+        .freshCheckpoint(true), a.nrows)
     var prev = Iterate.checkpointRdd(s.df)
     var n = s.df.count()
     // survivor count at the last edge-set materialization: peels
@@ -80,7 +81,7 @@ object KCore {
     while (!stable && iter < maxIter && n > 0) {
       val next = new GrbVector(
         coreDegree(s).selectOp(_ >= k).df
-          .select(col("i"), lit(1L).as("v")).localCheckpoint(true), a.nrows)
+          .select(col("i"), lit(1L).as("v")).freshCheckpoint(true), a.nrows)
       val n2 = next.df.count()
       stable = n2 == n
       prev.foreach(_.unpersist(false))
@@ -103,7 +104,7 @@ object KCore {
       }
     }
     val out = new GrbVector(
-      coreDegree(s).df.localCheckpoint(true), a.nrows)
+      coreDegree(s).df.freshCheckpoint(true), a.nrows)
     prev.foreach(_.unpersist(false))
     A.df.unpersist(false)
     if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))

@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -34,7 +35,7 @@ object KTruss {
       s"ktruss adjacency must be square: ${a.nrows}x${a.ncols}")
     require(k >= 3L, s"ktruss needs k >= 3, got $k")
     var e: DataFrame = a.df.select(col("i"), col("j"))
-      .filter(col("i") =!= col("j")).localCheckpoint(true)
+      .filter(col("i") =!= col("j")).freshCheckpoint(true)
     var prev = Iterate.checkpointRdd(e)
     var n = e.count()
     var sup: DataFrame = e.withColumn("v", lit(0L)).limit(0)
@@ -44,7 +45,7 @@ object KTruss {
       iter += 1
       val em = new GrbMatrix(e.withColumn("v", lit(1L)), a.nrows, a.ncols)
       val c = em.mxm(em, Ops.plusPair, mask = Some(Mask.structural(em.df)))
-      val s = c.df.filter(col("v") >= k - 2).localCheckpoint(true)
+      val s = c.df.filter(col("v") >= k - 2).freshCheckpoint(true)
       val sRdd = Iterate.checkpointRdd(s)
       val n2 = s.count()
       prev.foreach(_.unpersist(false))

@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -55,8 +56,8 @@ object Mis {
     adj.count() // materialize before freeing the sizing pass's cache
     raw.unpersist(false)
     var act: DataFrame = adj.select(col("i").as("n")).distinct()
-      .localCheckpoint(true)
-    var mis: DataFrame = act.filter(lit(false)).localCheckpoint(true)
+      .freshCheckpoint(true)
+    var mis: DataFrame = act.filter(lit(false)).freshCheckpoint(true)
     var prevAct = Iterate.checkpointRdd(act)
     var prevMis = Iterate.checkpointRdd(mis)
     var n = act.count()
@@ -77,7 +78,7 @@ object Mis {
       // the round's nbmin aggregate from scratch
       val sel = act.join(nbmin, col("n") === col("i"), "left")
         .filter(col("mn").isNull || pkey(col("n")) < col("mn"))
-        .select(col("n")).localCheckpoint(true)
+        .select(col("n")).freshCheckpoint(true)
       val selRdd = Iterate.checkpointRdd(sel)
       // no distinct: left_anti below ignores duplicate right-side rows,
       // so deduplicating the neighbour set would be a wasted shuffle
@@ -85,8 +86,8 @@ object Mis {
         .join(sel.select(col("n").as("s")), col("j") === col("s"), "leftsemi")
         .select(col("i").as("n"))
       val nextAct = act.join(sel, Seq("n"), "left_anti")
-        .join(newOut, Seq("n"), "left_anti").localCheckpoint(true)
-      val nextMis = mis.unionByName(sel).localCheckpoint(true)
+        .join(newOut, Seq("n"), "left_anti").freshCheckpoint(true)
+      val nextMis = mis.unionByName(sel).freshCheckpoint(true)
       prevAct.foreach(_.unpersist(false))
       prevMis.foreach(_.unpersist(false))
       selRdd.foreach(_.unpersist(false))

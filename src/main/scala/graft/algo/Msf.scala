@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -43,17 +44,25 @@ object Msf {
   /** @param edges canonical weighted edge list (a, b, w) with a < b
     *              and (a, b) unique — one row per undirected edge
     * @param n     vertex-id bound (labels live in [0, n))
+    * @param innerPregel contraction engine for the per-round label
+    *              graph: FastSV's DataFrame loop by default (the
+    *              label graphs are TINY — ≤ one edge per component —
+    *              and a pure-DataFrame hook+jump skips GraphX's
+    *              per-call RDD graph construction; measured A/B in
+    *              BASELINE_SELF round-11), Pregel for corpora whose
+    *              FIRST round's label graph is itself huge
     * @return the minimum spanning forest as (a, b, w) rows — a subset
     *         of the input rows, V − #components of them
     */
-  def forest(edges: DataFrame, n: Long, maxRounds: Int = 25): DataFrame = {
+  def forest(edges: DataFrame, n: Long, maxRounds: Int = 25,
+      innerPregel: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("a"), col("b"), col("w"),
       (shiftleft(col("w"), ShiftW) + shiftleft(col("a"), ShiftA) + col("b"))
         .as("pk"))
       .cache()
     var labels = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
-      .select(col("v"), col("v").as("l")).localCheckpoint(true)
+      .select(col("v"), col("v").as("l")).freshCheckpoint(true)
     var prevLab = Iterate.checkpointRdd(labels)
     var picked: List[DataFrame] = Nil
     var r = 0
@@ -73,7 +82,7 @@ object Msf {
         .select(shiftright(col("pk"), ShiftW).as("w"),
           shiftright(col("pk"), ShiftA).bitwiseAND(lit(MaskId)).as("a"),
           col("pk").bitwiseAND(lit(MaskId)).as("b"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       val selRdd = Iterate.checkpointRdd(sel)
       if (sel.isEmpty) {
         selRdd.foreach(_.unpersist(false))
@@ -81,15 +90,23 @@ object Msf {
       } else {
         picked ::= sel
         // contract: CC over the label-space graph of the picked edges
-        val le = sel
+        // (symmetrized — FastSV's min-label propagation needs both
+        // directions; Pregel's Either-direction send tolerates both)
+        val le0 = sel
           .join(labels.select(col("v").as("a"), col("l").as("la")), Seq("a"))
           .join(labels.select(col("v").as("b"), col("l").as("lb")), Seq("b"))
-          .select(col("la").as("i"), col("lb").as("j"), lit(1L).as("v"))
-        val cc = PregelCC.connectedComponents(new GrbMatrix(le, n, n))
+          .select(col("la").as("i"), col("lb").as("j"))
+        val le = le0.unionByName(le0.select(col("j").as("i"), col("i").as("j")))
+          .withColumn("v", lit(1L))
+        val lg = new GrbMatrix(le, n, n)
+        val cc =
+          if (innerPregel) PregelCC.connectedComponents(lg)
+          else FastSV.connectedComponents(lg, nodes = Some(
+            le.select(col("i")).distinct()))
         val nl = labels
           .join(cc.df.select(col("i").as("l"), col("v").as("nl")), Seq("l"), "left")
           .select(col("v"), coalesce(col("nl"), col("l")).as("l"))
-          .localCheckpoint(true)
+          .freshCheckpoint(true)
         cc.df.unpersist(false)
         prevLab.foreach(_.unpersist(false))
         prevLab = Iterate.checkpointRdd(nl)

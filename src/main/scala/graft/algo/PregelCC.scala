@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import graft.core.{GrbMatrix, GrbVector}
 import org.apache.spark.graphx.{Edge, Graph, Pregel, EdgeDirection, EdgeTriplet, VertexId}
 import org.apache.spark.sql.functions._
@@ -55,7 +56,7 @@ object PregelCC {
     // materialize (eager localCheckpoint) BEFORE the sweep: the
     // result must not recompute from freed blocks
     val df = cc.vertices.map { case (id, label) => (id, label) }
-      .toDF("i", "v").localCheckpoint(true)
+      .toDF("i", "v").freshCheckpoint(true)
     val keep = Iterate.checkpointRdd(df).map(_.id).toSet
     sc.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!before.contains(id) && !keep.contains(id)) rdd.unpersist(false)
@@ -86,7 +87,7 @@ object PregelCC {
       .unionByName(newEdges.select(col("j").as("n"))).distinct()
     val lab = verts.join(labels.df.select(col("i").as("n"), col("v")), Seq("n"), "left")
       .select(col("n"), coalesce(col("v"), col("n")).as("l"))
-      .localCheckpoint(true) // feeds the contraction twice + the new-vertex union
+      .freshCheckpoint(true) // feeds the contraction twice + the new-vertex union
     val e2 = newEdges
       .join(lab.select(col("n").as("i"), col("l").as("li")), Seq("i"))
       .join(lab.select(col("n").as("j"), col("l").as("lj")), Seq("j"))

@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -62,7 +63,7 @@ object Scc {
     // state: block key (bf, bb), finalized flag, scc label
     var st = nodes.select(col("n"), lit(0L).as("bf"), lit(0L).as("bb"),
         lit(false).as("done"), lit(null).cast(LongType).as("scc"))
-      .localCheckpoint(true)
+      .freshCheckpoint(true)
     var stRdd = Iterate.checkpointRdd(st)
     var remaining = st.count()
     var outer = 0
@@ -77,12 +78,12 @@ object Scc {
         .join(act.select(col("n").as("v"), col("bf"), col("bb")), Seq("v"))
         .filter(col("ubf") === col("bf") && col("ubb") === col("bb"))
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       val aeRdd = Iterate.checkpointRdd(ae)
       // inner: synchronous min-label rounds for f (over in-edges) and
       // b (over out-edges) simultaneously, to joint fixpoint
       var fb = act.select(col("n"), col("n").as("f"), col("n").as("b"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       var fbRdd = Iterate.checkpointRdd(fb)
       var change = true
       var inner = 0
@@ -101,7 +102,7 @@ object Scc {
             least(col("b"), coalesce(col("mb"), col("b"))).as("b"),
             (coalesce(col("mf"), col("f")) < col("f") ||
               coalesce(col("mb"), col("b")) < col("b")).as("_chg"))
-          .localCheckpoint(true)
+          .freshCheckpoint(true)
         change = !next.filter(col("_chg")).isEmpty
         fbRdd.foreach(_.unpersist(false))
         fbRdd = Iterate.checkpointRdd(next)
@@ -119,7 +120,7 @@ object Scc {
           (col("done") || col("f") === col("b")).as("done"),
           when(col("done"), col("scc"))
             .otherwise(when(col("f") === col("b"), col("f"))).as("scc"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       remaining = nextSt.filter(!col("done")).count()
       stRdd.foreach(_.unpersist(false))
       fbRdd.foreach(_.unpersist(false))

@@ -1,5 +1,6 @@
 package graft.algo
 
+import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -45,7 +46,7 @@ object SpCount {
         .repartition(col("j")).cache(), a.nrows, a.ncols)
     var res: DataFrame = spark.range(1)
       .select(lit(source).as("i"), lit(0L).as("d"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
+      .freshCheckpoint(true)
     var frontier: DataFrame = res.select(col("i"), col("sigma").as("v"))
     var prevRes = Iterate.checkpointRdd(res)
     var prevNext: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -61,13 +62,13 @@ object SpCount {
       // survive; eager checkpoint — both the count() and the union
       // below hang off it
       val next = cand.join(res.select(col("i")), Seq("i"), "left_anti")
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       val nextRdd = Iterate.checkpointRdd(next)
       n = next.count()
       if (n > 0) {
         val nextRes = res.unionByName(
           next.select(col("i"), lit(k).as("d"), col("v").as("sigma")))
-          .localCheckpoint(true)
+          .freshCheckpoint(true)
         prevRes.foreach(_.unpersist(false))
         prevNext.foreach(_.unpersist(false))
         prevRes = Iterate.checkpointRdd(nextRes)
@@ -118,7 +119,7 @@ object SpCount {
       .repartition(col("v")).cache()
     val maxd = fw.agg(max(col("d"))).collect()(0).getLong(0) // 1-row driver agg
     var dd: org.apache.spark.sql.DataFrame = fw
-      .select(col("i"), lit(0L).as("dd")).localCheckpoint(true)
+      .select(col("i"), lit(0L).as("dd")).freshCheckpoint(true)
     var prevDd = Iterate.checkpointRdd(dd)
     var t = 0L
     while (t < maxd) {
@@ -128,7 +129,7 @@ object SpCount {
       val nextDd = fw.select(col("i"))
         .join(up.select(col("u").as("i"), col("dd2")), Seq("i"), "left")
         .select(col("i"), coalesce(col("dd2"), lit(0L)).as("dd"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       prevDd.foreach(_.unpersist(false))
       prevDd = Iterate.checkpointRdd(nextDd)
       dd = nextDd
@@ -180,7 +181,7 @@ object SpCount {
       .repartition(col("v")).cache()
     val maxd = fw.agg(max(col("d"))).collect()(0).getLong(0) // 1-row driver agg
     var dd: org.apache.spark.sql.DataFrame = fw
-      .select(col("i"), lit(0L).as("dd")).localCheckpoint(true)
+      .select(col("i"), lit(0L).as("dd")).freshCheckpoint(true)
     var prevDd = Iterate.checkpointRdd(dd)
     var t = 0L
     while (t < maxd) {
@@ -191,7 +192,7 @@ object SpCount {
       val nextDd = fw.select(col("i"))
         .join(up.select(col("u").as("i"), col("dd2")), Seq("i"), "left")
         .select(col("i"), coalesce(col("dd2"), lit(0L)).as("dd"))
-        .localCheckpoint(true)
+        .freshCheckpoint(true)
       prevDd.foreach(_.unpersist(false))
       prevDd = Iterate.checkpointRdd(nextDd)
       dd = nextDd

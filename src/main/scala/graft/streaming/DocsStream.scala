@@ -85,6 +85,38 @@ object DocsStream {
   def minhashSignatureStates(docs: DataFrame): DataFrame =
     graft.pipeline.TextDedup.minhashSignatures(docs)
 
+  /** Streaming train-corpus contamination screen — the ingest-time
+    * decontamination gate: the BENCHMARK shingle ledger is a STATIC
+    * frame (built once from the held-out eval corpora, small by
+    * nature, so the stream-static equi-join broadcasts it); arriving
+    * training documents explode to their distinct shingles and count
+    * ledger matches per (bench_id, train_id) as streaming aggregation
+    * state. COUNT-merge is associative and order-free, so the drain
+    * equals the batch intersection regardless of batch boundaries.
+    *
+    * Documented contract difference vs TextDedup.contamination: no
+    * train-side stop-shingle df cap — train-shingle df is unbounded
+    * streaming state by definition. If the BENCH corpus carries
+    * boilerplate shingles, cap the ledger at build time instead (its
+    * df is static). The containment threshold and nb attach happen
+    * sink-side on the drained frame (both static), like every probe
+    * in this file.
+    */
+  def contaminationStates(train: DataFrame,
+      benchShingles: DataFrame): DataFrame =
+    train.select(col("doc_id").as("train_id"),
+        explode(graft.pipeline.TextDedup.shingles(col("text"))).as("sh"))
+      .join(benchShingles, Seq("sh"))
+      .groupBy(col("bench_id"), col("train_id"))
+      .agg(count(lit(1)).cast(LongType).as("inter"))
+
+  /** the static benchmark shingle ledger [[contaminationStates]]
+    * probes: one (sh, bench_id) row per distinct shingle per bench doc
+    */
+  def benchShingleLedger(bench: DataFrame): DataFrame =
+    graft.pipeline.TextDedup.explodedShingles(bench)
+      .select(col("sh"), col("doc_id").as("bench_id"))
+
   /** file-source stream over a documents parquet directory */
   def readDocsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

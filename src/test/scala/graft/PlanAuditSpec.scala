@@ -303,6 +303,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!prep.contains("lang"), "repetition scan must prune to doc_id/text")
   }
 
+  test("freshCheckpoint: lineage truncated, join-product stats NOT inherited, partitioning kept") {
+    import graft.algo.Iterate.FreshOps
+    val base = spark.range(100).select(col("id").as("i"), col("id").as("v"))
+    // three nested self-join rounds: the standard localCheckpoint
+    // inherits sizeInBytes that MULTIPLY per round (the geometric
+    // driver-spin Borůvka hit); fresh checkpoints stay at the default
+    var f = base
+    for (_ <- 1 to 3) {
+      f = f.join(base.select(col("i"), col("v").as("w")), Seq("i"))
+        .select(col("i"), (col("v") + col("w")).as("v"))
+        .freshCheckpoint(true)
+    }
+    assert(f.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      spark.sessionState.conf.defaultSizeInBytes)
+    // values survive the rounds: each round adds id once → v = 4·id
+    val got = f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 100L).forall(i => got(i) == i * 4))
+    // partitioning parity with the standard checkpoint: under AQE the
+    // executed plan reports UnknownPartitioning either way (verified
+    // against Dataset.localCheckpoint), so fresh loses nothing
+    val viaFresh = base.repartition(col("i")).freshCheckpoint(true)
+      .queryExecution.executedPlan.outputPartitioning
+    val viaStd = base.repartition(col("i")).localCheckpoint(true)
+      .queryExecution.executedPlan.outputPartitioning
+    assert(viaFresh.toString == viaStd.toString,
+      s"fresh=$viaFresh std=$viaStd")
+  }
+
   test("masked mxm pushes the mask before the aggregate") {
     val m = GrbMatrix.fromValues(spark,
       Seq((0L, 0L, 1L: Any), (0L, 1L, 1L: Any), (1L, 0L, 1L: Any)),

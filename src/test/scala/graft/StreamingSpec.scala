@@ -180,6 +180,40 @@ class StreamingSpec extends SparkSpec {
 
   final case class Doc(doc_id: Long, text: String)
 
+  test("streaming contamination: ledger matches accumulate across batches == batch screen") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sc = spark2.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val ledger = DocsStream.benchShingleLedger(bench)
+    val input = MemoryStream[Doc]
+    val q = DocsStream.contaminationStates(input.toDF(), ledger).writeStream
+      .format("memory").queryName("contam")
+      .outputMode("complete").start()
+    try {
+      // batch 1: a verbatim copy (full containment) and an unrelated doc
+      input.addData(Doc(1L, "alpha beta gamma delta epsilon zeta"),
+        Doc(2L, "one two three four five six"))
+      q.processAllAvailable()
+      // batch 2: a partial quote — 2 of the bench's 4 shingles
+      input.addData(Doc(3L, "alpha beta gamma delta seven eight"))
+      q.processAllAvailable()
+      val rows = spark.table("contam").collect()
+        .map(r => (r.getAs[Long]("bench_id"), r.getAs[Long]("train_id"),
+          r.getAs[Long]("inter"))).toSet
+      assert(rows == Set((100L, 1L, 4L), (100L, 3L, 2L)))
+      // parity with the uncapped batch screen at threshold 1/2
+      val train = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "one two three four five six"),
+        (3L, "alpha beta gamma delta seven eight")).toDF("doc_id", "text")
+      val batch = graft.pipeline.TextDedup.contamination(
+        train, bench, num = 1, den = 2, maxShingleDf = 0).collect()
+        .map(r => (r.getAs[Long]("bench_id"), r.getAs[Long]("train_id"),
+          r.getAs[Long]("inter"))).toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first doc_id per content across batches") {
     val spark2 = spark
     import spark2.implicits._
