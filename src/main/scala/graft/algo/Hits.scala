@@ -71,24 +71,39 @@ object Hits {
     var hub = new GrbVector(
       adjI.df.select(col("i")).distinct().select(col("i"), lit(1L).as("v"))
         .freshCheckpoint(true), a.nrows)
-    var prevHub = Iterate.checkpointRdd(hub.df)
     var auth: GrbVector = null
+    // checkpoint the RAW O(nnz) products; keep each normalize LAZY
+    // over its checkpoint. The normalize's max bound is a broadcast
+    // subquery, and under AQE a subquery's exchange is NOT reliably
+    // reused across the value side — an un-checkpointed product would
+    // re-run the full 2M-row join once per reference (measured 2-3×
+    // per round). Normalizing a checkpointed scan costs one O(n)
+    // agg instead.
+    var prevA: Option[org.apache.spark.rdd.RDD[_]] = None
+    var prevH = Iterate.checkpointRdd(hub.df)
     for (r <- 1 to rounds) {
-      // auth stays LAZY inside the round: the hub checkpoint is the
-      // round's ONE job (Spark's ReuseExchange shares the vxm/mxv
-      // shuffles between each normalize's value and max sides), so 10
-      // rounds schedule 10 jobs, not 20 — only the final round
-      // materializes auth, which the output needs
-      val a1 = normalize(
-        hub.vxm(adjI, Ops.plusTimes, broadcastSelf = true), scale)
-      if (r == rounds) auth = new GrbVector(a1.df.freshCheckpoint(true), a.nrows)
-      val h1 = normalize(
-        adjJ.mxv(if (r == rounds) auth else a1, Ops.plusTimes), scale)
-      val nextHub = new GrbVector(h1.df.freshCheckpoint(true), a.nrows)
-      prevHub.foreach(_.unpersist(false))
-      prevHub = Iterate.checkpointRdd(nextHub.df)
-      hub = nextHub
+      val aRaw = new GrbVector(
+        hub.vxm(adjI, Ops.plusTimes, broadcastSelf = true)
+          .df.freshCheckpoint(true), a.nrows)
+      val a1 = normalize(aRaw, scale)
+      val hRaw = new GrbVector(
+        adjJ.mxv(a1, Ops.plusTimes).df.freshCheckpoint(true), a.nrows)
+      // previous rounds' blocks can never be referenced again (this
+      // round's raws are materialized); the LAST round's stay live —
+      // the returned frame reads them
+      if (r < rounds) {
+        prevA.foreach(_.unpersist(false))
+        prevH.foreach(_.unpersist(false))
+        prevA = Iterate.checkpointRdd(aRaw.df)
+        prevH = Iterate.checkpointRdd(hRaw.df)
+      }
+      hub = normalize(hRaw, scale)
+      if (r == rounds) auth = a1
     }
+    // the second-to-last round's blocks (skipped above so the final
+    // round could still read them during its own materialization)
+    prevA.foreach(_.unpersist(false))
+    prevH.foreach(_.unpersist(false))
     adjI.df.unpersist(false)
     adjJ.df.unpersist(false)
     hub.df.select(col("i"), col("v").as("_h"))
