@@ -164,5 +164,6 @@ object Bench {
     "q_stress", "q_msbfs", "q_pseudo_diam", "p_bigram_lm", "q_ktruss",
     "q_scc", "p_stream_join", "q_cc_incremental",
     "q_ppr", "q_harmonic", "q_linkpred", "p_semantic_clusters",
-    "q_betweenness", "q_hits", "p_repetition", "q_msf", "p_knn_graph")
+    "q_betweenness", "q_hits", "p_repetition", "q_msf", "p_knn_graph",
+    "q_walks", "p_stream_contamination")
 }

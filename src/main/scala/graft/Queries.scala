@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, Hits, KCore, KTruss, LabelProp, LinkPred, Mis, Msf, PageRank, PregelCC, Scc, SpCount}
+import graft.algo.{Bfs, Coloring, FastSV, Hits, KCore, KTruss, LabelProp, LinkPred, Mis, Msf, PageRank, PregelCC, RandomWalk, Scc, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -527,6 +527,28 @@ object Queries {
        SELECT a, b, w FROM ($union)"""
   }
 
+  /** q_walks oracle: the hash-driven walk unrolled — neighbour rank
+    * by ROW_NUMBER per vertex, choice = md5-hash32(start_cur_t) mod
+    * degree, identical constants to RandomWalk/TextDedup.hash32
+    */
+  private def walksSql(steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      val p = s"w${t - 1}"
+      s"""w$t AS MATERIALIZED (SELECT w.start, CAST($t AS BIGINT) AS step, ax.nbr AS cur
+            FROM $p w JOIN deg d ON d.v = w.cur
+            JOIN adjx ax ON ax.v = w.cur
+              AND ax.idx = ('0x' || substr(md5(CAST(w.start AS VARCHAR) || '_' || CAST(w.cur AS VARCHAR) || '_$t'), 1, 8))::BIGINT % d.deg)"""
+    }.mkString(",\n")
+    val union = (0 to steps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       adjx AS MATERIALIZED (SELECT a AS v, b AS nbr, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS idx FROM edges),
+       deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adjx GROUP BY 1),
+       w0 AS MATERIALIZED (SELECT v AS start, CAST(0 AS BIGINT) AS step, v AS cur FROM deg),
+       $stepCtes
+       SELECT start, step, cur AS vertex FROM ($union)"""
+  }
+
   /** q_hits oracle: the alternating hub/authority products unrolled,
     * each normalized by its own max to exact ppm — scalar-subquery
     * max mirrors the engine's lazy broadcast scalar attach
@@ -966,6 +988,22 @@ object Queries {
         .agg(min(col("l_quantity").cast(LongType)).as("w"))
       val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
       Msf.forest(e0, n)
+    }),
+
+    // deterministic random walks (algo/RandomWalk): the DeepWalk
+    // corpus generator — one 4-step walk per vertex, neighbour choice
+    // hash-driven (md5, the dedup family's shared hash32) so the
+    // training corpus regenerates byte-identical and the oracle
+    // replays every step
+    "q_walks" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      RandomWalk.walks(A, steps = 4)
     }),
 
     // PageRank in integer fixed-point (algo/PageRank.scala) on the
@@ -1444,6 +1482,7 @@ object Queries {
     "q_betweenness" -> betweennessFixpointSql(40),
     "q_hits" -> hitsSql(10),
     "q_msf" -> msfSql(12, 8),
+    "q_walks" -> walksSql(4),
     "q_msbfs" -> msBfsFixpointSql(40),
     "q_harmonic" -> harmonicSql(40),
     "q_pseudo_diam" -> doubleSweepSql(40),

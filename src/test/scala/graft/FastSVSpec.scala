@@ -600,6 +600,32 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("deterministic walks match an md5-replay; every vertex walks full length") {
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (4L, 5L))
+    val a = matFromEdges(edges, 6L)
+    val steps = 4
+    val got = graft.algo.RandomWalk.walks(a, steps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver replay with the identical hash and neighbour order
+    val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = adj.keys.flatMap { s =>
+      var cur = s
+      val walk = scala.collection.mutable.ListBuffer((s, 0L, s))
+      for (t <- 1 to steps) {
+        val nbrs = adj(cur)
+        cur = nbrs((h32(s"${s}_${cur}_$t") % nbrs.size).toInt)
+        walk += ((s, t.toLong, cur))
+      }
+      walk
+    }.toSet
+    assert(got == want)
+    assert(got.count(_._2 == steps) == adj.size) // every walk full length
+  }
+
   test("Borůvka MSF equals a driver-side Kruskal under the same (w, a, b) total order") {
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 5) {
