@@ -531,7 +531,7 @@ object Queries {
     * by ROW_NUMBER per vertex, choice = md5-hash32(start_cur_t) mod
     * degree, identical constants to RandomWalk/TextDedup.hash32
     */
-  private def walksSql(steps: Int): String = {
+  private def walksChainSql(steps: Int): String = {
     val stepCtes = (1 to steps).map { t =>
       val p = s"w${t - 1}"
       s"""w$t AS MATERIALIZED (SELECT w.start, CAST($t AS BIGINT) AS step, ax.nbr AS cur
@@ -540,14 +540,18 @@ object Queries {
               AND ax.idx = ('0x' || substr(md5(CAST(w.start AS VARCHAR) || '_' || CAST(w.cur AS VARCHAR) || '_$t'), 1, 8))::BIGINT % d.deg)"""
     }.mkString(",\n")
     val union = (0 to steps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
-    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+    s"""e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
        edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
        adjx AS MATERIALIZED (SELECT a AS v, b AS nbr, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS idx FROM edges),
        deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adjx GROUP BY 1),
        w0 AS MATERIALIZED (SELECT v AS start, CAST(0 AS BIGINT) AS step, v AS cur FROM deg),
-       $stepCtes
-       SELECT start, step, cur AS vertex FROM ($union)"""
+       $stepCtes,
+       wk AS MATERIALIZED ($union)"""
   }
+
+  private def walksSql(steps: Int): String =
+    s"""WITH ${walksChainSql(steps)}
+       SELECT start, step, cur AS vertex FROM wk"""
 
   /** q_hits oracle: the alternating hub/authority products unrolled,
     * each normalized by its own max to exact ppm — scalar-subquery
@@ -1004,6 +1008,19 @@ object Queries {
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       RandomWalk.walks(A, steps = 4)
+    }),
+
+    // skip-gram training pairs over the walk corpus (window ±2) —
+    // the word2vec-objective data the walks exist to produce
+    "q_skipgram" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      RandomWalk.skipGrams(RandomWalk.walks(A, steps = 4))
     }),
 
     // PageRank in integer fixed-point (algo/PageRank.scala) on the
@@ -1483,6 +1500,14 @@ object Queries {
     "q_hits" -> hitsSql(10),
     "q_msf" -> msfSql(12, 8),
     "q_walks" -> walksSql(4),
+    // skip-gram pairs mirror the walk self-join: ±2 positions on the
+    // same walk, counted per ordered (center, context)
+    "q_skipgram" ->
+      s"""WITH ${walksChainSql(4)}
+         SELECT a.cur AS center, b.cur AS context, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM wk a JOIN wk b ON b.start = a.start AND b.step <> a.step
+           AND ABS(a.step - b.step) <= 2
+         GROUP BY 1, 2""",
     "q_msbfs" -> msBfsFixpointSql(40),
     "q_harmonic" -> harmonicSql(40),
     "q_pseudo_diam" -> doubleSweepSql(40),

@@ -76,4 +76,24 @@ object RandomWalk {
     parts.reduce(_.unionByName(_))
       .select(col("start"), col("step"), col("cur").as("vertex"))
   }
+
+  /** Skip-gram pair extraction over the walk corpus — the step that
+    * turns walks into embedding TRAINING DATA (word2vec objective:
+    * predict context from center): every ordered (center, context)
+    * pair within ±window positions on the same walk, counted. One
+    * self-equi-join on the walk key (each walk is L+1 rows — the join
+    * emits ≤ (L+1)·2w rows per walk, a constant) + one hash
+    * aggregate; linear in corpus size.
+    *
+    * @return (center, context, cnt) with center ≠ context positions
+    *         (same VERTEX may co-occur — a walk can revisit)
+    */
+  def skipGrams(walks: DataFrame, window: Int = 2): DataFrame =
+    walks.select(col("start"), col("step").as("s1"), col("vertex").as("center"))
+      .join(walks.select(col("start"), col("step").as("s2"),
+        col("vertex").as("context")), Seq("start"))
+      .filter(col("s1") =!= col("s2") &&
+        abs(col("s1") - col("s2")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
 }

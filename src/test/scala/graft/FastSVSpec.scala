@@ -624,6 +624,19 @@ class FastSVSpec extends SparkSpec {
     }.toSet
     assert(got == want)
     assert(got.count(_._2 == steps) == adj.size) // every walk full length
+    // skip-gram pairs: the ±2 window over the same replayed walks
+    val sg = graft.algo.RandomWalk.skipGrams(
+      graft.algo.RandomWalk.walks(a, steps)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val walksByStart = want.groupBy(_._1).view
+      .mapValues(_.toSeq.sortBy(_._2).map(_._3)).toMap
+    val wantSg = walksByStart.values.flatMap { w =>
+      for {
+        i <- w.indices; j <- w.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (w(i), w(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sg == wantSg)
   }
 
   test("Borůvka MSF equals a driver-side Kruskal under the same (w, a, b) total order") {
