@@ -303,6 +303,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!prep.contains("lang"), "repetition scan must prune to doc_id/text")
   }
 
+  test("walk corpus and skip-grams stay equi-joined; one Boruvka round has no cartesian") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+    val a = GrbMatrix.fromValues(spark,
+      edges.flatMap { case (i, j) => Seq((i, j, 1L: Any), (j, i, 1L: Any)) },
+      GrbType.INT64, 4L, 4L)
+    val walks = graft.algo.RandomWalk.walks(a, steps = 2)
+    assert(!plan(walks).contains("CartesianProduct"))
+    val sg = plan(graft.algo.RandomWalk.skipGrams(walks))
+    assert(!sg.contains("CartesianProduct"))
+    assert(!sg.contains("Window"), "skip-grams are a join + agg, no window")
+    val ew = spark.createDataFrame(Seq((0L, 1L, 3L), (1L, 2L, 1L), (0L, 2L, 2L)))
+      .toDF("a", "b", "w")
+    assert(!plan(graft.algo.Msf.forest(ew, 4L)).contains("CartesianProduct"))
+  }
+
   test("freshCheckpoint: lineage truncated, join-product stats NOT inherited, partitioning kept") {
     import graft.algo.Iterate.FreshOps
     val base = spark.range(100).select(col("id").as("i"), col("id").as("v"))
