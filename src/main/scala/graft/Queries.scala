@@ -527,6 +527,44 @@ object Queries {
        SELECT a, b, w FROM ($union)"""
   }
 
+  /** q_btw_landmarks oracle: the multi-source σ chain (source-columned
+    * spCount), the per-source dag, the σ-ratio backward — all keyed
+    * (s, n) — and the final per-vertex sum over landmarks
+    */
+  private def landmarkBtwSql(rounds: Int): String = {
+    val fwd = (1 to rounds).map { k =>
+      val pv = s"v${k - 1}"; val pf = s"f${k - 1}"
+      s"""f$k AS MATERIALIZED (
+            SELECT f.s, e.b AS n, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+            FROM edges e JOIN $pf f ON f.n = e.a
+            WHERE NOT EXISTS (SELECT 1 FROM $pv v WHERE v.s = f.s AND v.n = e.b)
+            GROUP BY 1, 2),
+         v$k AS MATERIALIZED (
+            SELECT s, n, d, sigma FROM $pv
+            UNION ALL SELECT s, n, CAST($k AS BIGINT) AS d, sigma FROM f$k)"""
+    }.mkString(",\n")
+    val back = (1 to rounds).map { t =>
+      s"""dd$t AS MATERIALIZED (
+            SELECT w.s, w.n, CAST(COALESCE(x.x, 0) AS BIGINT) AS dd
+            FROM v$rounds w LEFT JOIN (
+              SELECT dag.s, dag.u AS n, SUM((dag.su * (1000000 + p.dd)) // dag.sv) AS x
+              FROM dag JOIN dd${t - 1} p ON p.s = dag.s AND p.n = dag.v GROUP BY 1, 2) x
+            ON x.s = w.s AND x.n = w.n)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       s0 AS MATERIALIZED (SELECT DISTINCT a AS s FROM e0 ORDER BY a LIMIT 4),
+       f0 AS MATERIALIZED (SELECT s, s AS n, CAST(1 AS BIGINT) AS sigma FROM s0),
+       v0 AS MATERIALIZED (SELECT s, n, CAST(0 AS BIGINT) AS d, sigma FROM f0),
+       $fwd,
+       dag AS MATERIALIZED (SELECT x.s, e.a AS u, e.b AS v, x.sigma AS su, y.sigma AS sv
+          FROM edges e JOIN v$rounds x ON x.n = e.a JOIN v$rounds y ON y.s = x.s AND y.n = e.b
+          WHERE y.d = x.d + 1),
+       dd0 AS MATERIALIZED (SELECT s, n, CAST(0 AS BIGINT) AS dd FROM v$rounds),
+       $back
+       SELECT n AS i, CAST(SUM(dd) AS BIGINT) AS btw_ppm FROM dd$rounds GROUP BY 1"""
+  }
+
   /** q_walks oracle: the hash-driven walk unrolled — neighbour rank
     * by ROW_NUMBER per vertex, choice = md5-hash32(start_cur_t) mod
     * degree, identical constants to RandomWalk/TextDedup.hash32
@@ -966,6 +1004,25 @@ object Queries {
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
       SpCount.betweenness(A, src)
+    }),
+
+    // LANDMARK betweenness (algo/SpCount.landmarkBetweenness): the
+    // Brandes-Pich estimator — 4 landmark σ waves batched in one
+    // plus_times F·A product per round, the backward accumulation run
+    // for all landmarks together over the (source, edge)-keyed dag,
+    // dependencies summed per vertex. How betweenness is actually
+    // computed at corpus scale.
+    "q_btw_landmarks" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val srcs = e0.select(col("a")).distinct().orderBy(col("a").asc)
+        .limit(4).collect().map(_.getLong(0)).toSeq // 4-row driver take
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      SpCount.landmarkBetweenness(A, srcs)
     }),
 
     // HITS hubs-and-authorities (algo/Hits): alternating Aᵀh / Aa
@@ -1497,6 +1554,7 @@ object Queries {
     "q_spcount" -> spCountFixpointSql(40),
     "q_stress" -> stressFixpointSql(40),
     "q_betweenness" -> betweennessFixpointSql(40),
+    "q_btw_landmarks" -> landmarkBtwSql(40),
     "q_hits" -> hitsSql(10),
     "q_msf" -> msfSql(12, 8),
     "q_walks" -> walksSql(4),

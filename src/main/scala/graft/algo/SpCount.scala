@@ -201,4 +201,111 @@ object SpCount {
     fw.join(dd, Seq("i"))
       .select(col("i"), col("d"), col("sigma"), col("dd").as("btw_ppm"))
   }
+
+  /** Multi-source σ wave — the [[counts]] forward phase batched over a
+    * landmark set with the matrix-frontier idiom ([[Bfs.multiSourceLevels]]):
+    * the frontier is a k×n matrix whose VALUES are path counts, one
+    * plus_times F·A mxm per round expands every landmark's wave
+    * simultaneously (k traversals share every scan, shuffle, and
+    * scheduling barrier), the anti-join mask is keyed (source, vertex).
+    *
+    * @return (s, i, d, sigma) per (landmark, reached vertex)
+    */
+  def landmarkCounts(a: GrbMatrix, sources: Seq[Long],
+      maxIter: Int = 100): DataFrame = {
+    if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
+      s"landmark counts adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.spark
+    val hop = new GrbMatrix(
+      a.df.select(col("i"), col("j"), lit(1L).as("v"))
+        .repartition(col("i")).cache(), a.nrows, a.ncols)
+    val srcRows = sources.distinct.map(s => (s, s, 0L, 1L))
+    var res: DataFrame = spark.createDataFrame(srcRows)
+      .toDF("s", "i", "d", "sigma").freshCheckpoint(true)
+    var frontier = res.select(col("s"), col("i"), col("sigma"))
+    var prevRes = Iterate.checkpointRdd(res)
+    var prevNext: Option[org.apache.spark.rdd.RDD[_]] = None
+    var k = 0L
+    var n = srcRows.size.toLong
+    while (n > 0 && k < maxIter) {
+      k += 1
+      // plus_times F·A: every landmark's neighbours receive the sum of
+      // their frontier-neighbours' path counts in ONE product
+      val f = new GrbMatrix(
+        frontier.select(col("s").as("i"), col("i").as("j"),
+          col("sigma").as("v")), a.nrows, a.nrows)
+      val prod = f.mxm(hop, Ops.plusTimes).df
+      val next = prod.select(col("i").as("s"), col("j").as("i"), col("v"))
+        .join(res.select(col("s"), col("i")), Seq("s", "i"), "left_anti")
+        .freshCheckpoint(true)
+      val nextRdd = Iterate.checkpointRdd(next)
+      n = next.count()
+      if (n > 0) {
+        val nextRes = res.unionByName(next.select(col("s"), col("i"),
+          lit(k).as("d"), col("v").as("sigma"))).freshCheckpoint(true)
+        prevRes.foreach(_.unpersist(false))
+        prevNext.foreach(_.unpersist(false))
+        prevRes = Iterate.checkpointRdd(nextRes)
+        prevNext = nextRdd
+        res = nextRes
+        frontier = next.select(col("s"), col("i"), col("v").as("sigma"))
+      } else {
+        nextRdd.foreach(_.unpersist(false))
+      }
+    }
+    hop.df.unpersist(false)
+    res
+  }
+
+  /** LANDMARK betweenness — the Brandes-Pich estimator, how
+    * betweenness is actually computed at corpus scale: exact
+    * per-source dependencies ([[betweenness]]'s floor-ppm recurrence)
+    * over a FIXED landmark sample, summed per vertex. Exact for the
+    * landmark set (deterministic, oracle-replayable); the estimator's
+    * statistical story (≈ n/|S| scaling) is the caller's.
+    *
+    * Batching: the forward σ waves share every product
+    * ([[landmarkCounts]]); the backward accumulation runs all
+    * landmarks together over the (source, edge)-keyed dag — per round
+    * one equi-join + hash agg + left-join backfill on (s, v) keys,
+    * O(|S|·nnz_dag). Same int64 bound as [[betweenness]], per source.
+    *
+    * @return (i, btw_ppm): Σ over landmarks of the vertex's
+    *         dependency, in exact floor-ppm
+    */
+  def landmarkBetweenness(a: GrbMatrix, sources: Seq[Long],
+      maxIter: Int = 100, scale: Long = 1000000L): DataFrame = {
+    val fw = landmarkCounts(a, sources, maxIter)
+    val su = fw.select(col("s"), col("i").as("u"), col("d").as("du"),
+      col("sigma").as("su"))
+    val sv = fw.select(col("s"), col("i").as("v"), col("d").as("dv"),
+      col("sigma").as("sv"))
+    val dag = a.df.select(col("i").as("u"), col("j").as("v"))
+      .join(su, Seq("u")).join(sv, Seq("s", "v"))
+      .filter(col("dv") === col("du") + 1)
+      .select(col("s"), col("u"), col("v"), col("su"), col("sv"))
+      .repartition(col("s"), col("v")).cache()
+    val maxd = fw.agg(max(col("d"))).collect()(0).getLong(0) // 1-row driver agg
+    var dd: DataFrame = fw.select(col("s"), col("i"), lit(0L).as("dd"))
+      .freshCheckpoint(true)
+    var prevDd = Iterate.checkpointRdd(dd)
+    var t = 0L
+    while (t < maxd) {
+      t += 1
+      val up = dag.join(
+        dd.select(col("s"), col("i").as("v"), col("dd")), Seq("s", "v"))
+        .groupBy(col("s"), col("u"))
+        .agg(sum(expr(s"(su * ($scale + dd)) DIV sv")).as("dd2"))
+      val nextDd = fw.select(col("s"), col("i"))
+        .join(up.select(col("s"), col("u").as("i"), col("dd2")),
+          Seq("s", "i"), "left")
+        .select(col("s"), col("i"), coalesce(col("dd2"), lit(0L)).as("dd"))
+        .freshCheckpoint(true)
+      prevDd.foreach(_.unpersist(false))
+      prevDd = Iterate.checkpointRdd(nextDd)
+      dd = nextDd
+    }
+    dag.unpersist(false)
+    dd.groupBy(col("i")).agg(sum(col("dd")).as("btw_ppm"))
+  }
 }

@@ -663,6 +663,29 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("landmark betweenness equals the sum of single-source dependencies") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextInt(3) == 0
+      } yield (i.toLong, j.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val srcs = verts.take(3)
+        val a = matFromEdges(edges, n.toLong)
+        val multi = graft.algo.SpCount.landmarkBetweenness(a, srcs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val singles = srcs.map(s =>
+          graft.algo.SpCount.betweenness(a, s).collect()
+            .map(r => r.getLong(0) -> r.getLong(3)).toMap)
+        val want = singles.flatMap(_.keys).distinct
+          .map(v => v -> singles.map(_.getOrElse(v, 0L)).sum).toMap
+        assert(multi == want, s"trial $trial srcs=$srcs edges=$edges")
+      }
+    }
+  }
+
   test("HITS alternating products match a driver-side replay; max normalizes to exactly 1e6") {
     // directed order→part shape: 0..3 are hubs, 10..12 authorities
     val edges = Seq((0L, 10L), (0L, 11L), (1L, 10L), (2L, 11L), (2L, 12L), (3L, 12L))
