@@ -544,9 +544,15 @@ object SelfBaseline {
       val (lpPairs, lpSec) = timed(LinkPred.scores(a, minCn = 3L).count())
       val (hitsRows, hitsSec) = timed(Hits.scores(
         new GrbMatrix(a.df.filter(col("i") < col("j")), n, n)).count())
+      val (walkRows, walkSec) = timed {
+        val w = graft.algo.RandomWalk.walks(a, steps = 4)
+        val c = w.count()
+        val sg = graft.algo.RandomWalk.skipGrams(w).count()
+        c + sg
+      }
       a.df.unpersist(true)
       val leftover = spark.sparkContext.getPersistentRDDs.size
-      println(f"""{"tier":"graphfam","edges":$nEdges,"nnz":$nnz,"n":$n,"msf_sec":$msfSec%.2f,"msf_edges":$msfEdges,"btw_sec":$btwSec%.2f,"btw_reached":$btwReached,"linkpred_sec":$lpSec%.2f,"linkpred_pairs":$lpPairs,"hits_sec":$hitsSec%.2f,"hits_rows":$hitsRows,"persistent_rdds_after":$leftover}""")
+      println(f"""{"tier":"graphfam","edges":$nEdges,"nnz":$nnz,"n":$n,"msf_sec":$msfSec%.2f,"msf_edges":$msfEdges,"btw_sec":$btwSec%.2f,"btw_reached":$btwReached,"linkpred_sec":$lpSec%.2f,"linkpred_pairs":$lpPairs,"hits_sec":$hitsSec%.2f,"hits_rows":$hitsRows,"walks_sec":$walkSec%.2f,"walk_plus_sg_rows":$walkRows,"persistent_rdds_after":$leftover}""")
     }
     // Planted-skew tier (SPARK_GRAFT_SKEW=<nDocs>): a 10% boilerplate
     // cluster (one hot LSH bucket of n/10 docs per band) drives the
