@@ -165,5 +165,6 @@ object Bench {
     "q_scc", "p_stream_join", "q_cc_incremental",
     "q_ppr", "q_harmonic", "q_linkpred", "p_semantic_clusters",
     "q_betweenness", "q_hits", "p_repetition", "q_msf", "p_knn_graph",
-    "q_walks", "q_skipgram", "p_stream_contamination", "q_btw_landmarks")
+    "q_walks", "q_skipgram", "p_stream_contamination", "q_btw_landmarks",
+    "q_anf")
 }

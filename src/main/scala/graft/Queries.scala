@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.core._
 import graft.ops.Structure
-import graft.algo.{Bfs, Coloring, FastSV, Hits, KCore, KTruss, LabelProp, LinkPred, Mis, Msf, PageRank, PregelCC, RandomWalk, Scc, SpCount}
+import graft.algo.{Bfs, Coloring, FastSV, Hits, HyperAnf, KCore, KTruss, LabelProp, LinkPred, Mis, Msf, PageRank, PregelCC, RandomWalk, Scc, SpCount}
 import graft.io.MatrixMarket
 import graft.pipeline.{TextDedup, TextStats, Similarity, Events, Sampling, Multimodal, Temporal, Sketch, Pii, Curate}
 import graft.streaming.{DocsStream, EventsStream}
@@ -525,6 +525,38 @@ object Queries {
           SELECT a AS v FROM ew UNION SELECT b AS v FROM ew)),
        $rounds
        SELECT a, b, w FROM ($union)"""
+  }
+
+  /** q_anf oracle: the per-vertex register evolution as rows —
+    * round t's registers = MAX over self ∪ neighbours of round t−1
+    * (associative, so the unroll is exact), estimate = the identical
+    * integer-scaled raw-HLL math the p_hll_users oracle spells out
+    */
+  private def anfSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { t =>
+      val p = s"r${t - 1}"
+      s"""r$t AS MATERIALIZED (SELECT v, bucket, MAX(mx) AS mx FROM (
+            SELECT v, bucket, mx FROM $p
+            UNION ALL
+            SELECT e.a AS v, r.bucket, r.mx FROM edges e JOIN $p r ON r.v = e.b)
+          GROUP BY 1, 2),
+         est$t AS (SELECT v, CAST($t AS BIGINT) AS t,
+            CAST(FLOOR(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                       * CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE) * CAST(1000.0 AS DOUBLE)
+                       / CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS ball_milli
+            FROM (SELECT v, SUM(1::BIGINT << (53 - mx)) + (256 - COUNT(*)) * (1::BIGINT << 53) AS sum_scaled
+                  FROM r$t GROUP BY 1))"""
+    }.mkString(",\n")
+    val union = (1 to rounds).map(t => s"SELECT * FROM est$t").mkString(" UNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
+       edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       h AS (SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+             FROM (SELECT DISTINCT a AS v FROM edges)),
+       r0 AS MATERIALIZED (SELECT v, h >> 52 AS bucket,
+          CASE WHEN (h & 4503599627370495) = 0 THEN 53
+               ELSE 53 - length(bin(h & 4503599627370495)) END AS mx FROM h),
+       $steps
+       SELECT v AS i, t, ball_milli FROM ($union)"""
   }
 
   /** q_btw_landmarks oracle: the multi-source σ chain (source-columned
@@ -1051,6 +1083,22 @@ object Queries {
       Msf.forest(e0, n)
     }),
 
+    // HyperANF (algo/HyperAnf): the approximate neighbourhood
+    // function — per-vertex HLL ball estimates for t = 1..4, unioned
+    // along edges with register-max merges (256 B/vertex/round) —
+    // the at-scale distance-distribution read; deterministic HLL
+    // discipline makes the approximation itself hash-matchable
+    "q_anf" -> ((s, dir) => {
+      val e0 = pq(s, dir, "lineitem").filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey").cast(LongType).as("a"),
+          (col("l_partkey") + 100000L).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val n = e0.agg(max(col("b"))).collect()(0).getLong(0) + 1L // 1-row driver agg
+      val A = GrbMatrix.fromDF(
+        edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
+      HyperAnf.balls(A, rounds = 4)
+    }),
+
     // deterministic random walks (algo/RandomWalk): the DeepWalk
     // corpus generator — one 4-step walk per vertex, neighbour choice
     // hash-driven (md5, the dedup family's shared hash32) so the
@@ -1555,6 +1603,7 @@ object Queries {
     "q_stress" -> stressFixpointSql(40),
     "q_betweenness" -> betweennessFixpointSql(40),
     "q_btw_landmarks" -> landmarkBtwSql(40),
+    "q_anf" -> anfSql(4),
     "q_hits" -> hitsSql(10),
     "q_msf" -> msfSql(12, 8),
     "q_walks" -> walksSql(4),

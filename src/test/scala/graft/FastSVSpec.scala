@@ -663,6 +663,32 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("HyperANF ball estimates equal the composed HLL over exact balls") {
+    // path graph 0—1—2—3: ball(v, t) is exactly the vertices within t
+    // hops, so the ANF estimate must equal hllDistinctComposed over
+    // the exact ball membership — pins the register evolution
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val a = matFromEdges(edges, 4L)
+    val got = graft.algo.HyperAnf.balls(a, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, t: Int): Set[Long] =
+      (0 until t).foldLeft(Set(v))((s, _) => s ++ s.flatMap(adj.getOrElse(_, Set())))
+    val members = for {
+      v <- adj.keys.toSeq; t <- 1 to 2; m <- ball(v, t)
+    } yield (s"${v}_$t", m)
+    val spark2 = spark
+    import spark2.implicits._
+    val want = graft.pipeline.Sketch.hllDistinctComposed(
+      members.toDF("key", "member"), "key", "member").collect()
+      .map { r =>
+        val Array(v, t) = r.getString(0).split("_")
+        (v.toLong, t.toLong) -> r.getLong(1)
+      }.toMap
+    assert(got == want)
+  }
+
   test("landmark betweenness equals the sum of single-source dependencies") {
     val rnd = new scala.util.Random(17)
     for (trial <- 1 to 3) {
