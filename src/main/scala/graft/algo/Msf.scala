@@ -45,17 +45,18 @@ object Msf {
     *              and (a, b) unique — one row per undirected edge
     * @param n     vertex-id bound (labels live in [0, n))
     * @param innerPregel contraction engine for the per-round label
-    *              graph: FastSV's DataFrame loop by default (the
-    *              label graphs are TINY — ≤ one edge per component —
-    *              and a pure-DataFrame hook+jump skips GraphX's
-    *              per-call RDD graph construction; measured A/B in
-    *              BASELINE_SELF round-11), Pregel for corpora whose
-    *              FIRST round's label graph is itself huge
+    *              graph. Pregel by default: the decisive 1M-edge ABBA
+    *              (PERF_NOTES §12e — Pregel 30.5-37.7 s vs FastSV
+    *              53.6-64.8 s, stable window) matches the engine-wide
+    *              CC bake-off; FastSV-inner only wins on tiny inputs
+    *              (26.1 vs 34.9 s at 200k edges) where the whole run
+    *              is seconds either way, so the scale-relevant engine
+    *              is the default
     * @return the minimum spanning forest as (a, b, w) rows — a subset
     *         of the input rows, V − #components of them
     */
   def forest(edges: DataFrame, n: Long, maxRounds: Int = 25,
-      innerPregel: Boolean = false): DataFrame = {
+      innerPregel: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("a"), col("b"), col("w"),
       (shiftleft(col("w"), ShiftW) + shiftleft(col("a"), ShiftA) + col("b"))

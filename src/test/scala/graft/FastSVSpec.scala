@@ -656,7 +656,9 @@ class FastSVSpec extends SparkSpec {
             if (ra != rb) { parent(ra) = rb; true } else false
           }.toSet
         val df = spark.createDataFrame(edges).toDF("a", "b", "w")
-        val got = graft.algo.Msf.forest(df, n.toLong).collect()
+        // alternate the inner contraction engine so BOTH stay covered
+        val got = graft.algo.Msf.forest(df, n.toLong,
+          innerPregel = trial % 2 == 0).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         assert(got == want, s"trial $trial edges=$edges")
       }
