@@ -316,6 +316,13 @@ class PlanAuditSpec extends SparkSpec {
     val ew = spark.createDataFrame(Seq((0L, 1L, 3L), (1L, 2L, 1L), (0L, 2L, 2L)))
       .toDF("a", "b", "w")
     assert(!plan(graft.algo.Msf.forest(ew, 4L)).contains("CartesianProduct"))
+    // HyperANF: the register union is an ObjectHashAggregate (the
+    // custom merge buffer does map-side partials — the 256 B·nnz
+    // shuffle bound), equi-joined, never cartesian
+    val anf = plan(graft.algo.HyperAnf.balls(a, rounds = 1))
+    assert(!anf.contains("CartesianProduct"))
+    assert(anf.contains("ObjectHashAggregate"),
+      "HLL merge must run as a map-side-partial object hash aggregate")
   }
 
   test("freshCheckpoint: lineage truncated, join-product stats NOT inherited, partitioning kept") {
