@@ -316,10 +316,19 @@ class PlanAuditSpec extends SparkSpec {
     val ew = spark.createDataFrame(Seq((0L, 1L, 3L), (1L, 2L, 1L), (0L, 2L, 2L)))
       .toDF("a", "b", "w")
     assert(!plan(graft.algo.Msf.forest(ew, 4L)).contains("CartesianProduct"))
-    // HyperANF: the register union is an ObjectHashAggregate (the
-    // custom merge buffer does map-side partials — the 256 B·nnz
-    // shuffle bound), equi-joined, never cartesian
-    val anf = plan(graft.algo.HyperAnf.balls(a, rounds = 1))
+    // HyperANF: the returned frame is checkpoint scans (balls() runs
+    // eagerly), so audit the ROUND BODY itself — the register union
+    // must be an ObjectHashAggregate (the custom merge buffer does
+    // map-side partials, the 256 B·nnz shuffle bound), equi-joined
+    val adj = a.df.select(col("i").as("v"), col("j").as("nbr"))
+    val st = adj.select(col("v")).distinct().groupBy("v")
+      .agg(org.apache.spark.sql.graft.HllState(
+        graft.pipeline.Sketch.hash60(col("v"))).as("state"))
+    val round = adj.join(st.select(col("v").as("nbr"), col("state")), Seq("nbr"))
+      .select(col("v"), col("state")).unionByName(st)
+      .groupBy("v")
+      .agg(org.apache.spark.sql.graft.HllMergeState(col("state")).as("state"))
+    val anf = plan(round)
     assert(!anf.contains("CartesianProduct"))
     assert(anf.contains("ObjectHashAggregate"),
       "HLL merge must run as a map-side-partial object hash aggregate")
