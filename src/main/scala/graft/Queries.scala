@@ -598,8 +598,12 @@ object Queries {
   }
 
   /** q_walks oracle: the hash-driven walk unrolled — neighbour rank
-    * by ROW_NUMBER per vertex, choice = md5-hash32(start_cur_t) mod
-    * degree, identical constants to RandomWalk/TextDedup.hash32
+    * by ROW_NUMBER per vertex over the HUB-SAFE (md5-subgroup, nbr)
+    * order (RandomWalk.rankedAdjacency: subgroup = hash32(nbr) mod
+    * rankSalts — the salted two-level rank replayed as one window
+    * here, where DuckDB pays no skew), choice =
+    * md5-hash32(start_cur_t) mod degree, identical constants to
+    * RandomWalk/TextDedup.hash32
     */
   private def walksChainSql(steps: Int): String = {
     val stepCtes = (1 to steps).map { t =>
@@ -612,7 +616,7 @@ object Queries {
     val union = (0 to steps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
     s"""e0 AS MATERIALIZED (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS a, CAST(l_partkey + 100000 AS BIGINT) AS b FROM lineitem WHERE l_orderkey < 600),
        edges AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-       adjx AS MATERIALIZED (SELECT a AS v, b AS nbr, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS idx FROM edges),
+       adjx AS MATERIALIZED (SELECT a AS v, b AS nbr, CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY ('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT % ${graft.algo.RandomWalk.rankSalts}, b) - 1 AS BIGINT) AS idx FROM edges),
        deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adjx GROUP BY 1),
        w0 AS MATERIALIZED (SELECT v AS start, CAST(0 AS BIGINT) AS step, v AS cur FROM deg),
        $stepCtes,

@@ -24,17 +24,68 @@ import graft.core._
   * trajectories after a collision: two walks meeting at a vertex
   * diverge again.
   *
-  * Scale shape: the adjacency is ranked ONCE per source vertex
-  * (window partitioned by vertex — per-group, never corpus-wide),
-  * degree-attached, and cached pre-partitioned on the gather key;
-  * each step is then two equi-joins — position×degree to draw the
-  * index, position×adjacency on (vertex, idx) to move — shuffling
-  * only the O(V) position frame, never the O(E) adjacency. Steps are
-  * checkpointed with superseded blocks freed (the Iterate
+  * Scale shape: the adjacency is ranked ONCE per source vertex with a
+  * HUB-SAFE two-level rank (see [[rankedAdjacency]] — no per-vertex
+  * corpus window), degree-attached, and cached pre-partitioned on the
+  * gather key; each step is then two equi-joins — position×degree to
+  * draw the index, position×adjacency on (vertex, idx) to move —
+  * shuffling only the O(V) position frame, never the O(E) adjacency.
+  * Steps are checkpointed with superseded blocks freed (the Iterate
   * discipline). Symmetric input means no dead ends: every started
   * walk has full length.
   */
 object RandomWalk {
+
+  /** subgroup count for the hub-safe neighbour rank: a vertex's edge
+    * list is salted into this many hash subgroups before the
+    * rank-window sort, so the largest per-task sort is deg_max /
+    * rankSalts rows (a 10⁹-degree hub → ~10⁶-row groups) instead of
+    * the whole hub edge list in one task.
+    */
+  val rankSalts: Int = 1024
+
+  /** Hub-safe deterministic neighbour ranking: a bijection from each
+    * vertex's neighbours to [0, deg) with NO per-vertex corpus-wide
+    * window. The rank order is (md5-subgroup, nbr) lexicographic —
+    * any deterministic bijection is as good as nbr-ascending here
+    * (the walk's choice is hash-driven, not order-driven), and this
+    * one decomposes:
+    *
+    *   1. subgroup sg = hash32(nbr) mod rankSalts — splits a hub's
+    *      edge list across tasks;
+    *   2. within-subgroup rank: window over (v, sg) ordered by nbr —
+    *      per-task sort bounded by deg/rankSalts;
+    *   3. subgroup offsets: counts per (v, sg), prefix-summed by a
+    *      window over v ordered by sg — ≤ rankSalts rows per vertex,
+    *      bounded regardless of degree;
+    *   4. idx = offset + within-rank − 1, attached by an equi-join on
+    *      (v, sg) (largest key carries deg/rankSalts rows).
+    *
+    * Replayable externally: idx = ROW_NUMBER() OVER (PARTITION BY v
+    * ORDER BY md5_hash32(nbr) % rankSalts, nbr) − 1 — the exact
+    * formulation the q_walks oracle uses. Replaces the round-9
+    * `row_number over partitionBy(v)` whose single-task hub sort was
+    * the flagged billion-edge straggler.
+    *
+    * @return (v, nbr, idx)
+    */
+  private[graft] def rankedAdjacency(edges: DataFrame): DataFrame = {
+    val salted = edges
+      .withColumn("sg", pmod(graft.pipeline.TextDedup.hash32(
+        col("nbr").cast("string")), lit(rankSalts.toLong)))
+    val offsets = salted.groupBy("v", "sg")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        coalesce(sum(col("c")).over(Window.partitionBy("v").orderBy("sg")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("v"), col("sg"), col("off"))
+    salted
+      .withColumn("r",
+        row_number().over(Window.partitionBy("v", "sg").orderBy("nbr"))
+          .cast("long"))
+      .join(offsets, Seq("v", "sg"))
+      .select(col("v"), col("nbr"), (col("off") + col("r") - 1L).as("idx"))
+  }
 
   /** @param a     symmetric adjacency; values ignored
     * @param steps walk length in edges (output has steps+1 rows per
@@ -44,10 +95,8 @@ object RandomWalk {
   def walks(a: GrbMatrix, steps: Int = 4): DataFrame = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"walk adjacency must be square: ${a.nrows}x${a.ncols}")
-    val ranked = a.df.select(col("i").as("v"), col("j").as("nbr"))
-      .withColumn("idx",
-        (row_number().over(Window.partitionBy("v").orderBy("nbr")) - 1)
-          .cast("long"))
+    val ranked = rankedAdjacency(
+      a.df.select(col("i").as("v"), col("j").as("nbr")))
     val deg = ranked.groupBy("v").agg(count(lit(1)).as("deg"))
       .repartition(col("v")).cache()
     val indexed = ranked.repartition(col("v")).cache() // (v, nbr, idx)
@@ -77,21 +126,43 @@ object RandomWalk {
       .select(col("start"), col("step"), col("cur").as("vertex"))
   }
 
+  /** The pre-verification skip-gram candidate join, BANDED on walk
+    * position: pairing rows only within adjacent ⌊step/window⌋ bands
+    * bounds the join output at 3·(L+1)·window rows per walk — O(L·w)
+    * — where the plain self-join on the walk key emits (L+1)² rows
+    * before the |s1−s2| ≤ window filter throws most of them away
+    * (6.5k pre-filter vs ~320 kept at the DeepWalk-realistic L=80).
+    * Positions within `window` of each other always sit in the same
+    * or an adjacent band (⌊(s+w)/w⌋ = ⌊s/w⌋+1 exactly), so the
+    * center side replicates to bands {b−1, b, b+1} and the equi-join
+    * on (start, band) loses no pair; each (s1, s2) pair matches
+    * exactly one of the three replicas, so no dedup pass is needed.
+    */
+  private[graft] def skipGramCandidates(walks: DataFrame,
+      window: Int): DataFrame = {
+    val b = floor(col("s1") / window).cast("long")
+    val center = walks
+      .select(col("start"), col("step").as("s1"), col("vertex").as("center"))
+      .withColumn("band", explode(array(b - 1L, b, b + 1L)))
+    val context = walks
+      .select(col("start"), col("step").as("s2"), col("vertex").as("context"))
+      .withColumn("band", floor(col("s2") / window).cast("long"))
+    center.join(context, Seq("start", "band"))
+  }
+
   /** Skip-gram pair extraction over the walk corpus — the step that
     * turns walks into embedding TRAINING DATA (word2vec objective:
     * predict context from center): every ordered (center, context)
     * pair within ±window positions on the same walk, counted. One
-    * self-equi-join on the walk key (each walk is L+1 rows — the join
-    * emits ≤ (L+1)·2w rows per walk, a constant) + one hash
+    * position-banded equi-join ([[skipGramCandidates]] — O(L·window)
+    * join output per walk, hub- and length-safe) + one hash
     * aggregate; linear in corpus size.
     *
     * @return (center, context, cnt) with center ≠ context positions
     *         (same VERTEX may co-occur — a walk can revisit)
     */
   def skipGrams(walks: DataFrame, window: Int = 2): DataFrame =
-    walks.select(col("start"), col("step").as("s1"), col("vertex").as("center"))
-      .join(walks.select(col("start"), col("step").as("s2"),
-        col("vertex").as("context")), Seq("start"))
+    skipGramCandidates(walks, window)
       .filter(col("s1") =!= col("s2") &&
         abs(col("s1") - col("s2")) <= window)
       .groupBy(col("center"), col("context"))

@@ -609,9 +609,13 @@ class FastSVSpec extends SparkSpec {
     val steps = 4
     val got = graft.algo.RandomWalk.walks(a, steps).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // driver replay with the identical hash and neighbour order
+    // driver replay with the identical hash and neighbour order: the
+    // hub-safe (md5-subgroup, nbr) rank of RandomWalk.rankedAdjacency
+    val salts = graft.algo.RandomWalk.rankSalts
     val adj = edges.flatMap { case (x, y) => Seq(x -> y, y -> x) }
-      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(n => (h32(n.toString) % salts, n)))
+      .toMap
     val want = adj.keys.flatMap { s =>
       var cur = s
       val walk = scala.collection.mutable.ListBuffer((s, 0L, s))
@@ -637,6 +641,29 @@ class FastSVSpec extends SparkSpec {
       } yield (w(i), w(j))
     }.groupBy(identity).view.mapValues(_.size.toLong).toMap
     assert(sg == wantSg)
+  }
+
+  test("hub-safe neighbour rank is a bijection to [0, deg) — hub degree past rankSalts") {
+    // a star hub with degree > rankSalts exercises every subgroup plus
+    // the offset prefix-sum join; the rank must still be a bijection
+    val hubDeg = graft.algo.RandomWalk.rankSalts * 3 + 17
+    val edges = spark.range(1, hubDeg + 1)
+      .select(lit(0L).as("v"), col("id").as("nbr"))
+      .unionByName(spark.range(1, 6).select(lit(hubDeg + 1L).as("v"),
+        (col("id") + hubDeg + 1).as("nbr")))
+    val ranked = graft.algo.RandomWalk.rankedAdjacency(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byV = ranked.groupBy(_._1)
+    assert(byV(0L).map(_._3).sorted.toSeq == (0L until hubDeg.toLong))
+    assert(byV(hubDeg + 1L).map(_._3).sorted.toSeq == (0L until 5L))
+    // and the order replays externally: (md5-subgroup, nbr) ascending
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val want = byV(0L).map(_._2)
+      .sortBy(n => (h32(n.toString) % graft.algo.RandomWalk.rankSalts, n))
+      .zipWithIndex.map { case (n, i) => (n, i.toLong) }.toMap
+    assert(byV(0L).forall { case (_, n, ix) => want(n) == ix })
   }
 
   test("Borůvka MSF equals a driver-side Kruskal under the same (w, a, b) total order") {

@@ -313,6 +313,21 @@ class PlanAuditSpec extends SparkSpec {
     val sg = plan(graft.algo.RandomWalk.skipGrams(walks))
     assert(!sg.contains("CartesianProduct"))
     assert(!sg.contains("Window"), "skip-grams are a join + agg, no window")
+    // the adjacency rank must be hub-safe: the row_number window
+    // partitions by (v, salt-subgroup) — never by v alone, which would
+    // sort a power-law hub's whole edge list in one task. The only
+    // single-key window allowed is the offset prefix-sum, whose input
+    // is the (v, sg) COUNT frame (≤ rankSalts rows per vertex).
+    val ranked = graft.algo.RandomWalk.rankedAdjacency(
+      a.df.select(col("i").as("v"), col("j").as("nbr")))
+    val wins = ranked.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        (w.partitionSpec.size, w.child.toString.contains("Aggregate"))
+    }
+    assert(wins.nonEmpty)
+    wins.foreach { case (keys, overCounts) =>
+      assert(keys == 2 || overCounts,
+        s"single-key window over the raw edge list: $wins") }
     val ew = spark.createDataFrame(Seq((0L, 1L, 3L), (1L, 2L, 1L), (0L, 2L, 2L)))
       .toDF("a", "b", "w")
     assert(!plan(graft.algo.Msf.forest(ew, 4L)).contains("CartesianProduct"))
