@@ -484,6 +484,14 @@ object Queries {
     * once no cross edge survives, so outer rounds past convergence
     * pick nothing and the final union is exact.
     */
+  /** ⌈log₂ maxVertices⌉ + 1: the hook+jump round count that provably
+    * contracts any picked-edge forest over ≤ maxVertices vertices
+    * (pointer depth at least halves per round), with one idempotent
+    * margin round.
+    */
+  private def msfInnerRounds(maxVertices: Long): Int =
+    (64 - java.lang.Long.numberOfLeadingZeros(maxVertices - 1)) + 1
+
   private def msfSql(outer: Int, inner: Int): String = {
     val sw = 1L << 42; val sa = 1L << 21
     val rounds = (1 to outer).map { r =>
@@ -594,7 +602,7 @@ object Queries {
           WHERE y.d = x.d + 1),
        dd0 AS MATERIALIZED (SELECT s, n, CAST(0 AS BIGINT) AS dd FROM v$rounds),
        $back
-       SELECT n AS i, CAST(SUM(dd) AS BIGINT) AS btw_ppm FROM dd$rounds GROUP BY 1"""
+       SELECT n AS i, CAST(SUM(dd) AS BIGINT) AS btw_ppm FROM dd$rounds WHERE n <> s GROUP BY 1"""
   }
 
   /** q_walks oracle: the hash-driven walk unrolled — neighbour rank
@@ -1609,7 +1617,14 @@ object Queries {
     "q_btw_landmarks" -> landmarkBtwSql(40),
     "q_anf" -> anfSql(4),
     "q_hits" -> hitsSql(10),
-    "q_msf" -> msfSql(12, 8),
+    // inner hook+jump rounds DERIVED from the subgraph's vertex bound,
+    // not hand-picked (round-9 advice: a fixed 8 would silently leave
+    // a >2^8 label chain unconverged and fake a correctness failure):
+    // l_orderkey < 600 caps orders at 600 and TPC-H's ≤7 lineitems per
+    // order caps part vertices at 4200 → n ≤ 4800 at ANY sf; hook+jump
+    // converges any chain in ⌈log₂ n⌉ rounds and is idempotent at the
+    // fixpoint, so ⌈log₂ 4800⌉ + 1 margin = 14 is exact with slack
+    "q_msf" -> msfSql(12, msfInnerRounds(4800L)),
     "q_walks" -> walksSql(4),
     // skip-gram pairs mirror the walk self-join: ±2 positions on the
     // same walk, counted per ordered (center, context)

@@ -14,20 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Iterate {
 
-  /** Loop-internal checkpoint: `localCheckpoint` semantics WITHOUT
-    * inheriting the source plan's statistics. The non-CBO size
-    * visitor estimates joins as the PRODUCT of child sizes, so a loop
-    * that checkpoints a join/union of its own previous checkpoint
+  /** Loop-internal checkpoint: `localCheckpoint` semantics with the
+    * source plan's statistics CAPPED at the conf default. The non-CBO
+    * size visitor estimates joins as the PRODUCT of child sizes, so a
+    * loop that checkpoints a join/union of its own previous checkpoint
     * compounds sizeInBytes geometrically — after enough rounds the
     * driver's main thread spins whole minutes multiplying
     * million-digit BigIntegers inside Dataset.checkpoint while
     * executors idle (first hit by Borůvka's FastSV contraction; any
-    * deep-enough loop gets there). Fresh stats are the conf default
-    * — inside a loop a behavioral no-op, because the inherited
-    * products were already astronomically past every broadcast
-    * threshold (the engines broadcast explicitly where it matters).
-    * Terminal results keep the standard localCheckpoint and their
-    * honest stats. See org.apache.spark.sql.graft.FreshCheckpoint.
+    * deep-enough loop gets there). The cap bounds the BigInt per
+    * round while genuinely small frames (1-row seeds, early
+    * frontiers) keep their honest stats and stay statically
+    * auto-broadcastable. Terminal results keep the standard
+    * localCheckpoint. See org.apache.spark.sql.graft.FreshCheckpoint.
     */
   implicit class FreshOps(private val df: DataFrame) extends AnyVal {
     def freshCheckpoint(eager: Boolean = true): DataFrame =

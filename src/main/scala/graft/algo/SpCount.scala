@@ -270,7 +270,14 @@ object SpCount {
     * one equi-join + hash agg + left-join backfill on (s, v) keys,
     * O(|S|·nnz_dag). Same int64 bound as [[betweenness]], per source.
     *
-    * @return (i, btw_ppm): Σ over landmarks of the vertex's
+    * Convention: a landmark's OWN dependency row (i = s) is excluded
+    * from its sum — the standard Brandes-Pich endpoint-exclusion, so
+    * landmark vertices are scored by the other landmarks exactly like
+    * every non-landmark vertex (round-9 advice: summing δ_s(s) in
+    * silently inflated landmark scores relative to the convention the
+    * single-source [[betweenness]] documents).
+    *
+    * @return (i, btw_ppm): Σ over landmarks s ≠ i of the vertex's
     *         dependency, in exact floor-ppm
     */
   def landmarkBetweenness(a: GrbMatrix, sources: Seq[Long],
@@ -306,6 +313,7 @@ object SpCount {
       dd = nextDd
     }
     dag.unpersist(false)
-    dd.groupBy(col("i")).agg(sum(col("dd")).as("btw_ppm"))
+    dd.filter(col("i") =!= col("s"))
+      .groupBy(col("i")).agg(sum(col("dd")).as("btw_ppm"))
   }
 }

@@ -3,13 +3,14 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
 import org.apache.spark.sql.classic.Dataset
-import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.{CommandResultExec, LogicalRDD, SQLExecution}
 
 /** `localCheckpoint` that does NOT inherit the source plan's
-  * statistics — the fix for a quadratic-to-exponential DRIVER cost in
-  * nested iterative algebra.
+  * statistics uncapped — the fix for a quadratic-to-exponential DRIVER
+  * cost in nested iterative algebra.
   *
   * Spark's `Dataset.localCheckpoint` wraps the materialized RDD in a
   * `LogicalRDD` and copies the ORIGINAL plan's `Statistics` into it
@@ -25,17 +26,25 @@ import org.apache.spark.sql.execution.LogicalRDD
   * was the first composition deep enough to hit it; a long enough
   * FastSV run alone would too).
   *
-  * This helper reproduces `Dataset.localCheckpoint` exactly — same
+  * This helper reproduces `Dataset.localCheckpoint` — same
   * materialized `InternalRow` RDD, same first-leaf output
   * partitioning and ordering carried through (so co-location survives
-  * the checkpoint) — but passes `originStats = None`, so the wrapped
-  * frame reports the conf default (`spark.sql.defaultSizeInBytes` =
-  * Long.MaxValue). Inside an iterative loop that is a behavioral
-  * no-op: the inherited products were astronomically past every
-  * broadcast threshold anyway; the engines broadcast explicitly where
-  * it matters. Use the standard `localCheckpoint` for terminal
-  * results whose honest (small) stats downstream planning can use;
-  * use this inside loops.
+  * the checkpoint), the materialization job wrapped in
+  * `SQLExecution.withNewExecutionId` like every `Dataset.withAction`
+  * (so checkpoint jobs keep an SQL execution id: visible in the SQL
+  * UI and to query-execution listeners), the `CommandResultExec`
+  * unwrap mirrored from `Dataset.checkpoint` — but reports
+  * `min(source sizeInBytes, spark.sql.defaultSizeInBytes)` instead of
+  * the raw inherited stats. The cap bounds the BigInt at ≤ 63 bits no
+  * matter how deep the loop (each round's walk sees capped leaves, so
+  * within-round products stay a few hundred bits and the next
+  * checkpoint re-caps), while genuinely SMALL frames — 1-row seeds,
+  * early frontiers — keep their honest size and stay eligible for
+  * static auto-broadcast (round-9 advice: the unconditional
+  * `originStats = None` made every loop frame report Long.MaxValue
+  * and left AQE runtime stats as the only broadcast path). Terminal
+  * results can still use the standard `localCheckpoint`; inside loops
+  * use this.
   */
 object FreshCheckpoint {
 
@@ -46,9 +55,18 @@ object FreshCheckpoint {
     val ds = df.asInstanceOf[Dataset[Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
-    val internalRdd = qe.executedPlan.execute().map(_.copy())
+    // mirror Dataset.checkpoint: a command's result is replayed from
+    // the inner physical plan, not the CommandResultExec wrapper
+    val physical = qe.executedPlan match {
+      case c: CommandResultExec => c.commandPhysicalPlan
+      case p => p
+    }
+    val internalRdd = physical.execute().map(_.copy())
     internalRdd.localCheckpoint()
-    if (eager) internalRdd.count()
+    if (eager)
+      SQLExecution.withNewExecutionId(qe, Some("freshCheckpoint")) {
+        internalRdd.count()
+      }
     // PartitioningCollection can nest exponentially through deep
     // joins; keep the first leaf (the fromDataset rule)
     @scala.annotation.tailrec
@@ -56,10 +74,18 @@ object FreshCheckpoint {
       case c: PartitioningCollection => firstLeaf(c.partitionings.head)
       case other => other
     }
+    // capped stats: cheap to read — every loop leaf below is itself a
+    // capped LogicalRDD, so the product walk tops out at a few hundred
+    // bits. None (→ conf default) when the source estimate is at or
+    // past the cap.
+    val default = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val src = qe.optimizedPlan.stats.sizeInBytes
+    val originStats =
+      if (src < default) Some(Statistics(sizeInBytes = src)) else None
     val logical = LogicalRDD(
       ds.logicalPlan.output, internalRdd,
-      firstLeaf(qe.executedPlan.outputPartitioning),
-      qe.executedPlan.outputOrdering, ds.isStreaming)(spark, None, None)
+      firstLeaf(physical.outputPartitioning),
+      physical.outputOrdering, ds.isStreaming)(spark, originStats, None)
     Dataset.ofRows(spark, logical)
   }
 }

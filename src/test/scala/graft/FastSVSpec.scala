@@ -731,11 +731,15 @@ class FastSVSpec extends SparkSpec {
         val a = matFromEdges(edges, n.toLong)
         val multi = graft.algo.SpCount.landmarkBetweenness(a, srcs).collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // Brandes-Pich endpoint exclusion: landmark s's own δ_s(s) row
+        // does not count toward s's score (engine contract)
         val singles = srcs.map(s =>
-          graft.algo.SpCount.betweenness(a, s).collect()
+          s -> graft.algo.SpCount.betweenness(a, s).collect()
             .map(r => r.getLong(0) -> r.getLong(3)).toMap)
-        val want = singles.flatMap(_.keys).distinct
-          .map(v => v -> singles.map(_.getOrElse(v, 0L)).sum).toMap
+        val want = singles.flatMap { case (s, m) => m.keys.filter(_ != s) }
+          .distinct
+          .map(v => v -> singles.collect {
+            case (s, m) if s != v => m.getOrElse(v, 0L) }.sum).toMap
         assert(multi == want, s"trial $trial srcs=$srcs edges=$edges")
       }
     }

@@ -352,20 +352,47 @@ class PlanAuditSpec extends SparkSpec {
   test("freshCheckpoint: lineage truncated, join-product stats NOT inherited, partitioning kept") {
     import graft.algo.Iterate.FreshOps
     val base = spark.range(100).select(col("id").as("i"), col("id").as("v"))
-    // three nested self-join rounds: the standard localCheckpoint
-    // inherits sizeInBytes that MULTIPLY per round (the geometric
-    // driver-spin Borůvka hit); fresh checkpoints stay at the default
+    val default = spark.sessionState.conf.defaultSizeInBytes
+    // eight nested SELF-join rounds: the standard localCheckpoint
+    // inherits sizeInBytes that SQUARE per round (the geometric
+    // driver-spin Borůvka hit — digits double each round); the capped
+    // checkpoint re-caps every round, so the estimate's bit length
+    // stays at a machine word no matter the loop depth
     var f = base
-    for (_ <- 1 to 3) {
-      f = f.join(base.select(col("i"), col("v").as("w")), Seq("i"))
+    for (_ <- 1 to 8) {
+      f = f.join(f.select(col("i"), col("v").as("w")), Seq("i"))
         .select(col("i"), (col("v") + col("w")).as("v"))
         .freshCheckpoint(true)
     }
-    assert(f.queryExecution.optimizedPlan.stats.sizeInBytes ==
-      spark.sessionState.conf.defaultSizeInBytes)
-    // values survive the rounds: each round adds id once → v = 4·id
+    val st = f.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(st <= default && st.bitLength <= 64, s"stats $st")
+    // values survive the rounds: v doubles per self-join round
     val got = f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((0L until 100L).forall(i => got(i) == i * 4))
+    assert((0L until 100L).forall(i => got(i) == i * 256))
+    // a genuinely TINY frame keeps its honest stats through the
+    // checkpoint (round-9 advice: unconditional fresh stats pushed
+    // 1-row seeds to Long.MaxValue and killed static auto-broadcast)
+    val seedStats = base.limit(1).freshCheckpoint(true)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(seedStats < BigInt(10L * 1024 * 1024), s"seed stats $seedStats")
+    // the materialization job carries an SQL execution id (observable
+    // in the SQL UI / listeners, like every Dataset.withAction —
+    // round-9 advice: the raw executedPlan.execute() path skipped it)
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lst = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .getOrElse("MISSING"))
+    }
+    spark.sparkContext.addSparkListener(lst)
+    try {
+      base.freshCheckpoint(true)
+      val deadline = System.nanoTime() + 5000000000L
+      while (jobs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!jobs.isEmpty && !jobs.contains("MISSING"),
+        s"freshCheckpoint job missing an SQL execution id: $jobs")
+    } finally spark.sparkContext.removeSparkListener(lst)
     // partitioning parity with the standard checkpoint: under AQE the
     // executed plan reports UnknownPartitioning either way (verified
     // against Dataset.localCheckpoint), so fresh loses nothing
