@@ -90,6 +90,46 @@ object Queries {
   }
   private def stagedEventsDir(dir: String): String = stagedTableDir(dir, "events")
 
+  /** Drain a streaming frame to an in-memory table with
+    * Trigger.AvailableNow and return the sink table — the shared
+    * harness behind every p_stream_* query.
+    *
+    * The load-bearing part is the WIDTH CAP: a streaming query fixes
+    * its state-store partition count from `spark.sql.shuffle.partitions`
+    * at first start, and every (partition × state store × microbatch)
+    * pays a fixed commit + maintenance cost — a stream-stream join
+    * carries FOUR stores per partition. Inheriting the batch suite's
+    * shuffle width (sized for its heaviest aggregation hash, 4× cores)
+    * made that fixed cost the whole query: the two-stream interval
+    * join drained in 25.8 s at width 128 vs 4.4 s at 16 on identical
+    * data — and checkpoint placement (tmpfs vs disk) moved nothing, so
+    * it is pure per-store overhead, not IO. The cap never RAISES the
+    * session width (Verify runs at 4).
+    *
+    * Sizing rule at scale: state partitions follow peak STATE VOLUME
+    * (rate × watermark horizon for joins; key cardinality for aggs) at
+    * ~500k state rows per partition — the Iterate.withLoopWidth rule
+    * applied to streams — not the batch suite's shuffle width. The
+    * drains here hold ≤ ~1M tiny state rows, so 16 partitions bound
+    * per-store state comfortably while keeping the fixed cost at
+    * 16 × stores × batches commits.
+    */
+  private def drainToMemory(s: SparkSession, df: DataFrame, mode: String,
+      prefix: String, statePartitions: Int = 16): DataFrame = {
+    val qname = s"${prefix}_${System.nanoTime()}"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, statePartitions).toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(qname)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
+    s.table(qname)
+  }
+
   /** q_cc_events oracle: FastSV's own round structure (neighbor-min
     * hook + pointer-jump shortcut) unrolled to a fixed round count as
     * plain non-recursive SQL — each round is one join+groupBy over the
@@ -2086,13 +2126,8 @@ object Queries {
     // window, so the result is batch-equivalent and oracle-checkable.
     "p_stream_window" -> ((s, dir) => {
       val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
-      val qname = s"graft_stream_win_${System.nanoTime()}"
-      val q = EventsStream.hourlyByType(src).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname).select(
+      drainToMemory(s, EventsStream.hourlyByType(src), "complete",
+        "graft_stream_win").select(
         unix_timestamp(col("h")).as("h_epoch"), col("event_type"),
         col("n"), col("sum_cents"))
     }),
@@ -2104,13 +2139,8 @@ object Queries {
     // so the same register-algebra oracle applies per window
     "p_stream_hll" -> ((s, dir) => {
       val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
-      val qname = s"graft_stream_hll_${System.nanoTime()}"
-      val q = EventsStream.hourlyDistinctUsers(src).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname).select(
+      drainToMemory(s, EventsStream.hourlyDistinctUsers(src), "complete",
+        "graft_stream_hll").select(
         unix_timestamp(col("h")).as("h_epoch"), col("event_type"),
         col("hll_milli"))
     }),
@@ -2121,13 +2151,8 @@ object Queries {
     // oracle-checkable (shares p_sessionize's oracle shape)
     "p_stream_sessions" -> ((s, dir) => {
       val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
-      val qname = s"graft_stream_sess_${System.nanoTime()}"
-      val q = EventsStream.sessionize(src, expireIdleState = false).toDF()
-        .writeStream.format("memory").queryName(qname).outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname).select(col("userId").as("user_id"),
+      drainToMemory(s, EventsStream.sessionize(src, expireIdleState = false)
+        .toDF(), "update", "graft_stream_sess").select(col("userId").as("user_id"),
         col("nEvents").as("n_events"), col("nSessions").as("n_sessions"))
     }),
 
@@ -2143,15 +2168,12 @@ object Queries {
       val ledger = DocsStream.benchShingleLedger(bench)
       val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
         .filter(col("doc_id") % 50 =!= 0)
-      val qname = s"graft_stream_contam_${System.nanoTime()}"
-      val q = DocsStream.contaminationStates(src, ledger).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val drained = drainToMemory(s,
+        DocsStream.contaminationStates(src, ledger), "complete",
+        "graft_stream_contam")
       val nb = DocsStream.benchShingleLedger(bench)
         .groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
-      s.table(qname).join(nb, Seq("bench_id"))
+      drained.join(nb, Seq("bench_id"))
         .filter(col("inter") * 10 >= col("nb") * 7)
         .select(col("bench_id"), col("train_id"), col("inter"),
           col("nb").cast(LongType).as("nb"))
@@ -2159,13 +2181,8 @@ object Queries {
 
     "p_stream_dedup" -> ((s, dir) => {
       val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
-      val qname = s"graft_stream_dedup_${System.nanoTime()}"
-      val q = DocsStream.exactDedup(src).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname)
+      drainToMemory(s, DocsStream.exactDedup(src), "complete",
+        "graft_stream_dedup")
     }),
 
     // streaming deterministic quota sample: TopKPairs' <=quota buffer
@@ -2174,13 +2191,9 @@ object Queries {
     // stratifiedSample, so it shares p_stratified_sample's oracle
     "p_stream_topk" -> ((s, dir) => {
       val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
-      val qname = s"graft_stream_topk_${System.nanoTime()}"
-      val q = DocsStream.stratifiedQuotaSample(src, "lang", 40).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      DocsStream.explodeQuota(s.table(qname), "lang")
+      DocsStream.explodeQuota(drainToMemory(s,
+        DocsStream.stratifiedQuotaSample(src, "lang", 40), "complete",
+        "graft_stream_topk"), "lang")
     }),
 
     // stream-static enrichment join: each arriving event broadcast-
@@ -2191,13 +2204,8 @@ object Queries {
     "p_stream_enrich" -> ((s, dir) => {
       val tiers = EventsStream.activityTiers(pq(s, dir, "events"))
       val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
-      val qname = s"graft_stream_enrich_${System.nanoTime()}"
-      val q = EventsStream.enrichedTierTotals(src, tiers).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qname)
+      drainToMemory(s, EventsStream.enrichedTierTotals(src, tiers),
+        "complete", "graft_stream_enrich")
     }),
 
     // stream-stream interval join: view→click attribution within 1 h —
@@ -2206,15 +2214,11 @@ object Queries {
     // the batch oracle's join semantics exactly
     "p_stream_join" -> ((s, dir) => {
       val staged = stagedEventsDir(dir)
-      val qname = s"graft_stream_join_${System.nanoTime()}"
-      val q = EventsStream.attributedPairs(
+      EventsStream.attributionCounts(drainToMemory(s,
+        EventsStream.attributedPairs(
           EventsStream.readEventsStream(s, staged),
-          EventsStream.readEventsStream(s, staged)).writeStream
-        .format("memory").queryName(qname).outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      EventsStream.attributionCounts(s.table(qname))
+          EventsStream.readEventsStream(s, staged)),
+        "append", "graft_stream_join"))
     }),
 
     // streaming funnel: the strict-ordered conversion tracker as a
@@ -2224,13 +2228,9 @@ object Queries {
     // shares p_funnel's oracle
     "p_stream_funnel" -> ((s, dir) => {
       val src = EventsStream.readEventsStream(s, stagedEventsDir(dir))
-      val qname = s"graft_stream_funnel_${System.nanoTime()}"
-      val q = EventsStream.funnelStages(src).toDF()
-        .writeStream.format("memory").queryName(qname).outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      EventsStream.funnelCounts(s.table(qname))
+      EventsStream.funnelCounts(drainToMemory(s,
+        EventsStream.funnelStages(src).toDF(), "update",
+        "graft_stream_funnel"))
     }),
 
     // streaming Count-Min: the 32 KiB counter grid is the streaming
@@ -2240,13 +2240,8 @@ object Queries {
     // p_cms_tokens' oracle; watchlist probe on the sink side
     "p_stream_cms" -> ((s, dir) => {
       val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
-      val qname = s"graft_stream_cms_${System.nanoTime()}"
-      val q = DocsStream.cmsTokenStates(src).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      Sketch.probeWatchlist(s.table(qname))
+      Sketch.probeWatchlist(drainToMemory(s,
+        DocsStream.cmsTokenStates(src), "complete", "graft_stream_cms"))
     }),
 
     // continuous-ingest near-dup screen: per-doc minhash signature as
@@ -2257,17 +2252,13 @@ object Queries {
     // p_minhash_ledger's oracle — the drain is batch-equivalent
     "p_stream_neardup" -> ((s, dir) => {
       val src = DocsStream.readDocsStream(s, stagedTableDir(dir, "documents"))
-      val qname = s"graft_stream_nd_${System.nanoTime()}"
-      val q = DocsStream.minhashSignatureStates(
-          src.filter(col("doc_id") % 4 === 0)).writeStream
-        .format("memory").queryName(qname).outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val drained = drainToMemory(s, DocsStream.minhashSignatureStates(
+        src.filter(col("doc_id") % 4 === 0)), "complete",
+        "graft_stream_nd")
       val ledger = TextDedup.minhashLedger(
         pq(s, dir, "documents").filter(col("doc_id") % 4 =!= 0))
       TextDedup.probeLedgerBands(
-        TextDedup.bandSigsFromSignatures(s.table(qname)), ledger)
+        TextDedup.bandSigsFromSignatures(drained), ledger)
     }),
 
     // multimodal plumbing over the deterministic synthetic GRFT corpus:
