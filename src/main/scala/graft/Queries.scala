@@ -2042,7 +2042,11 @@ object Queries {
     "p_sample_ledger" -> ((s, dir) =>
       Sampling.stratifiedSampleLedger(pq(s, dir, "documents"), "lang",
         col("text"), 40, col("doc_id") % 7)),
-    "p_ann_topk" -> ((s, dir) => Similarity.bruteForceTopK(pq(s, dir, "embeddings"))),
+    // top-k search through the AUTO engine rule (Similarity.topK):
+    // q=20 ≪ α·√n at every bench sf, so the rule resolves to the exact
+    // brute-force engine and the brute oracle applies unchanged — the
+    // crossover itself is validated in the SPARK_GRAFT_ANNX tier
+    "p_ann_topk" -> ((s, dir) => Similarity.topK(pq(s, dir, "embeddings"))),
     "p_ann_lsh" -> ((s, dir) => Similarity.annPairs(pq(s, dir, "embeddings"))),
     // embedding-space near-dup dedup: LSH-verified cosine pairs ->
     // min-id representative sweep

@@ -492,6 +492,44 @@ object SelfBaseline {
       emb2.unpersist()
       emb.unpersist()
     }
+    // ANN crossover tier (SPARK_GRAFT_ANNX=<nVecs>, round-10 item 2):
+    // validates Similarity.topK's measured cost model by timing BOTH
+    // engines at a small and a large query count and checking the
+    // model's pick matches the measured winner each time
+    // (auto_is_faster). crossover_q = -1 means the model says brute
+    // wins at every q for this corpus size.
+    sys.env.get("SPARK_GRAFT_ANNX").foreach { nStr =>
+      val nVecs = nStr.toLong
+      val emb = syntheticEmbeddings(spark, nVecs, 64)
+        .withColumnRenamed("doc_id", "vec_id").cache()
+      emb.count()
+      val probes = 2
+      val qSides = Seq(math.max(8L, nVecs / 56), nVecs / 4).distinct
+      val cols = qSides.map { q =>
+        // ABBA + min per engine: the IVF candidate path is
+        // shuffle-bound and hence host-IO-window sensitive (a degraded
+        // draw measured 140 s where healthy windows repeat ~12 s);
+        // min-of-reps is the estimator of true cost (Bench discipline)
+        val draws = Seq("brute", "ivf", "ivf", "brute").map {
+          case "brute" =>
+            "brute" -> timed(Similarity.bruteForceTopK(emb, q, 10).count())
+          case _ =>
+            "ivf" -> timed(Similarity.ivfTopK(emb, q, 10,
+              probes = probes).count())
+        }
+        def best(tag: String) = draws.collect { case (`tag`, (_, s)) => s }.min
+        val (nb, bSec) = (draws.collect { case ("brute", (r, _)) => r }.head, best("brute"))
+        val (ni, iSec) = (draws.collect { case ("ivf", (r, _)) => r }.head, best("ivf"))
+        val pb = Similarity.TopKCost.bruteSec(nVecs, q)
+        val pi = Similarity.TopKCost.ivfSec(nVecs, q, probes)
+        val autoPick = if (pb <= pi) "brute" else "ivf"
+        val fasterIsAuto =
+          if (bSec < iSec) autoPick == "brute" else autoPick == "ivf"
+        f""""q$q":{"brute_sec":$bSec%.2f,"brute_rows":$nb,"ivf_sec":$iSec%.2f,"ivf_rows":$ni,"model_brute_sec":$pb%.2f,"model_ivf_sec":$pi%.2f,"auto_pick":"$autoPick","auto_is_faster":$fasterIsAuto}"""
+      }
+      println(s"""{"annx_vecs":$nVecs,"crossover_q":${Similarity.TopKCost.crossoverQ(nVecs, probes)},${cols.mkString(",")}}""")
+      emb.unpersist()
+    }
     // Big-graph tier (SPARK_GRAFT_BIGGRAPH=<edges>, e.g. 100000000):
     // PregelCC + BFS only — the workloads whose 100 TB story rides on
     // round count × message volume. The A·A square is deliberately

@@ -486,6 +486,82 @@ object Similarity {
     }
   }
 
+  /** Measured cost model behind [[topK]]'s engine choice. Structure
+    * (the portable part — constants are box-calibrated):
+    *
+    *   brute(n, q)      = b·q·n
+    *   ivf(n, q, p)     = c₀·n^1.5  +  c₁·q·p·√n
+    *
+    * brute scores q·n rows through a codegen dot against a BROADCAST
+    * query table and truncates map-side — no shuffle, so its per-row
+    * cost b is raw whole-stage-codegen throughput. IVF at the auto
+    * cell count k=√n pays a build ∝ n·k = n^1.5 (assignment passes +
+    * recentre aggregates + per-stage job overhead) and then
+    * q·probes·n/k = q·p·√n CANDIDATE rows — ~100× fewer rows per
+    * query than brute at n=50k, but each candidate is an equi-join
+    * row shuffled with both 64-d vectors re-attached, then
+    * re-aggregated: c₁/b ≈ 21× per row in healthy windows (and up to
+    * ~500× in a degraded IO window — the shuffle-bound path is
+    * window-sensitive where the codegen-broadcast path is not, which
+    * is why calibration uses min-across-draws, the Bench estimator).
+    * IVF's per-QUERY marginal beats brute's when b·n > c₁·p·√n
+    * (n ≳ 1800 at p=2 here); the crossover then is
+    * q* = c₀·n^1.5 / (b·n − c₁·p·√n) → the classical α·√n shape with
+    * α → c₀/b ≈ 16 as n grows.
+    *
+    * Calibration (SPARK_GRAFT_ANNX tier, 50k×64d, local[32],
+    * ABBA-min across windows — BASELINE_SELF): brute 1.23 s at q=892
+    * / 17.65 s at q=12500 → b ≈ 2.7e-8 s/row (stable across every
+    * draw); ivf 5.19 s / 12.35 s at the same points →
+    * c₁ ≈ 5.7e-7 s/candidate, build ≈ 5.0 s → c₀ ≈ 4.4e-7. Predicted
+    * crossover at n=50k: q* ≈ 4500 — and the measured winner flips
+    * between the q=892 (brute 4×) and q=12500 (IVF 1.4×) points as
+    * the model says.
+    *
+    * The model prices BUILD-PER-CALL semantics. A deployment that
+    * amortizes one IVF index over many query batches drops the c₀
+    * term and crosses over wherever b·n > c₁·p·√n — callers with a
+    * standing index should call [[ivfTopK]] directly.
+    */
+  object TopKCost {
+    val bruteSecPerScoredRow: Double = 2.7e-8
+    val ivfSecPerCandidateRow: Double = 5.7e-7
+    val ivfBuildSecPerN15: Double = 4.4e-7
+    def bruteSec(n: Long, q: Long): Double =
+      bruteSecPerScoredRow * q.toDouble * n.toDouble
+    def ivfSec(n: Long, q: Long, probes: Int): Double =
+      ivfBuildSecPerN15 * math.pow(n.toDouble, 1.5) +
+        ivfSecPerCandidateRow * q.toDouble * probes * math.sqrt(n.toDouble)
+    /** the query count past which IVF wins at this corpus size, or -1
+      * when brute wins at every q (n below the per-query floor)
+      */
+    def crossoverQ(n: Long, probes: Int): Long = {
+      val perQueryEdge = bruteSecPerScoredRow * n.toDouble -
+        ivfSecPerCandidateRow * probes * math.sqrt(n.toDouble)
+      if (perQueryEdge <= 0) -1L
+      else math.ceil(
+        ivfBuildSecPerN15 * math.pow(n.toDouble, 1.5) / perQueryEdge).toLong
+    }
+  }
+
+  /** Top-k cosine search with the engine CHOSEN by the measured cost
+    * model ([[TopKCost]]): exact brute force when its modeled cost is
+    * at or below IVF's (always, below the ~10⁶-vector floor), IVF
+    * past the modeled crossover. One count job learns n — the same
+    * count the IVF path needs for its auto cell rule. Ties go to
+    * brute: the exact engine is never the wrong answer at the
+    * boundary.
+    */
+  def topK(emb: DataFrame, nQueries: Long = 20L, k: Int = 5,
+      probes: Int = 2, materialize: Boolean = true,
+      lloydRounds: Int = 1): DataFrame = {
+    val n = emb.count()
+    val q = math.min(nQueries, n)
+    if (TopKCost.bruteSec(n, q) <= TopKCost.ivfSec(n, q, probes))
+      bruteForceTopK(emb, nQueries, k)
+    else ivfTopK(emb, nQueries, k, -1, probes, materialize, lloydRounds)
+  }
+
   /** IVF (inverted-file) ANN pairs — the clustering-flavored scale
     * path next to the hyperplane LSH: vectors are coarse-quantized to
     * their nearest centroid cells ([[ivfCentroids]]: deterministic
