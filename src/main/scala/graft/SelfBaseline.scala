@@ -592,6 +592,89 @@ object SelfBaseline {
       val leftover = spark.sparkContext.getPersistentRDDs.size
       println(f"""{"tier":"graphfam","edges":$nEdges,"nnz":$nnz,"n":$n,"msf_sec":$msfSec%.2f,"msf_edges":$msfEdges,"btw_sec":$btwSec%.2f,"btw_reached":$btwReached,"linkpred_sec":$lpSec%.2f,"linkpred_pairs":$lpPairs,"hits_sec":$hitsSec%.2f,"hits_rows":$hitsRows,"walks_sec":$walkSec%.2f,"walk_plus_sg_rows":$walkRows,"persistent_rdds_after":$leftover}""")
     }
+    // HyperANF register-traffic tier (SPARK_GRAFT_ANF=<edges>,
+    // round-10 item 5): the ≤256 B × nnz/round shuffle envelope,
+    // MEASURED past bench scale. A listener sums shuffle write bytes
+    // across the run; bytes/round vs the envelope is the claim under
+    // test (register traffic, not ball size, governs cost — ball
+    // sizes grow toward n while the HLL state stays 256 B). Flag when
+    // measured bytes/round exceed 2× the envelope.
+    sys.env.get("SPARK_GRAFT_ANF").foreach { eStr =>
+      val nEdges = eStr.toLong
+      val a = new GrbMatrix(syntheticGraph(spark, nEdges).df.cache(),
+        nEdges / 8, nEdges / 8)
+      val nnz = a.nvals
+      val rounds = 4
+      val written = new java.util.concurrent.atomic.AtomicLong(0L)
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          written.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(lst)
+      val (nRows, anfSec) = timed(graft.algo.HyperAnf.balls(a, rounds).count())
+      Thread.sleep(2000) // let the listener bus drain the last stages
+      spark.sparkContext.removeSparkListener(lst)
+      a.df.unpersist(true)
+      val perRound = written.get() / rounds
+      val envelope = 256L * nnz
+      println(f"""{"tier":"anf","edges":$nEdges,"nnz":$nnz,"rounds":$rounds,"anf_sec":$anfSec%.2f,"sec_per_round":${anfSec / rounds}%.2f,"rows":$nRows,"shuffle_bytes_per_round":$perRound,"envelope_bytes":$envelope,"bytes_vs_envelope":${perRound.toDouble / envelope}%.2f,"within_2x":${perRound <= 2 * envelope}}""")
+    }
+    // Planted-hub walk tier (SPARK_GRAFT_HUBWALK=<edges>, round-10
+    // item 1): a 10⁵-degree hub planted on the synthetic graph. Under
+    // the round-9 per-vertex row_number window the hub's whole edge
+    // list sorted in ONE task; the salted rank must show no such
+    // straggler — max task duration within ~2× of the p95 across the
+    // walk build (median is dominated by thousands of trivial tasks,
+    // so p95 is the honest denominator for "no single-task wall").
+    // Also records the banded skip-gram join's candidate volume at
+    // L=80 next to the un-banded (L+1)² self-join it replaced.
+    // SPARK_GRAFT_HUBWALK=<edges>[:<hubDegree>] — vary the hub degree
+    // to show the max task no longer scales with it (the pre-fix
+    // single-task hub sort did, linearly)
+    sys.env.get("SPARK_GRAFT_HUBWALK").foreach { eSpec =>
+      val parts = eSpec.split(":")
+      val nEdges = parts(0).toLong
+      val n = nEdges / 8
+      val hubDeg = if (parts.length > 1) parts(1).toLong else 100000L
+      val bg = syntheticGraph(spark, nEdges).df
+        .filter(col("i") =!= 0L && col("j") =!= 0L)
+      val spokes = spark.range(1L, hubDeg + 1L)
+        .select(col("id").as("t"))
+        .select(explode(array(
+          struct(lit(0L).as("i"), col("t").as("j")),
+          struct(col("t").as("i"), lit(0L).as("j")))).as("e"))
+        .select(col("e.i"), col("e.j"), lit(1L).as("v"))
+      val a = new GrbMatrix(bg.unionByName(spokes).cache(), n, n)
+      val nnz = a.nvals
+      val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null && te.taskInfo.successful)
+            durs.add(te.taskInfo.duration)
+      }
+      spark.sparkContext.addSparkListener(lst)
+      val (nWalkRows, walkSec) = timed(
+        graft.algo.RandomWalk.walks(a, steps = 4).count())
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(lst)
+      val ds = durs.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      val maxD = if (ds.nonEmpty) ds.last else 0L
+      val p95 = if (ds.nonEmpty) ds((ds.length * 95) / 100 min (ds.length - 1)) else 0L
+      // banded vs un-banded skip-gram candidate volume at L=80 on a
+      // small start set (walk corpus cost dominates otherwise)
+      val small = new GrbMatrix(a.df.filter(col("i") < 2000 && col("j") < 2000),
+        2000L, 2000L)
+      val w80 = graft.algo.RandomWalk.walks(small, steps = 80)
+        .localCheckpoint(true)
+      val nWalks80 = w80.select(col("start")).distinct().count()
+      val (nBanded, bandSec) = timed(
+        graft.algo.RandomWalk.skipGramCandidates(w80, 2).count())
+      val unbanded = nWalks80 * 81L * 81L // the replaced self-join's output
+      a.df.unpersist(true)
+      println(f"""{"tier":"hubwalk","edges":$nEdges,"nnz":$nnz,"hub_degree":$hubDeg,"walk_sec":$walkSec%.2f,"walk_rows":$nWalkRows,"task_max_ms":$maxD,"task_p95_ms":$p95,"max_vs_p95":${if (p95 > 0) maxD.toDouble / p95 else -1.0}%.2f,"n_tasks":${ds.length},"sg80_walks":$nWalks80,"sg80_banded_candidates":$nBanded,"sg80_unbanded_candidates":$unbanded,"sg80_cand_sec":$bandSec%.2f}""")
+    }
     // Planted-skew tier (SPARK_GRAFT_SKEW=<nDocs>): a 10% boilerplate
     // cluster (one hot LSH bucket of n/10 docs per band) drives the
     // candidate join quadratic when the hot-bucket guard is off, flat

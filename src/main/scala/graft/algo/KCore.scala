@@ -32,17 +32,27 @@ import graft.core._
   *         are absent. Empty when no k-core exists.
   */
 object KCore {
-  /** @param shrinkThreshold survivor-count floor for re-materializing
-    *   the adjacency to surviving edges (see the loop comment). The
-    *   default keeps bench-scale graphs on the simple plan: a
-    *   same-window ABBA at sf0.1 (167k nodes, 1.2M nnz) measured the
-    *   shrink ~9 s SLOWER — per-round cost there is job/checkpoint
-    *   overhead, not scan, so the rebuild premium is never repaid.
-    *   Scan-dominated graphs (≳10M survivors, the 100M-edge tier)
-    *   are where the rebuild pays; pass 0 to force it everywhere.
+  /** @param shrinkThreshold controls when the adjacency is
+    *   re-materialized to surviving edges (see the loop comment).
+    *   -1 (default) = the MEASURED rule: each round, a listener sums
+    *   the round's task executor time; dataWall = Σtask/cores is the
+    *   round's data-proportional cost, overheadWall = wall − dataWall
+    *   its fixed scheduler/checkpoint cost. Rebuild when
+    *     5 · deadFrac · dataWall ≥ 2 · dataWall + overheadWall
+    *   — the saving over the peel's long near-stable tail (≥5 more
+    *   rounds once the big round-1 kill is done — measured: 63% of
+    *   nnz dies in round 1) against the rebuild's two semi-join
+    *   passes plus one round's worth of job overhead. This re-derives
+    *   both measured regimes with no constant to tune per graph: at
+    *   bench scale dataWall ≈ 0 (rounds are overhead — the sf0.1 ABBA
+    *   where forcing the rebuild cost +9 s) so it never fires; on a
+    *   scan-dominated graph dataWall dominates and the dead fraction
+    *   alone decides, which is where the rebuild repays.
+    *   0 forces the rebuild on every 30%-dead event; >0 is the legacy
+    *   count rule (rebuild only while survivors exceed the threshold).
     */
   def kcore(a: GrbMatrix, k: Long, maxIter: Int = 100,
-      shrinkThreshold: Long = 10000000L): GrbVector = {
+      shrinkThreshold: Long = -1L): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"kcore adjacency must be square: ${a.nrows}x${a.ncols}")
     val spark = a.df.sparkSession
@@ -78,19 +88,46 @@ object KCore {
     var edgeBasisN = n
     var stable = false
     var iter = 0
+    // per-round data-cost meter for the measured shrink rule: Σ task
+    // executor time over the round's jobs ÷ cores = the round's
+    // data-proportional wall share; the remainder of the measured
+    // wall is fixed scheduler/checkpoint overhead a rebuild can't cut
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          taskMs.addAndGet(te.taskMetrics.executorRunTime)
+    }
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    if (shrinkThreshold < 0) spark.sparkContext.addSparkListener(meter)
+    try {
     while (!stable && iter < maxIter && n > 0) {
+      val t0 = System.nanoTime()
+      taskMs.set(0L)
       val next = new GrbVector(
         coreDegree(s).selectOp(_ >= k).df
           .select(col("i"), lit(1L).as("v")).freshCheckpoint(true), a.nrows)
       val n2 = next.df.count()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
       stable = n2 == n
       prev.foreach(_.unpersist(false))
       prev = Iterate.checkpointRdd(next.df)
       s = next
       n = n2
       iter += 1
-      if (!stable && n > 0 && edgeBasisN > shrinkThreshold &&
-          n2 * 10 < edgeBasisN * 7) {
+      val deadFrac = 1.0 - n2.toDouble / edgeBasisN
+      val wantShrink =
+        if (shrinkThreshold > 0) // legacy count rule
+          edgeBasisN > shrinkThreshold && n2 * 10 < edgeBasisN * 7
+        else if (shrinkThreshold == 0) // force on every 30%-dead event
+          n2 * 10 < edgeBasisN * 7
+        else { // measured rule (see scaladoc)
+          val dataWall = taskMs.get().toDouble / cores
+          val overheadWall = math.max(0.0, wallMs.toDouble - dataWall)
+          5.0 * deadFrac * dataWall >= 2.0 * dataWall + overheadWall
+        }
+      if (!stable && n > 0 && wantShrink) {
         val shrunk = A.df
           .join(s.df.select(col("i").as("sa")), col("i") === col("sa"), "leftsemi")
           .join(s.df.select(col("i").as("sb")), col("j") === col("sb"), "leftsemi")
@@ -110,6 +147,9 @@ object KCore {
     if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
       System.err.println(s"graft.KCore rounds=$iter")
     out
+    } finally {
+      if (shrinkThreshold < 0) spark.sparkContext.removeSparkListener(meter)
+    }
     } // withLoopWidth
   }
 }

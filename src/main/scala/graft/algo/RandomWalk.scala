@@ -95,11 +95,16 @@ object RandomWalk {
   def walks(a: GrbMatrix, steps: Int = 4): DataFrame = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"walk adjacency must be square: ${a.nrows}x${a.ncols}")
-    val ranked = rankedAdjacency(
-      a.df.select(col("i").as("v"), col("j").as("nbr")))
-    val deg = ranked.groupBy("v").agg(count(lit(1)).as("deg"))
+    val edges = a.df.select(col("i").as("v"), col("j").as("nbr"))
+    // degree needs no rank — computing it from the raw edge list keeps
+    // the two-window rank pipeline to ONE materialization (indexed)
+    val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
       .repartition(col("v")).cache()
-    val indexed = ranked.repartition(col("v")).cache() // (v, nbr, idx)
+    // cached pre-partitioned on the LOOP'S join key (v, idx): every
+    // step's move-join then reuses this exchange and shuffles only the
+    // O(V) position frame — the O(E) adjacency is shuffled exactly once
+    val indexed = rankedAdjacency(edges)
+      .repartition(col("v"), col("idx")).cache() // (v, nbr, idx)
     var pos = deg.select(col("v").as("start"))
       .select(col("start"), lit(0L).as("step"), col("start").as("cur"))
       .freshCheckpoint(true)

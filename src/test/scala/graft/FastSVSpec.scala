@@ -348,10 +348,15 @@ class FastSVSpec extends SparkSpec {
         val sym = edges ++ edges.map { case (a, b) => (b, a) }
         val a = GrbMatrix.fromValues(spark,
           sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, n, n)
-        // shrinkThreshold = 0 forces the adjacency re-materialization
-        // path (scan-dominated-graph mode) on every shrink event;
-        // alternate trials cover the default simple path too
-        val thresh = if (trial % 2 == 0) 0L else 10000000L
+        // rotate all three shrink modes: 0 forces the adjacency
+        // re-materialization on every 30%-dead event, -1 is the
+        // measured-rule default (never fires on toy graphs — rounds
+        // are pure overhead), positive is the legacy count rule
+        val thresh = (trial % 3) match {
+          case 0 => 0L
+          case 1 => -1L
+          case _ => 10000000L
+        }
         val got = graft.algo.KCore.kcore(a, k, shrinkThreshold = thresh)
           .toValues.toMap
         assert(got == expect, s"trial $trial n=$n k=$k edges=$edges")
