@@ -125,7 +125,11 @@ object KCore {
         else { // measured rule (see scaladoc)
           val dataWall = taskMs.get().toDouble / cores
           val overheadWall = math.max(0.0, wallMs.toDouble - dataWall)
-          5.0 * deadFrac * dataWall >= 2.0 * dataWall + overheadWall
+          val fire = 5.0 * deadFrac * dataWall >= 2.0 * dataWall + overheadWall
+          if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
+            System.err.println(f"graft.KCore round=$iter dead=$deadFrac%.2f " +
+              f"dataWall=${dataWall / 1000}%.2fs overheadWall=${overheadWall / 1000}%.2fs fire=$fire")
+          fire
         }
       if (!stable && n > 0 && wantShrink) {
         val shrunk = A.df

@@ -158,18 +158,36 @@ object RandomWalk {
   /** Skip-gram pair extraction over the walk corpus — the step that
     * turns walks into embedding TRAINING DATA (word2vec objective:
     * predict context from center): every ordered (center, context)
-    * pair within ±window positions on the same walk, counted. One
-    * position-banded equi-join ([[skipGramCandidates]] — O(L·window)
-    * join output per walk, hub- and length-safe) + one hash
-    * aggregate; linear in corpus size.
+    * pair within ±window positions on the same walk, counted.
+    *
+    * The candidate join ADAPTS to walk length (one 1-row max(step)
+    * agg learns it): short walks take the plain self-join on the walk
+    * key — (L+1)² rows per walk, and at small L that is LESS work
+    * than banding's 3× center replication (measured: the banded path
+    * cost q_skipgram +72% at L=4); long walks take the position-
+    * banded join ([[skipGramCandidates]] — O(L·window) join output
+    * per walk, 954k vs 13.1M candidate rows at L=80 on the HUBWALK
+    * tier). The switch point is where banding's replicated input
+    * first undercuts the quadratic output: L+1 > 3·(2·window+1).
+    * Identical result either way; one hash aggregate finishes.
     *
     * @return (center, context, cnt) with center ≠ context positions
     *         (same VERTEX may co-occur — a walk can revisit)
     */
-  def skipGrams(walks: DataFrame, window: Int = 2): DataFrame =
-    skipGramCandidates(walks, window)
+  def skipGrams(walks: DataFrame, window: Int = 2): DataFrame = {
+    val maxStep = walks.agg(max(col("step"))).head(1)
+      .headOption.map(_.getLong(0)).getOrElse(0L) // 1-row driver agg
+    val cand =
+      if (maxStep + 1 <= 3L * (2 * window + 1))
+        walks.select(col("start"), col("step").as("s1"),
+            col("vertex").as("center"))
+          .join(walks.select(col("start"), col("step").as("s2"),
+            col("vertex").as("context")), Seq("start"))
+      else skipGramCandidates(walks, window)
+    cand
       .filter(col("s1") =!= col("s2") &&
         abs(col("s1") - col("s2")) <= window)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("cnt"))
+  }
 }
