@@ -89,18 +89,33 @@ object KCore {
     var stable = false
     var iter = 0
     // per-round data-cost meter for the measured shrink rule: Σ task
-    // executor time over the round's jobs ÷ cores = the round's
+    // executor time over THE LOOP'S OWN jobs ÷ cores = the round's
     // data-proportional wall share; the remainder of the measured
-    // wall is fixed scheduler/checkpoint overhead a rebuild can't cut
+    // wall is fixed scheduler/checkpoint overhead a rebuild can't cut.
+    // Scoped by job group so a concurrent query on the same session
+    // cannot inflate the measurement and mis-fire a rebuild: the
+    // listener counts only stages of jobs started under this loop's
+    // group id.
+    val groupId = s"graft-kcore-${java.util.UUID.randomUUID()}"
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val meter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            groupId == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(sid => myStages.add(sid))
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
+        if (te.taskMetrics != null && myStages.contains(te.stageId))
           taskMs.addAndGet(te.taskMetrics.executorRunTime)
     }
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
-    if (shrinkThreshold < 0) spark.sparkContext.addSparkListener(meter)
+    if (shrinkThreshold < 0) {
+      spark.sparkContext.addSparkListener(meter)
+      spark.sparkContext.setJobGroup(groupId,
+        "graft k-core peel (shrink-rule metered)")
+    }
     try {
     while (!stable && iter < maxIter && n > 0) {
       val t0 = System.nanoTime()
@@ -152,7 +167,10 @@ object KCore {
       System.err.println(s"graft.KCore rounds=$iter")
     out
     } finally {
-      if (shrinkThreshold < 0) spark.sparkContext.removeSparkListener(meter)
+      if (shrinkThreshold < 0) {
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.removeSparkListener(meter)
+      }
     }
     } // withLoopWidth
   }
