@@ -648,6 +648,24 @@ class FastSVSpec extends SparkSpec {
     assert(sg == wantSg)
   }
 
+  test("skip-gram banded path equals the plain self-join on long walks") {
+    // steps = 20 puts skipGrams on the banded path (L+1 = 21 > 3·(2w+1) = 15);
+    // the plain formulation is the semantic definition — results must be
+    // identical pair-for-pair and count-for-count
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    val a = matFromEdges(edges, 5L)
+    val w = graft.algo.RandomWalk.walks(a, steps = 20).localCheckpoint(true)
+    val got = graft.algo.RandomWalk.skipGrams(w, window = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val plain = w.select(col("start"), col("step").as("s1"), col("vertex").as("center"))
+      .join(w.select(col("start"), col("step").as("s2"), col("vertex").as("context")),
+        Seq("start"))
+      .filter(col("s1") =!= col("s2") && abs(col("s1") - col("s2")) <= 2)
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == plain)
+  }
+
   test("hub-safe neighbour rank is a bijection to [0, deg) — hub degree past rankSalts") {
     // a star hub with degree > rankSalts exercises every subgroup plus
     // the offset prefix-sum join; the rank must still be a bijection

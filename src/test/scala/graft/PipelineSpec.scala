@@ -999,6 +999,28 @@ class PipelineSpec extends SparkSpec {
     assert(got(3L) === ((4L, 0L, 0L)))
   }
 
+  test("topK cost model: no crossover below the per-query floor, ~4.5k at n=50k, auto path = brute") {
+    import graft.pipeline.Similarity.TopKCost
+    // tiny corpora: IVF's per-candidate cost exceeds brute's per-row
+    // cost at every q — crossoverQ reports "brute always"
+    assert(TopKCost.crossoverQ(1000L, 2) == -1L)
+    // the calibrated point: crossover near 4.5k queries at n=50k
+    val c = TopKCost.crossoverQ(50000L, 2)
+    assert(c > 3000L && c < 7000L, s"crossover $c")
+    // model picks on each side of it
+    assert(TopKCost.bruteSec(50000L, 892L) <= TopKCost.ivfSec(50000L, 892L, 2))
+    assert(TopKCost.bruteSec(50000L, 12500L) > TopKCost.ivfSec(50000L, 12500L, 2))
+    // the auto path at bench shape (small q) returns the exact result
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 7), d -> float((pmod(hash(id * 31 + d), 200) - 100) / 100.0))")
+        .as("embedding"))
+    val auto = graft.pipeline.Similarity.topK(emb, 5L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = graft.pipeline.Similarity.bruteForceTopK(emb, 5L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == brute)
+  }
+
   test("mix plan: equal share, ppm cap for under-represented sources") {
     // src_a: 40 tokens, src_b: 4 tokens; budget 40 over 2 sources = 20
     val rows = Seq(

@@ -321,4 +321,21 @@ class StreamingSpec extends SparkSpec {
       assert(last(9L).nEvents == 1 && last(9L).nSessions == 1)
     } finally q.stop()
   }
+
+  test("drain harness caps state partitions for the drain and restores the session width") {
+    // the p_stream_* drain helper must never leak its width cap into
+    // the session (the batch suite's shuffle width is load-bearing for
+    // the heavy aggregations) and must return the batch-equivalent
+    // result regardless of the cap
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    try {
+      val got = graft.SparkEntry.queries("p_stream_window")(
+        spark, "/root/testdata/sf0.001")
+      assert(got.count() > 0)
+      assert(spark.conf.get(key) == "64",
+        "drain helper must restore the session shuffle width")
+    } finally spark.conf.set(key, prev)
+  }
 }
