@@ -103,19 +103,20 @@ object Queries {
     * made that fixed cost the whole query: the two-stream interval
     * join drained in 25.8 s at width 128 vs 4.4 s at 16 on identical
     * data — and checkpoint placement (tmpfs vs disk) moved nothing, so
-    * it is pure per-store overhead, not IO. The cap never RAISES the
-    * session width (Verify runs at 4).
+    * it is pure per-store overhead, not IO; a min-of-3 ABBA then
+    * measured 8 another ~35% under 16 (3.25/3.27 vs 4.94/5.18 s). The
+    * cap never RAISES the session width (Verify runs at 4).
     *
     * Sizing rule at scale: state partitions follow peak STATE VOLUME
     * (rate × watermark horizon for joins; key cardinality for aggs) at
     * ~500k state rows per partition — the Iterate.withLoopWidth rule
     * applied to streams — not the batch suite's shuffle width. The
-    * drains here hold ≤ ~1M tiny state rows, so 16 partitions bound
-    * per-store state comfortably while keeping the fixed cost at
-    * 16 × stores × batches commits.
+    * drains here hold ≤ ~1M tiny state rows, so 8 partitions keep
+    * per-store state at ~125k rows while minimizing the fixed
+    * partitions × stores × batches commit cost.
     */
   private def drainToMemory(s: SparkSession, df: DataFrame, mode: String,
-      prefix: String, statePartitions: Int = 16): DataFrame = {
+      prefix: String, statePartitions: Int = 8): DataFrame = {
     val qname = s"${prefix}_${System.nanoTime()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
