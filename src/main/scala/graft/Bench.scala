@@ -135,7 +135,12 @@ object Bench {
     // not compared apples-to-oranges against single-rep rounds 1-4
     val mk = (qs: String, sp: String) =>
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sp,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest) since r5; spread=all reps since r7; r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/root/repo/BENCH_SELF.json"),
+    // BENCH_SELF.json is the FULL-CATALOG record; a filtered probe run
+    // (SPARK_GRAFT_ONLY) must never clobber it — probes land in
+    // BENCH_probe.json instead (round-10 advice: a 1-query ABBA once
+    // overwrote the 149-query record)
+    val outFile = if (only.isDefined) "BENCH_probe.json" else "BENCH_SELF.json"
+    Files.writeString(Paths.get("/root/repo", outFile),
       mk(qmap(results), s""","spread":$spread""") + "\n")
     println(mk(qmap(head), ""))
   }

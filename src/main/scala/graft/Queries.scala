@@ -120,7 +120,11 @@ object Queries {
     val qname = s"${prefix}_${System.nanoTime()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, math.min(prev.toInt, statePartitions).toString)
+    // non-integer session widths (e.g. "auto" on some platforms) fall
+    // back to the cap itself instead of throwing; the cap never RAISES
+    // a narrower integer session width (Verify runs at 4)
+    val prevWidth = scala.util.Try(prev.toInt).getOrElse(statePartitions)
+    s.conf.set(key, math.min(prevWidth, statePartitions).toString)
     try {
       val q = df.writeStream.format("memory").queryName(qname)
         .outputMode(mode)
@@ -128,7 +132,13 @@ object Queries {
         .start()
       q.awaitTermination()
     } finally s.conf.set(key, prev)
-    s.table(qname)
+    // the memory sink registers a temp view per drain; hand the caller
+    // a lineage-free copy and drop the view so repeated drains do not
+    // leak uniquely-named tables into the catalog (drained results are
+    // small — bounded state, ≤ a few k rows)
+    val out = s.table(qname).localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    out
   }
 
   /** q_cc_events oracle: FastSV's own round structure (neighbor-min

@@ -81,7 +81,15 @@ object Iterate {
     * blocks are freed, keeping loop storage O(n).
     */
   def vectorLoopStable(init: GrbVector, maxIter: Int = 100)(
-      step: (GrbVector, Int) => GrbVector): GrbVector = {
+      step: (GrbVector, Int) => GrbVector): GrbVector =
+    vectorLoopStableCounted(init, maxIter)(step)._1
+
+  /** [[vectorLoopStable]] that also reports how many rounds ran — the
+    * early-exit evidence a fixpoint loop's spec pins (rounds ≤ horizon)
+    * and its A/B rows cite.
+    */
+  def vectorLoopStableCounted(init: GrbVector, maxIter: Int = 100)(
+      step: (GrbVector, Int) => GrbVector): (GrbVector, Int) = {
     var f = init
     var change = true
     var iter = 0
@@ -101,7 +109,7 @@ object Iterate {
       prev = checkpointRdd(cmp)
       iter += 1
     }
-    f
+    (f, iter)
   }
 
   /** truncate a DataFrame's lineage eagerly */

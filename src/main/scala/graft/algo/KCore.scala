@@ -111,6 +111,15 @@ object KCore {
           taskMs.addAndGet(te.taskMetrics.executorRunTime)
     }
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    // setJobGroup clobbers the caller's thread-local group (and with it
+    // the caller's cancellation scope) — snapshot and restore instead
+    // of clearJobGroup, so a caller-set group survives the loop
+    val savedGroup =
+      spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+    val savedDesc =
+      spark.sparkContext.getLocalProperty("spark.job.description")
+    val savedInterrupt =
+      spark.sparkContext.getLocalProperty("spark.job.interruptOnCancel")
     if (shrinkThreshold < 0) {
       spark.sparkContext.addSparkListener(meter)
       spark.sparkContext.setJobGroup(groupId,
@@ -138,6 +147,13 @@ object KCore {
         else if (shrinkThreshold == 0) // force on every 30%-dead event
           n2 * 10 < edgeBasisN * 7
         else { // measured rule (see scaladoc)
+          // listener events arrive asynchronously: without a drain the
+          // round undercounts its own tasks and late events leak into
+          // the NEXT round after taskMs.set(0). Quiesce the bus before
+          // reading; on (never-observed) timeout the read degrades to
+          // the old conservative best-effort value.
+          org.apache.spark.sql.graft.ListenerQuiesce
+            .waitUntilEmpty(spark.sparkContext)
           val dataWall = taskMs.get().toDouble / cores
           val overheadWall = math.max(0.0, wallMs.toDouble - dataWall)
           val fire = 5.0 * deadFrac * dataWall >= 2.0 * dataWall + overheadWall
@@ -168,7 +184,11 @@ object KCore {
     out
     } finally {
       if (shrinkThreshold < 0) {
-        spark.sparkContext.clearJobGroup()
+        // restore (not clear) the caller's thread-local job group
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", savedGroup)
+        spark.sparkContext.setLocalProperty("spark.job.description", savedDesc)
+        spark.sparkContext.setLocalProperty(
+          "spark.job.interruptOnCancel", savedInterrupt)
         spark.sparkContext.removeSparkListener(meter)
       }
     }

@@ -12,11 +12,13 @@ import graft.core._
   * ties randomly and updates asynchronously — neither survives a
   * cross-engine hash compare. Here every vertex simultaneously adopts
   * the most frequent label among its neighbours, ties broken toward
-  * the SMALLEST label, for a fixed round count — a pure integer
-  * recurrence a SQL oracle replays round-for-round. Fixed rounds also
-  * sidestep sync-LPA's classic non-termination (on bipartite graphs
+  * the SMALLEST label, for a fixed round HORIZON — a pure integer
+  * recurrence a SQL oracle replays round-for-round. The horizon also
+  * sidesteps sync-LPA's classic non-termination (on bipartite graphs
   * the labelling can 2-cycle forever, so "run to convergence" is not
-  * a well-defined contract; a fixed horizon is).
+  * a well-defined contract; a bounded horizon is). Within the horizon
+  * the loop exits early at a FIXPOINT: a stable round is idempotent,
+  * so the early exit is indistinguishable from unrolling every round.
   *
   * The mode reduction is NOT a semiring op (per-key max-count needs
   * the full per-label histogram — not associative over (label, count)
@@ -50,9 +52,20 @@ object LabelProp {
       val init = new GrbVector(
         adj.select(col("i")).distinct()
           .select(col("i"), col("i").cast("long").as("v")), a.nrows)
-      val out = Iterate.vectorLoop(init, rounds) { (l, _) =>
-        new GrbVector(round(adj, l.df), a.nrows)
-      } { (_, _) => false } // fixed horizon — see scaladoc
+      // FIXPOINT EARLY-EXIT under the fixed horizon: a stable round is
+      // idempotent (every vertex re-adopts its own label), so exiting
+      // the moment next == prev is oracle-identical to unrolling all
+      // `rounds` rounds — the SQL oracle's remaining rounds are
+      // identities. Keys are round-stable (symmetric adjacency: every
+      // vertex has a labelled neighbour), so the one-job cmp-frame
+      // loop (vectorLoopStable) applies; graphs that 2-cycle (the
+      // bipartite oscillation in the scaladoc) never stabilize and
+      // still stop at the horizon.
+      val (out, used) = Iterate.vectorLoopStableCounted(init, rounds) {
+        (l, _) => new GrbVector(round(adj, l.df), a.nrows)
+      }
+      if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
+        System.err.println(s"graft.LabelProp rounds=$used/$rounds")
       adj.unpersist(false)
       out
     }

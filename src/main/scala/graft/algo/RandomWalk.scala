@@ -175,8 +175,11 @@ object RandomWalk {
     *         (same VERTEX may co-occur — a walk can revisit)
     */
   def skipGrams(walks: DataFrame, window: Int = 2): DataFrame = {
+    // 1-row driver agg; an EMPTY walk frame yields one all-null row
+    // (agg over zero rows), so the null needs its own guard — the
+    // zero-row headOption case never occurs for a global aggregate
     val maxStep = walks.agg(max(col("step"))).head(1)
-      .headOption.map(_.getLong(0)).getOrElse(0L) // 1-row driver agg
+      .headOption.filter(!_.isNullAt(0)).map(_.getLong(0)).getOrElse(0L)
     val cand =
       if (maxStep + 1 <= 3L * (2 * window + 1))
         walks.select(col("start"), col("step").as("s1"),

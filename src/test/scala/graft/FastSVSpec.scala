@@ -480,6 +480,45 @@ class FastSVSpec extends SparkSpec {
     assert(l(0L) != l(7L), s"cliques merged: $l")
   }
 
+  test("LPA fixpoint early-exit: stable graphs stop before the horizon, labels unchanged") {
+    // two cliques + bridge stabilize in a handful of rounds; under a
+    // 50-round horizon the counted loop must exit well short of it,
+    // and the early-exit labelling must equal the long-horizon result
+    // (a stable round is idempotent — the exit is oracle-invisible)
+    val k4a = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val k4b = for (i <- 4L to 7L; j <- (i + 1) to 7L) yield (i, j)
+    val a = matFromEdges(k4a ++ k4b ++ Seq((3L, 4L)), 8L)
+    val adj = a.df.select(col("i"), col("j"))
+    val init = new GrbVector(
+      adj.select(col("i")).distinct()
+        .select(col("i"), col("i").cast("long").as("v")), 8L)
+    val (out, used) = graft.algo.Iterate.vectorLoopStableCounted(init, 50) {
+      (l, _) => new GrbVector(graft.algo.LabelProp.round(adj, l.df), 8L)
+    }
+    assert(used < 10, s"no early exit: ran $used/50 rounds")
+    assert(labelsOf(out) == labelsOf(graft.algo.LabelProp.communities(a, 50)))
+  }
+
+  test("LPA 2-cycle (single edge) never stabilizes: runs to the horizon, still correct") {
+    // K2: each vertex's only neighbour holds the other label, so the
+    // labelling swaps every round — the classic sync-LPA oscillation.
+    // The horizon must bound it, and parity must match the replay.
+    val a = matFromEdges(Seq((0L, 1L)), 2L)
+    val adj = a.df.select(col("i"), col("j"))
+    val init = new GrbVector(
+      adj.select(col("i")).distinct()
+        .select(col("i"), col("i").cast("long").as("v")), 2L)
+    val (_, used) = graft.algo.Iterate.vectorLoopStableCounted(init, 6) {
+      (l, _) => new GrbVector(graft.algo.LabelProp.round(adj, l.df), 2L)
+    }
+    assert(used == 6, s"oscillating graph exited early at $used")
+    // odd horizon = swapped labels, even horizon = identity labels
+    assert(labelsOf(graft.algo.LabelProp.communities(a, 7)) ==
+      Map(0L -> 1L, 1L -> 0L))
+    assert(labelsOf(graft.algo.LabelProp.communities(a, 6)) ==
+      Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("label propagation matches a driver-side sync replay on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 10) {
