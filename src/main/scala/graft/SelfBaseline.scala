@@ -727,6 +727,96 @@ object SelfBaseline {
       println(f"""{"skew_docs":$nDocs,"hot_cluster":$hot,"cand_uncapped":$cu,"cand_uncapped_sec":$cuSec%.2f,"cand_capped":$cc,"cand_capped_sec":$ccSec2%.2f,"nd_uncapped":$ndU,"nd_uncapped_sec":$ndUSec%.2f,"nd_capped":$ndC,"nd_capped_sec":$ndCSec%.2f,"planted_recovered":$planted,"planted_uncapped":$plantedU,"aqe_skew_split":$aqeSkew}""")
       docs.unpersist()
     }
+    // Iterative-tail cost-structure tier (SPARK_GRAFT_ITERTAIL=<sfDir>,
+    // round-11 item 1): the checkpoint-per-round loops (q_lpa/q_hits/
+    // q_kcore/q_mis) run 2-4× above their healthy records in degraded
+    // host windows. This tier decomposes the exact q_lpa loop per
+    // round — dataWall (Σ task executorRunTime / cores) vs
+    // overheadWall (wall − dataWall: scheduler, checkpoint commit,
+    // driver planning), GC, shuffle-write bytes+time, fetch-wait —
+    // and sweeps the two candidate knobs: loop WIDTH (shuffle/
+    // checkpoint block count per round) and checkpoint CADENCE
+    // (every round vs every 2nd round; a lazy round's work executes
+    // inside the next checkpoint job, so cadence 2 halves the
+    // per-round fixed job+commit cost at O(2-round) plan depth).
+    // A label checksum pins that every (width, cadence) variant
+    // computes the identical labelling.
+    sys.env.get("SPARK_GRAFT_ITERTAIL").foreach { dir =>
+      import graft.algo.Iterate.FreshOps
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val offset = 1L << 20
+      val e0 = li.select(col("l_orderkey").cast("long").as("a"),
+        (col("l_partkey") + offset).as("b")).distinct()
+      val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+      val raw = edges.select(col("a").as("i"), col("b").as("j")).cache()
+      val nnz = raw.count()
+      val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val swBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val swTimeNs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val fetchMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val nTasks = new java.util.concurrent.atomic.AtomicLong(0L)
+      val nJobs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          nJobs.incrementAndGet()
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) {
+            runMs.addAndGet(te.taskMetrics.executorRunTime)
+            gcMs.addAndGet(te.taskMetrics.jvmGCTime)
+            swBytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            swTimeNs.addAndGet(te.taskMetrics.shuffleWriteMetrics.writeTime)
+            fetchMs.addAndGet(te.taskMetrics.shuffleReadMetrics.fetchWaitTime)
+            nTasks.incrementAndGet()
+          }
+      }
+      spark.sparkContext.addSparkListener(lst)
+      val cores = math.max(1, spark.sparkContext.defaultParallelism)
+      def reset(): Unit = Seq(runMs, gcMs, swBytes, swTimeNs, fetchMs,
+        nTasks, nJobs).foreach(_.set(0L))
+      def snap(): String = {
+        org.apache.spark.sql.graft.ListenerQuiesce
+          .waitUntilEmpty(spark.sparkContext)
+        f""""data_wall_s":${runMs.get() / 1000.0 / cores}%.2f,"gc_s":${gcMs.get() / 1000.0}%.2f,"shuffle_write_mb":${swBytes.get() / 1048576.0}%.1f,"shuffle_write_s":${swTimeNs.get() / 1e9}%.2f,"fetch_wait_s":${fetchMs.get() / 1000.0}%.2f,"tasks":${nTasks.get()},"jobs":${nJobs.get()}"""
+      }
+      val key = "spark.sql.shuffle.partitions"
+      val prevConf = spark.conf.get(key)
+      for (width <- Seq(32, 16, 8); cadence <- Seq(1, 2)) {
+        val adj = raw.repartition(width, col("j")).cache()
+        adj.count()
+        spark.conf.set(key, width.toString)
+        var l = adj.select(col("i")).distinct()
+          .select(col("i"), col("i").cast("long").as("v"))
+          .freshCheckpoint(true)
+        var prev = graft.algo.Iterate.checkpointRdd(l)
+        reset()
+        val tTotal0 = System.nanoTime()
+        for (r <- 1 to 7) {
+          val t0 = System.nanoTime()
+          val stepped = graft.algo.LabelProp.round(adj, l)
+          if (r % cadence == 0 || r == 7) {
+            val ck = stepped.freshCheckpoint(true)
+            prev.foreach(_.unpersist(false))
+            prev = graft.algo.Iterate.checkpointRdd(ck)
+            l = ck
+            val wall = (System.nanoTime() - t0) / 1e9
+            println(f"""{"tier":"itertail","width":$width,"cadence":$cadence,"round":$r,"wall_s":$wall%.2f,${snap()}}""")
+            reset()
+          } else l = stepped
+        }
+        val totalWall = (System.nanoTime() - tTotal0) / 1e9
+        val checksum = l.agg(sum(col("i") * col("v"))).collect()(0).getLong(0)
+        val nLabels = l.count()
+        prev.foreach(_.unpersist(false))
+        adj.unpersist(false)
+        println(f"""{"tier":"itertail","width":$width,"cadence":$cadence,"total_s":$totalWall%.2f,"labels":$nLabels,"checksum":$checksum}""")
+      }
+      spark.conf.set(key, prevConf)
+      spark.sparkContext.removeSparkListener(lst)
+      raw.unpersist(false)
+    }
     spark.stop()
   }
 }

@@ -54,9 +54,15 @@ object FastSV {
     require(a.nrows == a.ncols, "adjacency must be square")
     val spark = a.spark
     val n = a.nrows
-    // co-partition the adjacency by the contraction key once; every
-    // mxv then reuses the exchange
-    val A = new GrbMatrix(a.df.repartition(col("j")).cache(), n, n)
+    // co-partition the adjacency by the contraction key once (every
+    // mxv reuses the exchange), at the loop width — block fan-out ×
+    // rounds is the fixed cost (Iterate.withLoopWidth scaladoc)
+    val raw = a.df.cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
+    val A = new GrbMatrix(raw.repartition(width, col("j")).cache(), n, n)
+    A.df.count()
+    raw.unpersist(false)
     // f = gp = identity: every vertex its own parent
     val ident = nodes match {
       case Some(ns) => ns.select(col("i"), col("i").as("v"))
@@ -124,5 +130,6 @@ object FastSV {
     // the terminal compare frame is internal — only f is returned
     prevCmp.foreach(_.unpersist(false))
     f
+    } // withLoopWidth
   }
 }

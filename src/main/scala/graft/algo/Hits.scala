@@ -54,6 +54,15 @@ object Hits {
       scale: Long = 1000000L): DataFrame = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"hits adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.df.sparkSession
+    // one pass to learn nnz, then the whole 10-round loop runs at a
+    // shuffle width sized for its per-round work instead of the
+    // session's heaviest-single-aggregate width — 20 products × the
+    // session's 128-wide block fan-out was pure fixed cost here
+    // (Iterate.withLoopWidth scaladoc: the ITERTAIL decomposition)
+    val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
     // two cached orientations — CSR/CSC, the standard trade: vxm
     // contracts on i, mxv on j, and each product must NOT re-shuffle
     // the O(nnz) adjacency per round. The score vectors broadcast
@@ -62,11 +71,11 @@ object Hits {
     // partitionings keep the exchange on the O(n) vector side only
     // (the PageRank pattern).
     val adjI = new GrbMatrix(
-      a.df.select(col("i"), col("j"), lit(1L).as("v"))
-        .repartition(col("i")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col("i")).cache(), a.nrows, a.ncols)
     val adjJ = new GrbMatrix(
-      a.df.select(col("i"), col("j"), lit(1L).as("v"))
-        .repartition(col("j")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
+    adjI.df.count(); adjJ.df.count() // materialize, then free the sizing cache
+    raw.unpersist(false)
     // hub support = vertices with out-edges, starting mass 1 each
     var hub = new GrbVector(
       adjI.df.select(col("i")).distinct().select(col("i"), lit(1L).as("v"))
@@ -110,5 +119,6 @@ object Hits {
       .join(auth.df.select(col("i"), col("v").as("_a")), Seq("i"), "full_outer")
       .select(col("i"), coalesce(col("_h"), lit(0L)).as("hub_ppm"),
         coalesce(col("_a"), lit(0L)).as("auth_ppm"))
+    } // withLoopWidth
   }
 }

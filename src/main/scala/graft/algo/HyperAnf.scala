@@ -43,8 +43,14 @@ object HyperAnf {
   def balls(a: GrbMatrix, rounds: Int = 4): DataFrame = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"anf adjacency must be square: ${a.nrows}x${a.ncols}")
-    val adj = a.df.select(col("i").as("v"), col("j").as("nbr"))
-      .repartition(col("nbr")).cache()
+    val raw = a.df.select(col("i").as("v"), col("j").as("nbr")).cache()
+    val nnz = raw.count()
+    // rounds × block fan-out: run the register propagation at the
+    // loop width (Iterate.withLoopWidth scaladoc)
+    Iterate.withLoopWidth(a.df.sparkSession, nnz) { width =>
+    val adj = raw.repartition(width, col("nbr")).cache()
+    adj.count()
+    raw.unpersist(false)
     var b = adj.select(col("v")).distinct()
       .groupBy("v")
       .agg(org.apache.spark.sql.graft.HllState(
@@ -69,5 +75,6 @@ object HyperAnf {
     }
     adj.unpersist(false)
     outs.reduce(_.unionByName(_))
+    } // withLoopWidth
   }
 }

@@ -131,23 +131,55 @@ object Iterate {
     * map-side block count and checkpoint block count follow the
     * configured width).
     *
-    * The rule a 100 TB cluster needs is the same one local[32] needs:
-    * width = max(cluster parallelism, workRows / rowsPerTask) — wide
-    * enough that every core works and per-task state stays bounded
-    * (~500k edge rows ≈ tens of MB), narrow enough that a 20-round
-    * loop is not 20 × (width × blocks) of scheduler and shuffle-fetch
-    * overhead. State rows per round are ≤ nnz for every loop here
-    * (frontier/survivor/label frames join against the adjacency), so
-    * nnz is the sizing input.
+    * The round-10 rule floored width at cluster parallelism ("every
+    * core works"). The round-11 ITERTAIL decomposition (SelfBaseline,
+    * q_lpa loop on the sf0.1 graph, per-round listener split) showed
+    * that floor is wrong when per-round work is small: at width 32
+    * the rounds were ~80% fixed cost (Σ shuffle-file write/commit
+    * time 2.2-2.6 s per round for ~20 MB of data — map×reduce block
+    * fan-out — against a 0.15 s data wall), and narrowing to 16/8 cut
+    * the loop total 7.6 → 4.1 s with identical results. Idle cores
+    * cost nothing when a round's data wall is milliseconds; block
+    * fan-out costs every round, and degraded-IO host windows multiply
+    * exactly that fixed part (the 2-4× q_lpa/q_hits/q_kcore/q_mis
+    * window tax this rule cuts).
+    *
+    * Shipped rule: width targets ~150k state rows per task with a
+    * floor of 8, and never EXCEEDS the round-10 rule
+    * (max(parallelism, workRows/500k)) — so big-graph loops keep the
+    * per-task-state bound (~500k rows ≈ tens of MB), a 100 TB run
+    * (workRows ≫ 500k × cluster cores) sizes by rows exactly as
+    * before, and a session narrower than the floor (Verify at 4) is
+    * never widened.
+    *
+    * Where NOT to apply it: frontier loops whose per-round aggregates
+    * are small (Bfs.levels/sssp/multiSourceLevels, SpCount's waves and
+    * dag accumulations) deliberately stay at the session width — their
+    * frontier-side aggregates are tiny, AQE already coalesces them
+    * per-stage, and the nnz-sizing pass this helper needs costs more
+    * than the width change saves (measured r11: q_bfs 1.88 → 2.16 s,
+    * q_betweenness 3.19 → 4.68 s WITH the wrapper; reverted). The rule
+    * pays where per-round state is O(n) dense and rounds are many —
+    * LPA/KCore/MIS/Coloring/HITS/PageRank/SCC/ANF/walks/Borůvka.
     */
   def withLoopWidth[T](spark: org.apache.spark.sql.SparkSession,
       workRows: Long)(body: Int => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    val width = math.min(math.max(
-      spark.sparkContext.defaultParallelism.toLong,
-      workRows / 500000L), 1000000L).toInt
+    val width = loopWidth(spark, workRows)
     spark.conf.set(key, width.toString)
     try body(width) finally spark.conf.set(key, prev)
+  }
+
+  /** the [[withLoopWidth]] sizing rule alone — for loops that size an
+    * RDD partitioning instead of the SQL shuffle width (PregelCC's
+    * GraphX rounds follow the edge RDD's partition count)
+    */
+  def loopWidth(spark: org.apache.spark.sql.SparkSession,
+      workRows: Long): Int = {
+    val hi = math.min(math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      workRows / 500000L), 1000000L)
+    math.max(1L, math.min(hi, math.max(workRows / 150000L, 8L))).toInt
   }
 }

@@ -38,6 +38,10 @@ object KTruss {
       .filter(col("i") =!= col("j")).freshCheckpoint(true)
     var prev = Iterate.checkpointRdd(e)
     var n = e.count()
+    // rounds × block fan-out is the fixed cost — run the peel at the
+    // loop width (Iterate.withLoopWidth); the support mxm's product
+    // rows stay bounded by wedge counts on the surviving edge set
+    Iterate.withLoopWidth(a.df.sparkSession, n) { _ =>
     var sup: DataFrame = e.withColumn("v", lit(0L)).limit(0)
     var done = n == 0L
     var iter = 0
@@ -59,5 +63,6 @@ object KTruss {
       System.err.println(s"graft.KTruss rounds=$iter")
     sup.filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("v").as("sup"))
+    } // withLoopWidth
   }
 }

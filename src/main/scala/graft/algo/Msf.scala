@@ -62,6 +62,11 @@ object Msf {
       (shiftleft(col("w"), ShiftW) + shiftleft(col("a"), ShiftA) + col("b"))
         .as("pk"))
       .cache()
+    val nnz = e.count()
+    // Borůvka rounds × block fan-out — loop-width discipline
+    // (Iterate.withLoopWidth); the inner CC sizes itself (PregelCC's
+    // edge-RDD rule / FastSV's own withLoopWidth)
+    Iterate.withLoopWidth(spark, nnz) { _ =>
     var labels = e.select(explode(array(col("a"), col("b"))).as("v")).distinct()
       .select(col("v"), col("v").as("l")).freshCheckpoint(true)
     var prevLab = Iterate.checkpointRdd(labels)
@@ -125,5 +130,6 @@ object Msf {
         tail.foldLeft(head.select(col("a"), col("b"), col("w")))(
           (acc, s) => acc.unionByName(s.select(col("a"), col("b"), col("w"))))
     }
+    } // withLoopWidth
   }
 }

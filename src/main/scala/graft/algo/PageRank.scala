@@ -42,12 +42,19 @@ object PageRank {
       scale: Long = Scale): GrbVector = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"pagerank adjacency must be square: ${a.nrows}x${a.ncols}")
+    val spark = a.df.sparkSession
+    // loop-width discipline (Iterate.withLoopWidth scaladoc): 10
+    // rounds of mxv at the session's aggregate-sized width is mostly
+    // block fan-out; size the loop by nnz instead
+    val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
     val ones = new GrbMatrix(
-      a.df.select(col("i"), col("j"), lit(1L).as("v"))
-        .repartition(col("j")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
     val deg = new GrbVector(
       Iterate.truncate(ones.reduceRowwise(Ops.plusMonoid).df).cache(), a.nrows)
     val nNodes = deg.nvals // 1-row driver action, reused every round
+    raw.unpersist(false) // ones materialized by the deg pass above
     val base = (scale - scale * dampNum / dampDen) / nNodes
     val init = new GrbVector(
       deg.df.select(col("i"), lit(scale / nNodes).as("v")), a.nrows)
@@ -61,6 +68,7 @@ object PageRank {
     deg.df.unpersist(false)
     ones.df.unpersist(false)
     out
+    } // withLoopWidth
   }
 
   /** Personalized PageRank: the same integer fixed-point recurrence,
@@ -88,11 +96,15 @@ object PageRank {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"ppr adjacency must be square: ${a.nrows}x${a.ncols}")
     val spark = a.df.sparkSession
+    val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
+    val nnz = raw.count()
+    Iterate.withLoopWidth(spark, nnz) { width =>
     val ones = new GrbMatrix(
-      a.df.select(col("i"), col("j"), lit(1L).as("v"))
-        .repartition(col("j")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
     val deg = new GrbVector(
       Iterate.truncate(ones.reduceRowwise(Ops.plusMonoid).df).cache(), a.nrows)
+    deg.nvals // materializes deg and with it ones
+    raw.unpersist(false)
     val base = scale - scale * dampNum / dampDen
     // one-row frames: the seed's full starting mass and its per-round
     // teleport refill (broadcast-joined by ewiseAdd's planner choice)
@@ -110,5 +122,6 @@ object PageRank {
     deg.df.unpersist(false)
     ones.df.unpersist(false)
     out
+    } // withLoopWidth
   }
 }

@@ -16,13 +16,31 @@ import org.apache.spark.sql.types.LongType
   */
 object PregelCC {
 
-  /** adjacency matrix → GraphX graph (vertex attr = own id) */
+  /** adjacency matrix → GraphX graph (vertex attr = own id).
+    *
+    * Pregel's per-round shuffles follow the edge RDD's partition
+    * count, which here would inherit the SQL plan's width (the
+    * session's aggregate-sized setting — 128 in Bench) for every
+    * round of a loop whose per-round work is tiny. Re-partition the
+    * edge RDD once by the loop-width rule (Iterate.loopWidth: ~150k
+    * edges per task, floor 8, capped at the per-task-state bound)
+    * so a 20-round Pregel run pays 20 × loop-width block fan-out,
+    * not 20 × session width.
+    */
   def toGraph(a: GrbMatrix): Graph[Long, Long] = {
-    val edges = a.df
+    val raw = a.df
       .select(col("i").cast(LongType), col("j").cast(LongType))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L))
-    Graph.fromEdges(edges, defaultValue = 0L)
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1L)).cache()
+    val nnz = raw.count()
+    val width = Iterate.loopWidth(a.spark, nnz)
+    val edges =
+      if (raw.getNumPartitions <= width) raw
+      else raw.repartition(width)
+    val g = Graph.fromEdges(edges, defaultValue = 0L)
       .mapVertices((id, _) => id)
+    g.edges.count() // materialize before freeing the sizing cache
+    raw.unpersist(false)
+    g
   }
 
   /** connected components by min-label propagation with Pregel —

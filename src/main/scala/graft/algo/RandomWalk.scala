@@ -95,16 +95,22 @@ object RandomWalk {
   def walks(a: GrbMatrix, steps: Int = 4): DataFrame = {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"walk adjacency must be square: ${a.nrows}x${a.ncols}")
-    val edges = a.df.select(col("i").as("v"), col("j").as("nbr"))
+    val edges = a.df.select(col("i").as("v"), col("j").as("nbr")).cache()
+    val nnz = edges.count()
+    // steps × block fan-out is the loop's fixed cost — rank build and
+    // move-joins run at the loop width (Iterate.withLoopWidth)
+    Iterate.withLoopWidth(a.df.sparkSession, nnz) { width =>
     // degree needs no rank — computing it from the raw edge list keeps
     // the two-window rank pipeline to ONE materialization (indexed)
     val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
-      .repartition(col("v")).cache()
+      .repartition(width, col("v")).cache()
     // cached pre-partitioned on the LOOP'S join key (v, idx): every
     // step's move-join then reuses this exchange and shuffles only the
     // O(V) position frame — the O(E) adjacency is shuffled exactly once
     val indexed = rankedAdjacency(edges)
-      .repartition(col("v"), col("idx")).cache() // (v, nbr, idx)
+      .repartition(width, col("v"), col("idx")).cache() // (v, nbr, idx)
+    indexed.count()
+    edges.unpersist(false)
     var pos = deg.select(col("v").as("start"))
       .select(col("start"), lit(0L).as("step"), col("start").as("cur"))
       .freshCheckpoint(true)
@@ -129,6 +135,7 @@ object RandomWalk {
     indexed.unpersist(false)
     parts.reduce(_.unionByName(_))
       .select(col("start"), col("step"), col("cur").as("vertex"))
+    } // withLoopWidth
   }
 
   /** The pre-verification skip-gram candidate join, BANDED on walk

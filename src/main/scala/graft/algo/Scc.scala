@@ -54,10 +54,16 @@ import org.apache.spark.sql.types.LongType
   */
 object Scc {
   def scc(edges0: DataFrame, maxOuter: Int = 50, maxInner: Int = 10000): DataFrame = {
-    val edges = edges0.select(col("u").cast(LongType).as("u"),
+    val raw = edges0.select(col("u").cast(LongType).as("u"),
         col("v").cast(LongType).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .repartition(col("v")).cache()
+      .filter(col("u") =!= col("v")).distinct().cache()
+    val nnz = raw.count()
+    // inner rounds × block fan-out is the loop's fixed cost — run the
+    // whole refinement at the loop width (Iterate.withLoopWidth)
+    Iterate.withLoopWidth(raw.sparkSession, nnz) { width =>
+    val edges = raw.repartition(width, col("v")).cache()
+    edges.count()
+    raw.unpersist(false)
     val nodes = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n"))).distinct()
     // state: block key (bf, bb), finalized flag, scc label
@@ -133,5 +139,6 @@ object Scc {
     if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
       System.err.println(s"graft.Scc outer=$outer innerTotal=$innerTotal")
     st.select(col("n"), col("scc"))
+    } // withLoopWidth
   }
 }
