@@ -567,7 +567,17 @@ object SelfBaseline {
     // generator's ~log₁₆(n) diameter (bounds in the scaladocs; a
     // bigger corpus needs the log-space σ variant, documented not
     // silently saturated).
+    // SPARK_GRAFT_GRAPHFAM_ONLY=<csv of msf,btw,linkpred,hits,walks>
+    // limits the tier to the named algorithms — the fresh-session
+    // protocol (round-11 item 4): the 5-in-one-session tier carries
+    // in-session contamination (GC debt + async cleanup from the
+    // earlier algorithms inflate the later rows — hits drew 88.5 s in
+    // a shared session vs ~50 s isolated), so per-algorithm rows are
+    // drawn one JVM invocation each.
     sys.env.get("SPARK_GRAFT_GRAPHFAM").foreach { eStr =>
+      val only = sys.env.get("SPARK_GRAFT_GRAPHFAM_ONLY")
+        .map(_.split(",").toSet)
+      def want(tag: String) = only.forall(_.contains(tag))
       val nEdges = eStr.toLong
       val g = syntheticGraph(spark, nEdges)
       val a = new GrbMatrix(g.df.cache(), g.nrows, g.ncols)
@@ -577,20 +587,37 @@ object SelfBaseline {
         .select(col("i").as("a"), col("j").as("b"),
           (pmod(hash(col("i") * 131 + col("j")), lit(50)) + 1)
             .cast("long").as("w"))
-      val (msfEdges, msfSec) = timed(Msf.forest(ew, n).count())
-      val (btwReached, btwSec) = timed(SpCount.betweenness(a, 0L).count())
-      val (lpPairs, lpSec) = timed(LinkPred.scores(a, minCn = 3L).count())
-      val (hitsRows, hitsSec) = timed(Hits.scores(
-        new GrbMatrix(a.df.filter(col("i") < col("j")), n, n)).count())
-      val (walkRows, walkSec) = timed {
-        val w = graft.algo.RandomWalk.walks(a, steps = 4)
-        val c = w.count()
-        val sg = graft.algo.RandomWalk.skipGrams(w).count()
-        c + sg
+      val fields = scala.collection.mutable.ListBuffer[String]()
+      if (want("msf")) {
+        val (msfEdges, msfSec) = timed(Msf.forest(ew, n).count())
+        fields += f""""msf_sec":$msfSec%.2f,"msf_edges":$msfEdges"""
+      }
+      if (want("btw")) {
+        val (btwReached, btwSec) = timed(SpCount.betweenness(a, 0L).count())
+        fields += f""""btw_sec":$btwSec%.2f,"btw_reached":$btwReached"""
+      }
+      if (want("linkpred")) {
+        val (lpPairs, lpSec) = timed(LinkPred.scores(a, minCn = 3L).count())
+        fields += f""""linkpred_sec":$lpSec%.2f,"linkpred_pairs":$lpPairs"""
+      }
+      if (want("hits")) {
+        val (hitsRows, hitsSec) = timed(Hits.scores(
+          new GrbMatrix(a.df.filter(col("i") < col("j")), n, n)).count())
+        fields += f""""hits_sec":$hitsSec%.2f,"hits_rows":$hitsRows"""
+      }
+      if (want("walks")) {
+        val (walkRows, walkSec) = timed {
+          val w = graft.algo.RandomWalk.walks(a, steps = 4)
+          val c = w.count()
+          val sg = graft.algo.RandomWalk.skipGrams(w).count()
+          c + sg
+        }
+        fields += f""""walks_sec":$walkSec%.2f,"walk_plus_sg_rows":$walkRows"""
       }
       a.df.unpersist(true)
       val leftover = spark.sparkContext.getPersistentRDDs.size
-      println(f"""{"tier":"graphfam","edges":$nEdges,"nnz":$nnz,"n":$n,"msf_sec":$msfSec%.2f,"msf_edges":$msfEdges,"btw_sec":$btwSec%.2f,"btw_reached":$btwReached,"linkpred_sec":$lpSec%.2f,"linkpred_pairs":$lpPairs,"hits_sec":$hitsSec%.2f,"hits_rows":$hitsRows,"walks_sec":$walkSec%.2f,"walk_plus_sg_rows":$walkRows,"persistent_rdds_after":$leftover}""")
+      println(s"""{"tier":"graphfam","edges":$nEdges,"nnz":$nnz,"n":$n,""" +
+        fields.mkString(",") + s""","persistent_rdds_after":$leftover}""")
     }
     // HyperANF register-traffic tier (SPARK_GRAFT_ANF=<edges>,
     // round-10 item 5): the ≤256 B × nnz/round shuffle envelope,
