@@ -111,12 +111,19 @@ object Queries {
     * (rate × watermark horizon for joins; key cardinality for aggs) at
     * ~500k state rows per partition — the Iterate.withLoopWidth rule
     * applied to streams — not the batch suite's shuffle width. The
-    * drains here hold ≤ ~1M tiny state rows, so 8 partitions keep
-    * per-store state at ~125k rows while minimizing the fixed
-    * partitions × stores × batches commit cost.
+    * rule is ENCODED, not a constant: width = stateRowsEstimate/500k
+    * (clamped to [1, 1024]). The default estimate (4M rows) is the
+    * catalog drains' upper envelope and derives exactly the
+    * ABBA-measured width 8 (these drains hold ≤ ~1M tiny state rows,
+    * so per-store state stays ~125k rows while the fixed
+    * partitions × stores × batches commit cost is minimized); a real
+    * deployment passes its own estimate — rate × watermark horizon
+    * for joins, key cardinality for aggregations.
     */
   private def drainToMemory(s: SparkSession, df: DataFrame, mode: String,
-      prefix: String, statePartitions: Int = 8): DataFrame = {
+      prefix: String, stateRowsEstimate: Long = 4000000L): DataFrame = {
+    val statePartitions = math.max(1L,
+      math.min(stateRowsEstimate / 500000L, 1024L)).toInt
     val qname = s"${prefix}_${System.nanoTime()}"
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
