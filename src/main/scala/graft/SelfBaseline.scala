@@ -675,11 +675,21 @@ object SelfBaseline {
       val a = new GrbMatrix(bg.unionByName(spokes).cache(), n, n)
       val nnz = a.nvals
       val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+      val stageMax = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+      val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       val lst = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskInfo != null && te.taskInfo.successful)
+          if (te.taskInfo != null && te.taskInfo.successful) {
             durs.add(te.taskInfo.duration)
+            // straggler attribution: per-stage max task duration
+            stageMax.merge(te.stageId, te.taskInfo.duration,
+              (x, y) => math.max(x, y))
+          }
+        override def onStageCompleted(
+            sc2: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stageName.put(sc2.stageInfo.stageId,
+            sc2.stageInfo.name.takeWhile(_ != '\n').take(80))
       }
       spark.sparkContext.addSparkListener(lst)
       val (nWalkRows, walkSec) = timed(
@@ -689,6 +699,13 @@ object SelfBaseline {
       val ds = durs.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
       val maxD = if (ds.nonEmpty) ds.last else 0L
       val p95 = if (ds.nonEmpty) ds((ds.length * 95) / 100 min (ds.length - 1)) else 0L
+      // top-3 stages by their slowest task, printed to stderr for the
+      // straggler hunt (which stage owns task_max_ms)
+      import scala.jdk.CollectionConverters._
+      stageMax.asScala.toSeq.sortBy(-_._2).take(3).foreach { case (sid, d) =>
+        System.err.println(s"hubwalk straggler: stage=$sid maxTaskMs=$d " +
+          s"name=${stageName.getOrDefault(sid, "?")}")
+      }
       // banded vs un-banded skip-gram candidate volume at L=80 on a
       // small start set (walk corpus cost dominates otherwise)
       val small = new GrbMatrix(a.df.filter(col("i") < 2000 && col("j") < 2000),

@@ -26,13 +26,25 @@ import graft.core._
   *
   * Scale shape: the adjacency is ranked ONCE per source vertex with a
   * HUB-SAFE two-level rank (see [[rankedAdjacency]] — no per-vertex
-  * corpus window), degree-attached, and cached pre-partitioned on the
-  * gather key; each step is then two equi-joins — position×degree to
-  * draw the index, position×adjacency on (vertex, idx) to move —
-  * shuffling only the O(V) position frame, never the O(E) adjacency.
-  * Steps are checkpointed with superseded blocks freed (the Iterate
-  * discipline). Symmetric input means no dead ends: every started
-  * walk has full length.
+  * corpus window), NEIGHBOUR-degree-attached (see below), and cached
+  * pre-partitioned on the gather key; each step is then ONE equi-join
+  * — position×adjacency on (vertex, idx) — shuffling only the O(V)
+  * position frame, never the O(E) adjacency. Steps are checkpointed
+  * with superseded blocks freed (the Iterate discipline). Symmetric
+  * input means no dead ends: every started walk has full length.
+  *
+  * WALKER-CONCENTRATION skew (round-13, found by the 10⁷-degree
+  * HUBWALK tier): walkers pile up AT high-degree vertices (a 10⁷-spoke
+  * star funnels every spoke's walker onto the hub after one step), so
+  * any per-step join keyed on the current vertex alone puts ALL of a
+  * hub's walkers in one task — the old position×degree draw join drew
+  * a 58 s max task against a 17 s p95. The fix carries the degree WITH
+  * the walker: `indexed` stores deg(nbr) on every edge row (one
+  * build-time join, AQE-skew-splittable, O(E) once), the init frame
+  * attaches deg(start) (distinct keys — skew-free), and each step's
+  * draw `idx = hash mod deg` needs no join at all. The remaining move
+  * join keys on (cur, _ix) where _ix is hash-uniform over [0, deg) —
+  * a 10M-walker hub spreads over 10M distinct keys.
   */
 object RandomWalk {
 
@@ -43,6 +55,14 @@ object RandomWalk {
     * the whole hub edge list in one task.
     */
   val rankSalts: Int = 1024
+
+  /** degree above which a vertex's deg row is BROADCAST (not shuffled)
+    * in the walk build's nbr-degree attach: a hub's nbr-keyed join
+    * partition is deg rows in one task, so the threshold is the
+    * per-task row bound; the broadcast side holds ≤ nnz/threshold
+    * rows — bounded by construction, never the vertex count.
+    */
+  val hotDegThreshold: Long = 500000L
 
   /** Hub-safe deterministic neighbour ranking: a bijection from each
     * vertex's neighbours to [0, deg) with NO per-vertex corpus-wide
@@ -100,38 +120,66 @@ object RandomWalk {
     // steps × block fan-out is the loop's fixed cost — rank build and
     // move-joins run at the loop width (Iterate.withLoopWidth)
     Iterate.withLoopWidth(a.df.sparkSession, nnz) { width =>
-    // degree needs no rank — computing it from the raw edge list keeps
-    // the two-window rank pipeline to ONE materialization (indexed)
-    val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
-      .repartition(width, col("v")).cache()
-    // cached pre-partitioned on the LOOP'S join key (v, idx): every
-    // step's move-join then reuses this exchange and shuffles only the
-    // O(V) position frame — the O(E) adjacency is shuffled exactly once
-    val indexed = rankedAdjacency(edges)
-      .repartition(width, col("v"), col("idx")).cache() // (v, nbr, idx)
+    // degree needs no rank — computed from the raw edge list; used
+    // only OUTSIDE the loop (build-time nbr attach + the init frame)
+    val deg = edges.groupBy("v").agg(count(lit(1)).as("deg")).cache()
+    // cached pre-partitioned on the LOOP'S join key (v, idx), with
+    // deg(nbr) attached so a walker lands carrying its next draw's
+    // modulus (see WALKER-CONCENTRATION in the scaladoc). The attach
+    // join's nbr key is hub-hot by definition, and a mega-hub's
+    // partition can sit UNDER AQE's skew-split byte threshold while
+    // still being a 10⁷-row single task (measured: 93 s max task at
+    // hubDeg 10⁷) — so the split is explicit: vertices with
+    // deg > hotDegThreshold join by BROADCAST (their count is bounded
+    // by nnz/threshold — always tiny), the rest by shuffle with every
+    // key bounded at threshold rows per task. One-time O(E) cost,
+    // never inside the loop.
+    val hotDeg = deg.filter(col("deg") > hotDegThreshold)
+      .select(col("v").as("nbr"), col("deg").as("nbrDeg"))
+    val coldDeg = deg.filter(col("deg") <= hotDegThreshold)
+      .select(col("v").as("nbr"), col("deg").as("nbrDeg"))
+    // 1-row driver action on the cached deg: the common no-mega-hub
+    // case takes the single plain join (no extra ranked cache pass)
+    val anyHot = !hotDeg.isEmpty
+    var rankedCache: Option[DataFrame] = None
+    val attached =
+      if (!anyHot) rankedAdjacency(edges)
+        .join(deg.select(col("v").as("nbr"), col("deg").as("nbrDeg")),
+          Seq("nbr"))
+      else {
+        val ranked = rankedAdjacency(edges).cache()
+        rankedCache = Some(ranked)
+        ranked.join(broadcast(hotDeg), Seq("nbr"))
+          .unionByName(ranked.join(coldDeg, Seq("nbr")))
+      }
+    val indexed = attached
+      .repartition(width, col("v"), col("idx"))
+      .cache() // (v, nbr, idx, nbrDeg)
     indexed.count()
+    rankedCache.foreach(_.unpersist(false))
     edges.unpersist(false)
-    var pos = deg.select(col("v").as("start"))
-      .select(col("start"), lit(0L).as("step"), col("start").as("cur"))
+    var pos = deg
+      .select(col("v").as("start"), lit(0L).as("step"),
+        col("v").as("cur"), col("deg").as("curDeg"))
       .freshCheckpoint(true)
+    deg.unpersist(false)
     // every step's rows are OUTPUT — nothing is superseded, so the
     // per-step checkpoints all stay live until the caller drops the
     // result (unlike the fixpoint loops, which free old rounds)
     val parts = scala.collection.mutable.ListBuffer[DataFrame](pos)
     for (t <- 1 to steps) {
       val drawn = pos
-        .join(deg.select(col("v").as("cur"), col("deg")), Seq("cur"))
         .withColumn("_ix", pmod(graft.pipeline.TextDedup.hash32(
-          concat_ws("_", col("start"), col("cur"), lit(t))), col("deg")))
+          concat_ws("_", col("start"), col("cur"), lit(t))), col("curDeg")))
       val nxt = drawn
         .join(indexed.select(col("v").as("cur"), col("idx").as("_ix"),
-          col("nbr")), Seq("cur", "_ix"))
-        .select(col("start"), lit(t.toLong).as("step"), col("nbr").as("cur"))
+          col("nbr"), col("nbrDeg")), Seq("cur", "_ix"))
+        .select(col("start"), lit(t.toLong).as("step"),
+          col("nbr").as("cur"), col("nbrDeg").as("curDeg"))
         .freshCheckpoint(true)
       parts += nxt
       pos = nxt
     }
-    deg.unpersist(false)
     indexed.unpersist(false)
     parts.reduce(_.unionByName(_))
       .select(col("start"), col("step"), col("cur").as("vertex"))
