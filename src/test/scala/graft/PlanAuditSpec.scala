@@ -104,7 +104,7 @@ class PlanAuditSpec extends SparkSpec {
       "quality filter must prune unused document columns")
     assert(!pq.contains("CartesianProduct"))
     // dup-ngram fraction: df equi-join on the shingle, no pairing
-    val pd = plan(TextDedup.dupNgramStats(docs))
+    val pd = plan(TextDedup.dupNgramStats(docs, materialize = false))
     assert(!pd.contains("CartesianProduct"))
     assert(!pd.contains("lang"), "dup-ngram scan must prune to doc_id/text")
     // mix plan: the only cross join is the broadcast 1-row count attach
