@@ -855,4 +855,25 @@ class FastSVSpec extends SparkSpec {
       }
     }
   }
+
+  test("loop width rule: ~150k rows/task, floor 8, never exceeding the state bound, never widening a narrow session") {
+    import graft.algo.Iterate.loopWidth
+    // this suite runs local[4] → defaultParallelism 4; the old-rule
+    // cap hi = max(parallelism, rows/500k)
+    // tiny loops take the floor 8 — but never above the old rule's
+    // value (hi = 4 here), so a narrow session is not widened
+    assert(loopWidth(spark, 100000L) == 4)
+    // mid-size: target rows/150k grows but stays capped at hi
+    assert(loopWidth(spark, 3000000L) == math.min(
+      math.max(4L, 3000000L / 500000L), math.max(3000000L / 150000L, 8L)).toInt)
+    // big loops: hi = rows/500k dominates — the per-task-state bound
+    // (~500k rows) is exactly the r12 rule
+    assert(loopWidth(spark, 500000000L) == 1000)
+    // the width never EXCEEDS the old rule for any size
+    for (rows <- Seq(1L, 100000L, 1200000L, 5000000L, 50000000L, 1000000000L)) {
+      val hi = math.max(4L, rows / 500000L)
+      assert(loopWidth(spark, rows) <= hi, s"rows=$rows")
+      assert(loopWidth(spark, rows) >= 1, s"rows=$rows")
+    }
+  }
 }
