@@ -315,16 +315,46 @@ object TextDedup {
       maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
     val sh0 = explodedShingles(docs)
     val sh = if (materialize) sh0.cache() else sh0
+    val withDf = sh.withColumn("_df",
+      count(lit(1)).over(Window.partitionBy("sh")))
     val capped =
       if (maxShingleDf <= 0) sh
-      else sh.withColumn("_df",
-          count(lit(1)).over(Window.partitionBy("sh")))
-        .filter(col("_df") <= maxShingleDf).drop("_df")
-    val cands = capped.select(col("sh"), col("doc_id").as("a"))
+      else withDf.filter(col("_df") <= maxShingleDf).drop("_df")
+    // the candidate equi-join emits one row per SUB-CAP SHINGLE
+    // CO-OCCURRENCE of a pair — which IS that pair's sub-cap
+    // intersection, enumerated. So inter needs no verify joins back
+    // to the shingle sets: one hash aggregate over the join output
+    // counts the sub-cap part (and replaces the old dropDuplicates —
+    // the groupBy is the dedup), and only the OVER-CAP shingles (a
+    // handful of distinct boilerplate keys; they still count toward
+    // inter/union per the contract above) are re-joined per pair.
+    // Round-13 A/B at sf0.1: the old pair×full-shingle-set verify
+    // built ~29M rows for 1.13M candidates → 25 survivors.
+    val co = capped.select(col("sh"), col("doc_id").as("a"))
       .join(capped.select(col("sh"), col("doc_id").as("b")), Seq("sh"))
       .filter(col("a") < col("b"))
-      .select("a", "b").dropDuplicates("a", "b")
-    val result = verifyJaccard(sh, cands, num, den)
+    val interSub = co.groupBy("a", "b").agg(count(lit(1)).as("_isub"))
+    val inter =
+      if (maxShingleDf <= 0)
+        interSub.select(col("a"), col("b"), col("_isub").as("inter"))
+      else {
+        val over = withDf.filter(col("_df") > maxShingleDf)
+          .select(col("doc_id"), col("sh"))
+        val interOver = interSub.select(col("a"), col("b"))
+          .join(over.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+          .join(over.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+          .groupBy("a", "b").agg(count(lit(1)).as("_iover"))
+        interSub.join(interOver, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("_isub") + coalesce(col("_iover"), lit(0L))).as("inter"))
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val result = inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
     if (!materialize) result
     else {
       val out = result.localCheckpoint(true)

@@ -690,6 +690,45 @@ class PipelineSpec extends SparkSpec {
     assert(uncapped == want)
   }
 
+  test("jaccard over-cap shingles still count toward inter (cap prunes generation only)") {
+    // 10 docs = 12 boilerplate tokens shared by ALL (shingle df = 10,
+    // over a cap of 3) + a 12-token section shared within each pair
+    // (df = 2, sub-cap — makes the pair a candidate) + 2 unique tail
+    // tokens. The planted pairs pass the 0.7 bar ONLY when the
+    // over-cap boilerplate shingles count toward inter — the sub-cap
+    // intersection alone fails it (asserted below), so this pins the
+    // two-part inter (candidate-join count + over-cap correction).
+    val boiler = (1 to 12).map(i => s"b$i")
+    val docs = spark.createDataFrame((0L until 10L).map { i =>
+      val section = (1 to 12).map(t => s"s${i / 2}_$t")
+      val tail = Seq(s"u${i}_x", s"u${i}_y")
+      (i, (boiler ++ section ++ tail).mkString(" "))
+    }).toDF("doc_id", "text")
+    val got = TextDedup.jaccardNearDuplicates(docs, maxShingleDf = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def sh(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = docs.collect().map(r => (r.getLong(0), sh(r.getString(1))))
+    val dfm = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val want = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      shared = sa & sb
+      if shared.exists(s => dfm(s) <= 3) // candidate contract: ≥1 sub-cap
+      inter = shared.size; uni = (sa | sb).size
+      if inter * 10 >= uni * 7 // FULL-set Jaccard, over-cap included
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    assert(want.nonEmpty && got == want, s"got=$got want=$want")
+    // the over-cap correction must be decisive here: no pair passes
+    // the bar on its sub-cap intersection alone
+    val subOnly = (for {
+      (a, sa) <- all; (b, sb) <- all if a < b
+      shared = (sa & sb).filter(s => dfm(s) <= 3) if shared.nonEmpty
+      uni = (sa | sb).size if shared.size * 10 >= uni * 7
+    } yield (a, b)).toSet
+    assert(subOnly.isEmpty, "test graph must make the over-cap term decisive")
+  }
+
   test("embedding near-dup sweep maps the duplicate to its min-id representative") {
     // (0,1) is the only verified pair at 900‰ — so 1 is the sole
     // duplicate and its representative is 0; survivors (0, 2, 3)
