@@ -30,26 +30,33 @@ import org.apache.spark.sql.functions._
   * Scale shape: strictly the union of the components' shapes (each
   * documented at its definition) plus four doc_id equi-joins on
   * already-aggregated frames — no new shuffle class, nothing
-  * quadratic. At 100 TB each stage would persist its flag frame and
-  * the verdict join runs over doc_id-bucketed flag tables.
+  * quadratic. The corpus is SHINGLE-EXPLODED ONCE and the cached
+  * frame is shared by the near-dup and contamination stages (their
+  * train/bench inputs are filters of it) — composed standalone they
+  * would explode the corpus three times, and the explode is the
+  * family's dominant primitive. At 100 TB each stage would persist
+  * its flag frame and the verdict join runs over doc_id-bucketed
+  * flag tables, with the shingle frame persisted once the same way.
   */
 object Curate {
 
   def curationVerdict(docs: DataFrame, benchMod: Long = 50L): DataFrame = {
-    val train = docs.filter(col("doc_id") % benchMod =!= 0)
-    val bench = docs.filter(col("doc_id") % benchMod === 0)
     val q = TextStats.qualityFilter(docs)
       .select(col("doc_id"), col("keep").as("q_keep"))
     val ex = docs.select(col("doc_id"), md5(col("text")).as("h"))
       .join(TextDedup.exact(docs), Seq("h"))
       .select(col("doc_id"),
         when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L).as("flag_exact_dup"))
-    val nd = TextDedup.nearDuplicates(docs)
+    val sh = TextDedup.explodedShingles(docs).cache()
+    val nd = TextDedup.nearDuplicatesOnShingles(sh)
       .select(col("b").as("doc_id")).distinct()
       .withColumn("_nd", lit(1L))
-    val cont = TextDedup.contamination(train, bench)
+    val cont = TextDedup.contaminationOnShingles(
+        sh.filter(col("doc_id") % benchMod =!= 0),
+        sh.filter(col("doc_id") % benchMod === 0))
       .select(col("train_id").as("doc_id")).distinct()
       .withColumn("_ct", lit(1L))
+    sh.unpersist(false) // nd/cont are materialized (localCheckpoint)
     docs.select(col("doc_id"),
         when(col("doc_id") % benchMod === 0, 1L).otherwise(0L).as("is_bench"))
       .join(q, Seq("doc_id"))

@@ -243,11 +243,29 @@ object TextDedup {
     // the exploded shingle set feeds signature building AND the
     // verification joins — one explode, cached (eager path only:
     // a cache on the lazy path would outlive the call = a leak).
-    // The bands frame likewise feeds the guard's bucket stats AND the
-    // candidate join, so it is cached too — the minhash signature agg
-    // (the dominant cost) runs once, not twice.
     val sh0 = explodedShingles(docs)
     val sh = if (materialize) sh0.cache() else sh0
+    val result = nearDuplicatesOnShingles(sh, bands, num, den,
+      materialize, maxBucket)
+    if (materialize) sh.unpersist(false)
+    result
+  }
+
+  /** [[nearDuplicates]] over a CALLER-MANAGED exploded-shingle frame —
+    * the composition hook for pipelines that already pay the explode
+    * (Curate shares ONE cached shingle frame across its near-dup and
+    * contamination stages instead of exploding the corpus per stage).
+    * The caller owns `sh`'s caching/lifetime; the eager path here
+    * still returns a lineage-free frame and releases only its OWN
+    * internal cache (the bucket-annotated bands).
+    */
+  private[pipeline] def nearDuplicatesOnShingles(sh: DataFrame,
+      bands: Int = 4, num: Int = 7, den: Int = 10,
+      materialize: Boolean = true,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    // the bands frame feeds the guard's bucket stats AND the candidate
+    // join, so it is cached — the minhash signature agg (the dominant
+    // cost) runs once, not twice.
     val bs0 = bandsFromShingles(sh, bands)
     // eager path caches the bucket-ANNOTATED bands (window already
     // applied): its three consumers then share one window execution —
@@ -264,7 +282,6 @@ object TextDedup {
     else {
       val out = result.localCheckpoint(true)
       if (maxBucket > 0) bs.unpersist(false)
-      sh.unpersist(false)
       out
     }
   }
@@ -386,16 +403,30 @@ object TextDedup {
       maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
     // caches only on the eager path (released before returning); the
     // lazy path stays uncached so nothing leaks — see nearDuplicates.
-    // The stop-shingle guard is a window count over the SAME sh key
-    // the contamination join shuffles on — one pass, no stats
-    // side-plan re-running the explode.
     val shT0 = explodedShingles(train)
     val shTr = if (materialize) shT0.cache() else shT0
+    val shB0 = explodedShingles(bench)
+    val shB = if (materialize) shB0.cache() else shB0
+    val result = contaminationOnShingles(shTr, shB, num, den,
+      materialize, maxShingleDf)
+    if (materialize) { shTr.unpersist(false); shB.unpersist(false) }
+    result
+  }
+
+  /** [[contamination]] over CALLER-MANAGED exploded-shingle frames —
+    * the Curate composition hook (one corpus explode shared across
+    * stages; the train/bench frames are filters of it). The stop-
+    * shingle guard is a window count over the SAME sh key the
+    * contamination join shuffles on — one pass, no stats side-plan
+    * re-running the explode.
+    */
+  private[pipeline] def contaminationOnShingles(shTr: DataFrame,
+      shB: DataFrame, num: Int = 7, den: Int = 10,
+      materialize: Boolean = true,
+      maxShingleDf: Int = defaultMaxShingleDf): DataFrame = {
     val shT = if (maxShingleDf <= 0) shTr else
       shTr.withColumn("_df", count(lit(1)).over(Window.partitionBy("sh")))
         .filter(col("_df") <= maxShingleDf).drop("_df")
-    val shB0 = explodedShingles(bench)
-    val shB = if (materialize) shB0.cache() else shB0
     val nb = shB.groupBy("doc_id").agg(count(lit(1)).as("nb"))
     val inter = shB.select(col("doc_id").as("bench_id"), col("sh"))
       .join(shT.select(col("doc_id").as("train_id"), col("sh")), Seq("sh"))
@@ -404,12 +435,7 @@ object TextDedup {
       .join(nb.select(col("doc_id").as("bench_id"), col("nb")), Seq("bench_id"))
       .filter(col("inter") * den >= col("nb") * num)
       .select("bench_id", "train_id", "inter", "nb")
-    if (!materialize) result
-    else {
-      val out = result.localCheckpoint(true)
-      shTr.unpersist(false); shB.unpersist(false)
-      out
-    }
+    if (!materialize) result else result.localCheckpoint(true)
   }
 
   /** SimHash width in bits. 60 = 15 md5 hex chars per token — the
