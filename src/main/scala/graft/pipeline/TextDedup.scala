@@ -27,13 +27,35 @@ object TextDedup {
     * tokens have no shingles (guarded: Spark's sequence(0, negative)
     * counts DOWN, which would index past the array).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - k),
-          x => concat_ws(" ", (0 until k).map(o => element_at(toks, x + o + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+  def shingles(text: Column, k: Int = 3): Column =
+    array_distinct(gramArray(text, k))
+
+  /** Narrow k-gram array of the whitespace-tokenized text, in token
+    * order (one entry per position 0..n−k; empty for docs shorter
+    * than k tokens — zip_with's null padding handles the guard the
+    * old descending-sequence formulation needed).
+    *
+    * WHY zip_with and not transform+element_at: codegen subexpression
+    * elimination does not reach inside higher-order-function lambda
+    * bodies, so `transform(sequence(0, n−k), x -> concat_ws(
+    * element_at(toks, x+o)…))` re-evaluates the OUTER `toks` — a
+    * split() of the whole text — k times per OUTPUT GRAM (measured
+    * 13× on the sf0.1 documents: 6.5 s vs 0.49 s for the positional
+    * build). A higher-order function's ARRAY ARGUMENTS are ordinary
+    * child expressions evaluated once per row, so chaining zip_with
+    * over the k shifted token arrays binds each split exactly once.
+    * Still a pure narrow projection — no shuffle (a lead-window
+    * formulation is as fast locally but shuffles the whole tokenized
+    * corpus at 100 TB).
+    */
+  private[pipeline] def gramArray(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    val shifted = (0 until k).map { o =>
+      if (o == 0) t else slice(t, lit(o + 1), size(t))
+    }
+    val joined = shifted.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    filter(joined, x => x.isNotNull)
   }
 
   /** 32-bit shingle hash: first 8 hex chars of md5 — reproducible in
@@ -607,15 +629,9 @@ object TextDedup {
     * position so runs can be measured. Docs shorter than k tokens
     * emit nothing (same guard as [[shingles]]).
     */
-  def positionalShingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(col("doc_id"),
-        when(size(toks) >= k,
-          transform(sequence(lit(0), size(toks) - k),
-            x => concat_ws(" ", (0 until k).map(o => element_at(toks, x + o + 1)): _*)))
-          .otherwise(array().cast("array<string>")).as("shs"))
+  def positionalShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), gramArray(col("text"), k).as("shs"))
       .select(col("doc_id"), posexplode(col("shs")).as(Seq("p", "sh")))
-  }
 
   /** Longest cross-document duplicated SPAN per document (the
     * substring-level dedup measure of Lee et al., "Deduplicating

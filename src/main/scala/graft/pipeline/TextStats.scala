@@ -143,10 +143,10 @@ object TextStats {
     * length filter's job).
     */
   def bigramRarity(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
+    // TextDedup.gramArray: one split per shifted operand, not per
+    // output gram (the lambda re-evaluation pathology — see its doc)
     val bg = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), size(t) - 2),
-        x => concat_ws(" ", element_at(t, x + 1), element_at(t, x + 2)))).as("bg"))
+      explode(TextDedup.gramArray(col("text"), 2)).as("bg"))
     val cf = bg.groupBy("bg").agg(count(lit(1)).as("cf"))
     val tot = cf.agg(sum(col("cf")).as("total"))
     val ppm = cf.crossJoin(broadcast(tot))
@@ -187,12 +187,11 @@ object TextStats {
     */
   def repetition(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    def grams(n: Int) = explode(transform(sequence(lit(0), size(t) - n),
-      x => concat_ws(" ", (1 to n).map(o => element_at(t, x + o)): _*)))
-    // the size guard keeps sequence() ascending (a too-short doc has
-    // no n-gram; without it sequence(0, m-n) runs BACKWARD for m < n)
+    // gramArray needs no descending-sequence guard (empty for short
+    // docs); the size filter stays to skip gram-less docs entirely
     def counts(n: Int) = docs.filter(size(t) >= n)
-      .select(col("doc_id"), grams(n).as("g"))
+      .select(col("doc_id"),
+        explode(TextDedup.gramArray(col("text"), n)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val top2 = counts(2).groupBy("doc_id")
       .agg(expr("(1000000 * MAX(c)) DIV SUM(c)").as("top2_ppm"))
@@ -272,13 +271,15 @@ object TextStats {
     */
   def bigramModel(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    // sequence(0, n-2) DESCENDS when n < 2 (Spark fills stop < start
-    // with step -1) — guard single-token docs to an empty bigram list
-    val bg = docs.select(
-      explode(when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          x => struct(element_at(t, x + 1).as("w1"), element_at(t, x + 2).as("w2"))))
-        .otherwise(array())).as("b"))
+    // struct-valued bigrams via the zip_with idiom (TextDedup.gramArray
+    // rationale): zip the token array with its own 1-shift — each
+    // split evaluates once per row; zip_with's null padding marks the
+    // final position, filtered on the w2 field
+    val pairs = filter(
+      zip_with(t, slice(t, lit(2), size(t)),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      s => s.getField("w2").isNotNull)
+    val bg = docs.select(explode(pairs).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
@@ -337,8 +338,7 @@ object TextStats {
     val t = toks(col("text"))
     val n = size(t).cast(LongType)
     val stops = array(stopwordsEn.map(lit): _*)
-    val bigrams = transform(sequence(lit(0), size(t) - 2),
-      x => concat_ws(" ", element_at(t, x + 1), element_at(t, x + 2)))
+    val bigrams = TextDedup.gramArray(col("text"), 2)
     val narrow = docs.select(
       col("doc_id"),
       n.as("n_tokens"),
