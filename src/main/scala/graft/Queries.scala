@@ -1527,11 +1527,18 @@ object Queries {
       val offset = 1L << 20
       val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
         (col("l_partkey") + offset).as("b")).distinct()
+      // cache: the n-derivation agg and the algorithm's own sizing
+      // pass both consume the distinct pipeline — uncached it ran
+      // twice. Safe to release before returning: kcore materializes
+      // (checkpoints) its result before it returns.
       val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .cache()
       val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L // 1-row driver agg
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
-      KCore.kcore(A, 6L).df
+      val out = KCore.kcore(A, 6L).df
+      edges.unpersist(false)
+      out
     }),
     // Jones–Plassmann greedy coloring (per-round hash priorities +
     // mex color choice) on the BFS subgraph (l_orderkey < 600 — the
@@ -1557,11 +1564,16 @@ object Queries {
       val offset = 1L << 20
       val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
         (col("l_partkey") + offset).as("b")).distinct()
+      // cached for the same two-consumer reason as q_kcore; Mis
+      // materializes before returning, so the release is safe
       val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .cache()
       val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L // 1-row driver agg
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
-      Mis.mis(A).df
+      val out = Mis.mis(A).df
+      edges.unpersist(false)
+      out
     }),
     // synchronous label propagation (fixed 7 rounds, min-label ties)
     // on the same orders↔parts bipartite graph — per-node community
@@ -1571,11 +1583,16 @@ object Queries {
       val offset = 1L << 20
       val e0 = li.select(col("l_orderkey").cast(LongType).as("a"),
         (col("l_partkey") + offset).as("b")).distinct()
+      // cached for the same two-consumer reason as q_kcore; the LPA
+      // loop materializes (checkpoints) before returning
       val edges = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b")))
+        .cache()
       val n = edges.agg(max(col("a"))).collect()(0).getLong(0) + 1L // 1-row driver agg
       val A = GrbMatrix.fromDF(
         edges.select(col("a").as("i"), col("b").as("j"), lit(1L).as("v")), n, n)
-      LabelProp.communities(A, 7).df
+      val out = LabelProp.communities(A, 7).df
+      edges.unpersist(false)
+      out
     }),
     // incremental CC maintenance: 90% of the events graph labels as
     // the persisted base; the other 10% of edges arrive as a batch
