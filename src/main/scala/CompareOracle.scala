@@ -33,7 +33,7 @@ object CompareOracle {
         }.mkString("|")).sorted
     }
     entries.foreach { case (name, sql) =>
-      val r = new java.util.concurrent.atomic.ReferenceArray[Throwable](1)
+      val r = new java.util.concurrent.atomic.AtomicReferenceArray[Throwable](1)
       val t = new Thread(null, () => { try {
         val want = norm(spark.sql(sql))
         val got = norm(spark.read.parquet(s"$outDir/$name"))
