@@ -57,12 +57,17 @@ object FastSV {
     // co-partition the adjacency by the contraction key once (every
     // mxv reuses the exchange), at the loop width — block fan-out ×
     // rounds is the fixed cost (Iterate.withLoopWidth scaladoc)
-    val raw = a.df.cache()
+    // Respect a caller-owned cache: cache()+unpersist() on a plan the
+    // caller already persisted would evict THEIR CacheManager entry
+    // (unpersist is by-plan, not by-reference), cooling every later use.
+    val callerCached =
+      a.df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val raw = if (callerCached) a.df else a.df.cache()
     val nnz = raw.count()
     Iterate.withLoopWidth(spark, nnz) { width =>
     val A = new GrbMatrix(raw.repartition(width, col("j")).cache(), n, n)
     A.df.count()
-    raw.unpersist(false)
+    if (!callerCached) raw.unpersist(false)
     // f = gp = identity: every vertex its own parent
     val ident = nodes match {
       case Some(ns) => ns.select(col("i"), col("i").as("v"))

@@ -150,7 +150,9 @@ object Iterate {
     * per-task-state bound (~500k rows ≈ tens of MB), a 100 TB run
     * (workRows ≫ 500k × cluster cores) sizes by rows exactly as
     * before, and a session narrower than the floor (Verify at 4) is
-    * never widened.
+    * never widened — the floor is clamped at the session's configured
+    * shuffle width, so the guarantee is structural, not an artifact
+    * of narrow sessions also having low defaultParallelism.
     *
     * Where NOT to apply it: frontier loops whose per-round aggregates
     * are small (Bfs.levels/sssp/multiSourceLevels, SpCount's waves and
@@ -180,6 +182,17 @@ object Iterate {
     val hi = math.min(math.max(
       spark.sparkContext.defaultParallelism.toLong,
       workRows / 500000L), 1000000L)
-    math.max(1L, math.min(hi, math.max(workRows / 150000L, 8L))).toInt
+    // The floor (8) never widens a session that deliberately runs
+    // narrower (Verify at 4): clamp it at the configured session
+    // width, so the scaladoc guarantee holds by construction rather
+    // than by the coincidence that narrow sessions also have low
+    // defaultParallelism. Rows-scaled widening (workRows/150k) is NOT
+    // clamped — a big graph must still widen for the per-task-state
+    // bound even in a narrow session.
+    val sessionWidth = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong)
+      .getOrElse(spark.sparkContext.defaultParallelism.toLong)
+    val floor = math.min(8L, math.max(1L, sessionWidth))
+    math.max(1L, math.min(hi, math.max(workRows / 150000L, floor))).toInt
   }
 }

@@ -142,15 +142,28 @@ object RandomWalk {
     // case takes the single plain join (no extra ranked cache pass)
     val anyHot = !hotDeg.isEmpty
     var rankedCache: Option[DataFrame] = None
+    // LEFT joins with a 0 default: on asymmetric input a neighbor with
+    // no out-edges must still be landed on (the walker emits the
+    // arrival row, then dies next step when pmod(hash, 0) nulls its
+    // draw and the move equi-join drops it) — an inner join here would
+    // silently erase that arrival. Symmetric input never hits the
+    // default (every nbr has the reverse edge).
     val attached =
       if (!anyHot) rankedAdjacency(edges)
         .join(deg.select(col("v").as("nbr"), col("deg").as("nbrDeg")),
-          Seq("nbr"))
+          Seq("nbr"), "left")
+        .withColumn("nbrDeg", coalesce(col("nbrDeg"), lit(0L)))
       else {
         val ranked = rankedAdjacency(edges).cache()
         rankedCache = Some(ranked)
-        ranked.join(broadcast(hotDeg), Seq("nbr"))
-          .unionByName(ranked.join(coldDeg, Seq("nbr")))
+        // broadcast-probe the hot set first; only unmatched (cold) rows
+        // take the shuffle join, so every shuffle key stays under
+        // hotDegThreshold rows — the skew guarantee is unchanged
+        val probed = ranked.join(broadcast(hotDeg), Seq("nbr"), "left")
+        probed.filter(col("nbrDeg").isNotNull)
+          .unionByName(probed.filter(col("nbrDeg").isNull).drop("nbrDeg")
+            .join(coldDeg, Seq("nbr"), "left")
+            .withColumn("nbrDeg", coalesce(col("nbrDeg"), lit(0L))))
       }
     val indexed = attached
       .repartition(width, col("v"), col("idx"))

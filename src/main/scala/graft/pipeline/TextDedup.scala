@@ -55,7 +55,11 @@ object TextDedup {
     }
     val joined = shifted.reduce((a, b) =>
       zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    filter(joined, x => x.isNotNull)
+    // null text → [] (not null): split(null) would propagate null
+    // through zip_with/filter, silently changing the public shingles
+    // contract (size()/array_contains on the result would see null)
+    coalesce(filter(joined, x => x.isNotNull),
+      array().cast("array<string>"))
   }
 
   /** 32-bit shingle hash: first 8 hex chars of md5 — reproducible in

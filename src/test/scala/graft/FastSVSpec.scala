@@ -876,4 +876,44 @@ class FastSVSpec extends SparkSpec {
       assert(loopWidth(spark, rows) >= 1, s"rows=$rows")
     }
   }
+
+  test("loop width floor is clamped at the session's shuffle width") {
+    import graft.algo.Iterate.loopWidth
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "2")
+      // a tiny loop in a width-2 session keeps width 2 — the floor (8)
+      // never widens a deliberately narrow session
+      assert(loopWidth(spark, 100000L) == 2)
+      // but rows-scaled widening still applies (per-task-state bound):
+      // 3M rows → hi = max(4, 6) = 6 > 2
+      assert(loopWidth(spark, 3000000L) == 6)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("connectedComponents preserves a caller-owned cache on a.df") {
+    val a = matFromEdges(Seq((0L, 1L), (2L, 3L)), 4L)
+    a.df.cache()
+    a.df.count()
+    try {
+      val l = labelsOf(FastSV.connectedComponents(a))
+      assert(l(1L) == 0L && l(3L) == 2L)
+      // the caller's cache entry must survive the call — cache()+
+      // unpersist() inside FastSV would evict it by plan equality
+      assert(a.df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "FastSV evicted the caller's cache of a.df")
+    } finally a.df.unpersist()
+  }
+
+  test("walks on asymmetric input: dead-end arrival is emitted, then the walk dies") {
+    // directed 0→1 with no out-edges at 1: the walker must land on 1
+    // (arrival row at step 1) and then stop — the dead-end neighbor is
+    // not silently dropped by the degree attach
+    val a = GrbMatrix.fromValues(spark,
+      Seq((0L, 1L, 1L: Any)), GrbType.INT64, 2L, 2L)
+    val got = graft.algo.RandomWalk.walks(a, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 0L), (0L, 1L, 1L)))
+  }
 }

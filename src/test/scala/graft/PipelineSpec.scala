@@ -19,6 +19,16 @@ class PipelineSpec extends SparkSpec {
     spark.createDataFrame(rows).toDF("doc_id", "text")
   }
 
+  test("shingles of null text is an empty array, not null") {
+    val df = spark.createDataFrame(Seq((0L, "a b c d"), (1L, null: String)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.shingles(col("text")).as("sh"))
+    val bySz = df.select(col("doc_id"), size(col("sh")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // size(null array) would be -1 (legacy) or null; [] gives 0
+    assert(bySz(0L) == 2 && bySz(1L) == 0)
+  }
+
   test("exact dedup groups identical texts") {
     val r = TextDedup.exact(docs).collect()
     assert(r.length == 5) // 6 docs, one exact-dup pair
