@@ -49,17 +49,25 @@ object TextDedup {
     * corpus at 100 TB).
     */
   private[pipeline] def gramArray(text: Column, k: Int): Column = {
-    val t = tokens(text)
+    require(k >= 2, s"gramArray: k must be >= 2 (got $k); k=1 is tokens()")
+    // null text → [] via a null-safe INPUT, never a coalesce/when
+    // around the OUTPUT: a conditional wrapper puts the whole gram
+    // tree in a not-always-evaluated branch, which blocks codegen
+    // subexpression elimination from hoisting the k shifted arrays'
+    // shared split() — re-evaluating the tokenize per shift, the
+    // measured-13× pathology this formulation exists to avoid
+    // (sf0.1 A/B: p_dedup_minhash 11.3 s wrapped vs 2.5 s input-
+    // guarded; p_curate 18.1 vs 5.5; p_dup_ngrams 4.0 vs 1.7).
+    // split("") is [""], one empty token, and the k≥2 zip_with null
+    // padding turns that into zero grams — same as any doc shorter
+    // than k tokens, so the public contract stays null-in → [].
+    val t = tokens(coalesce(text, lit("")))
     val shifted = (0 until k).map { o =>
       if (o == 0) t else slice(t, lit(o + 1), size(t))
     }
     val joined = shifted.reduce((a, b) =>
       zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    // null text → [] (not null): split(null) would propagate null
-    // through zip_with/filter, silently changing the public shingles
-    // contract (size()/array_contains on the result would see null)
-    coalesce(filter(joined, x => x.isNotNull),
-      array().cast("array<string>"))
+    filter(joined, x => x.isNotNull)
   }
 
   /** 32-bit shingle hash: first 8 hex chars of md5 — reproducible in
