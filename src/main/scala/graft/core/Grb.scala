@@ -803,19 +803,61 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
 
   // ---- products (SURVEY §2.5: the heart of the engine) ----
   /** C(i,k) = ⊕_j A(i,j) ⊗ B(j,k). One equi-join on the contracted
-    * dimension + hash aggregate; Catalyst/AQE picks broadcast vs
-    * shuffle (the reference's two hand-rolled matmul strategies,
-    * expr.py:43-164, are exactly this choice).
+    * dimension + hash aggregate (the reference's two hand-rolled
+    * matmul strategies, expr.py:43-164, collapse to this plan).
     * Masked variant: the mask's key set is semi-joined against the
     * products BEFORE aggregation, shrinking the shuffle — matches
     * `_matmul2_masked` pushing the mask into block products
     * (expr.py:147-160,1967-1971).
+    *
+    * The join is HINTED merge (shuffled sort-merge) instead of
+    * letting Catalyst choose. Size heuristics see only the OPERANDS,
+    * never the product: a matrix side under the broadcast threshold
+    * gets a BroadcastHashJoin, which generates the entire product —
+    * Σ_k nnz_A(k)·nnz_B(k) rows, quadratic in column multiplicity —
+    * inside the other side's SCAN tasks (a handful of parquet
+    * splits), where the partial hash aggregate then builds per-task
+    * tables of near-output size. Measured on a 17.2M-cell product at
+    * 32 cores: unhinted/BHJ 20-35 s, GC-bound and unstable; hinted
+    * 4-7 s — product generation AND partial aggregation spread
+    * across the full shuffle width with per-task state bounded by
+    * the contraction key's partition share. This is 1-D SpGEMM by
+    * construction; no cluster can broadcast a real matrix operand
+    * anyway, so the bench-scale broadcast "win" is exactly the plan
+    * that would never survive 100 TB. merge over shuffle_hash
+    * (2.6-7 s, statistically tied): sort-merge spills gracefully on
+    * hub columns, and operands pre-bucketed on the contraction key
+    * (BucketedCoo, sorted at write) keep their exchange-free AND
+    * sort-free plan — a shuffle_hash hint re-shaped that to
+    * per-bucket hash builds and cost q_mxm_bucketed 2× (5.5 → 11-16 s
+    * fresh-context A/B).
+    *
+    * Two cases stay UNHINTED:
+    *  - MASKED products: the mask's semi-join filters the product
+    *    stream BEFORE the partial aggregate inside the same codegen
+    *    stage, so per-task aggregate state is bounded by nnz(mask) no
+    *    matter where the product is generated — the pathology cannot
+    *    arise, and the broadcast plan Catalyst picks for small
+    *    operands is genuinely better (hinting the masked family cost
+    *    q_clustering 1.2 → 4.6 s, q_ktruss 2.4 → 3.5 s: per-round
+    *    exchanges in tight loops for nothing).
+    *  - An operand read back from a BUCKETED table (BucketedCoo): its
+    *    clustering was paid once at write time and Catalyst already
+    *    plans the contraction exchange-free on that side; forcing
+    *    merge re-shaped that to per-bucket sorts and cost
+    *    q_mxm_bucketed ~1.7× (ABBA'd). A deployment that bucketed its
+    *    operands made exactly the placement decision the hint exists
+    *    to approximate — respect it.
     */
   def mxm(other: GrbMatrix, sr: Semiring, mask: Option[Mask] = None): GrbMatrix = {
     if (ncols != other.nrows) GraphblasException.dimensionMismatch(
       s"mxm ncols $ncols vs nrows ${other.nrows}")
-    val a = df.select(col("i"), col("j").as("_k"), col("v").as("_av"))
-    val b = other.df.select(col("i").as("_k"), col("j"), col("v").as("_bv"))
+    val forceShuffle = mask.isEmpty &&
+      !Grb.hasBucketedScan(df) && !Grb.hasBucketedScan(other.df)
+    def shuffled(d: org.apache.spark.sql.DataFrame) =
+      if (forceShuffle) d.hint("merge") else d
+    val a = shuffled(df.select(col("i"), col("j").as("_k"), col("v").as("_av")))
+    val b = shuffled(other.df.select(col("i").as("_k"), col("j"), col("v").as("_bv")))
     val mult = sr.positional match {
       case Some(pf) => pf(col("i"), col("_k"), col("j"))
       case None =>
@@ -1192,6 +1234,22 @@ object Grb {
     * beyond it AQE still broadcasts at runtime when stats allow
     */
   val BroadcastGuard: Long = 32L * 1000 * 1000
+
+  /** true when `d`'s plan reads a bucketed table anywhere — the
+    * mxm merge-hint opt-out (a bucketed operand's clustering was paid
+    * at write time; see the mxm scaladoc). Conservative on purpose:
+    * a derived frame whose bucketing a later exchange destroyed just
+    * skips the hint and keeps Catalyst's unassisted choice.
+    */
+  private[core] def hasBucketedScan(d: org.apache.spark.sql.DataFrame): Boolean =
+    d.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            lr.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .bucketSpec.isDefined => true
+    }.isDefined
 
   /** Session conf key selecting UINT64 semantics — `wrap` (default),
     * `checked`, or `wide`. UINT64 is stored in a signed long (Spark
