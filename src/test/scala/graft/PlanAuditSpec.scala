@@ -418,4 +418,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggIdx >= 0 && joinIdx > aggIdx,
       "mask semi-join should be inside (below) the aggregate")
   }
+
+  // --- the mxm product-join decision (shuffled SpGEMM; Grb.mxm scaladoc) ---
+
+  private def tinyPair: (GrbMatrix, GrbMatrix) = {
+    val a = GrbMatrix.fromValues(spark,
+      (0L until 40L).map(i => (i % 8, i % 5, 1L: Any)), GrbType.INT64, 8L, 5L)
+    val b = GrbMatrix.fromValues(spark,
+      (0L until 35L).map(i => (i % 5, i % 7, 1L: Any)), GrbType.INT64, 5L, 7L)
+    (a, b)
+  }
+
+  test("unmasked mxm never broadcasts a matrix operand — shuffled SpGEMM") {
+    // operands this small would broadcast without the hint; the
+    // product join must still plan shuffled (size heuristics can't
+    // see the product blow-up, so broadcast is never safe here)
+    val (a, b) = tinyPair
+    val p = plan(a.mxm(b, Ops.plusTimes).df)
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("masked mxm keeps Catalyst's join choice (mask bounds agg state)") {
+    val (a, b) = tinyPair
+    val mask = Mask.structural(
+      GrbMatrix.fromValues(spark, Seq((0L, 0L, 1L: Any)), GrbType.INT64, 8L, 7L).df)
+    val p = plan(a.mxm(b, Ops.plusTimes, Some(mask)).df)
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("a bucketed operand opts out of the forced shuffle") {
+    val (a, b) = tinyPair
+    val bb = GrbMatrix.fromDF(graft.io.BucketedCoo.saveLoad(
+      spark, b.df, "graft_planaudit_b", "i", 2), 5L, 7L)
+    val p = plan(a.mxm(bb, Ops.plusTimes).df)
+    // write-time clustering respected: Catalyst's unassisted choice
+    // (broadcast for this tiny pair), not the forced merge join
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
 }
