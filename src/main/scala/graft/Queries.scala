@@ -808,7 +808,12 @@ object Queries {
     // the product join needs no exchange — the shuffle is paid once
     // at write time, the 100 TB pattern for a matrix contracted
     // repeatedly. Same result (and oracle) as q_mxm; the no-exchange
-    // plan shape is pinned by BucketedCooSpec.
+    // plan shape is pinned by BucketedCooSpec. Bucket count follows
+    // the CONTRACTION's per-task state, not the stored row count:
+    // this product materializes ~17M cells, and 8 buckets put ~2.2M
+    // partial-aggregate entries in each of 8 tasks (the same
+    // per-task-state bound Iterate.loopWidth sizes by); 32 buckets
+    // hold ~540k.
     "q_mxm_bucketed" -> ((s, dir) => {
       val m = liMat(s, dir)
       val m2 = GrbMatrix.fromDF(
@@ -816,10 +821,10 @@ object Queries {
           col("l_suppkey").as("j"), col("l_quantity").cast(LongType).as("v")),
         nrows = m.ncols, dupAgg = Some(c => sum(c)))
       val bm = GrbMatrix.fromDF(
-        graft.io.BucketedCoo.saveLoad(s, m.df, "graft_q_mxm_a", "j", 8),
+        graft.io.BucketedCoo.saveLoad(s, m.df, "graft_q_mxm_a", "j", 32),
         m.nrows, m.ncols)
       val bm2 = GrbMatrix.fromDF(
-        graft.io.BucketedCoo.saveLoad(s, m2.df, "graft_q_mxm_b", "i", 8),
+        graft.io.BucketedCoo.saveLoad(s, m2.df, "graft_q_mxm_b", "i", 32),
         m2.nrows, m2.ncols)
       bm.mxm(bm2, Ops.plusTimes).df
     }),

@@ -19,8 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * At 100 TB this is the difference between "every mxm re-shuffles
   * 100 TB" and "the big operand was bucketed at ingest": bucket count
-  * is a deployment choice (aim for buckets ≈ data / healthy-partition
-  * size; it must match across frames meant to co-join). Buckets ride
+  * is a deployment choice and must match across frames meant to
+  * co-join. Size it for the CONTRACTION, not the stored rows: a
+  * bucketed product join runs one task per bucket END TO END —
+  * product generation and the partial aggregate included — so the
+  * bound that matters is product cells per bucket (≈ a few hundred k,
+  * the same per-task-state rule as Iterate.loopWidth), which for a
+  * semiring product is the stored rows × the contraction key's
+  * average multiplicity on the other side. Buckets sized only for
+  * storage under-parallelize the contraction (measured: the catalog's
+  * 17M-cell product at 8 buckets = 2.2M agg entries/task drew
+  * 5.5-16 s fresh-context bimodal; 32 buckets ≈ 540k/task). Buckets ride
   * Spark's table catalog, so frames live as named tables with an
   * explicit data path (external tables — no warehouse-dir dependence;
   * the default in-memory catalog works, no Hive needed).
@@ -71,7 +80,17 @@ object BucketedCoo {
     */
   def saveLoadKeys(spark: SparkSession, df: DataFrame, name: String,
       keys: Seq[String], buckets: Int, root: String = defaultRoot): DataFrame = {
-    df.write.mode("overwrite").format("parquet")
+    // Repartition onto the bucket hash BEFORE the write: bucketBy
+    // splits every write task's rows across all buckets it sees, so
+    // an n-task upstream sprays up to n×buckets small files; after
+    // repartition (same murmur HashPartitioning as the bucket
+    // assignment) each task holds exactly one bucket — one file per
+    // bucket, and single-file buckets are what lets the read-back
+    // scan claim sortedness (multi-file buckets forfeit the sortBy
+    // and the join re-sorts).
+    import org.apache.spark.sql.functions.col
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", s"$root/$name")
