@@ -9,6 +9,27 @@ import java.nio.file.{Files, Paths}
   * in a shared session; a fresh context per query makes in-suite times
   * match isolated reruns. JIT/codegen warm-up amortizes across sessions
   * (same JVM); the per-session parquet-footer read is untimed.
+  *
+  * WINDOW INSTRUMENTATION (round-13 judging asked for it): this guest's
+  * RAM is host-overcommitted and its effective memory bandwidth
+  * collapses in waves with no in-guest load signal (PERF_NOTES §5).
+  * Three rounds of bench regressions were attributed to that window by
+  * same-code A/B inference; to make the attribution a MEASUREMENT, every
+  * rep now records, file-only in BENCH_SELF.json:
+  *  - `gc`: JVM GC pause seconds over the rep's timed region
+  *    (GarbageCollectorMXBean collection-time deltas — local-mode
+  *    driver+executors share this JVM, so the delta is the query's own);
+  *  - `psi_cpu`/`psi_io`/`psi_mem`: Linux PSI some-stall seconds over
+  *    the timed region (/proc/pressure/<res> `some … total=<µs>`
+  *    deltas — system-wide runnable-but-stalled time, the kernel's own
+  *    IO/CPU-contention meter);
+  *  - `bw`: MB/s of a fixed-work 1 GiB in-heap arraycopy run just
+  *    BEFORE the rep (untimed) — the same copy-bandwidth probe
+  *    tools/mem_probe.py brackets draws with, sampled in-draw per rep.
+  * A degraded-window rep shows up as bw collapsed and/or gc ≫ healthy
+  * next to the inflated wall-time; a plan defect shows up as inflated
+  * wall-time with healthy bw/gc/psi. The stdout line carries only
+  * draw-level aggregates (gc_total, psi_io_total, bw min/median).
   */
 object Bench {
   /** Shuffle partitions = 4× cores, not 1×: measured on the A·A square
@@ -44,6 +65,52 @@ object Bench {
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
+  /** cumulative JVM GC pause milliseconds across all collector beans */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Linux PSI cumulative some-stall µs per resource; empty map when
+    * /proc/pressure is absent (non-Linux / PSI off) — fields then read
+    * as 0-deltas rather than failing the bench.
+    */
+  private def psiTotals: Map[String, Long] =
+    Seq("cpu", "io", "memory").flatMap { res =>
+      try {
+        val line = Files.readAllLines(Paths.get(s"/proc/pressure/$res"))
+          .stream().filter(_.startsWith("some")).findFirst()
+        if (line.isPresent)
+          "total=(\\d+)".r.findFirstMatchIn(line.get())
+            .map(m => res -> m.group(1).toLong)
+        else None
+      } catch { case _: Throwable => None }
+    }.toMap
+
+  /** Fixed-work copy-bandwidth probe: 1 GiB of in-heap arraycopy
+    * (4 passes over a 256 MiB buffer), returns MB/s. Healthy window
+    * ≈ 4000-10000; the documented host waves collapse it to the low
+    * hundreds. Fixed WORK (not fixed time) keeps the per-rep overhead
+    * ~0.1-0.3 s healthy and lets a collapsed window show itself as a
+    * slow probe. Buffers are method-local so the probe's own garbage
+    * is reclaimed before the timed region starts (System.gc below).
+    */
+  private def bwProbe(): Double = {
+    val sz = 256 * 1024 * 1024
+    val src = new Array[Byte](sz)
+    val dst = new Array[Byte](sz)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 4) { System.arraycopy(src, 0, dst, 0, sz); i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    4.0 * sz / dt / 1e6
+  }
+
+  /** one rep's record: wall seconds, error, and the window evidence */
+  private case class Rep(sec: Double, err: Option[String], gcSec: Double,
+      psiSec: Map[String, Double], bwMBs: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,7 +118,7 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     /** one timed execution in a fresh context; negative = failure */
     def once(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Rep = {
       val spark = mkSession(cpus)
       spark.sparkContext.setLogLevel("WARN")
       // untimed warm-up: executor init + parquet footer/scan setup for
@@ -65,15 +132,23 @@ object Bench {
             try spark.read.parquet(f.getPath).count()
             catch { case _: Throwable => } }
       } catch { case _: Throwable => }
+      val bw = bwProbe()
+      System.gc() // reclaim the probe's buffers before the timed region
+      val gc0 = gcMillis
+      val psi0 = psiTotals
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis - gc0) / 1e3
+      val psi1 = psiTotals
+      val psiSec = psi0.map { case (k, v0) =>
+        k -> (psi1.getOrElse(k, v0) - v0) / 1e6 }
       spark.stop()
       System.gc() // settle heap before the next query's context starts
-      (sec, err)
+      Rep(sec, err, gcSec, psiSec, bw)
     }
     // deterministic alphabetical order: run-to-run comparability
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -99,19 +174,19 @@ object Bench {
           else if (Headline(name)) 2 else 1
         }
       val runs = (1 to reps).map(_ => once(name, fn))
-      val ok = runs.filter(_._2.isEmpty).map(_._1)
+      val ok = runs.filter(_.err.isEmpty)
       // a rep that errored while another succeeded is NOT silently
       // masked by min-of-reps: it's recorded in the `flaky` field
       val flaky = runs.zipWithIndex.collect {
-        case ((_, Some(e)), i) if ok.nonEmpty => s"rep${i + 1}: $e" }
-      if (ok.nonEmpty) (name, ok.min, None, flaky, ok)
-      else (name, -1.0, runs.head._2, Seq.empty[String], Seq.empty[Double])
+        case (r, i) if r.err.isDefined && ok.nonEmpty => s"rep${i + 1}: ${r.err.get}" }
+      if (ok.nonEmpty) (name, ok.map(_.sec).min, None, flaky, ok)
+      else (name, -1.0, runs.head.err, Seq.empty[String], Seq.empty[Rep])
     }
     def jq(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
     def fmt(v: Double): String = f"$v%.3f"
-    def qmap(rs: Seq[(String, Double, Option[String], Seq[String], Seq[Double])]): String =
+    def qmap(rs: Seq[(String, Double, Option[String], Seq[String], Seq[Rep])]): String =
       rs.map { case (k, v, _, _, _) => jq(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     // failures excluded from the headline total and marked -1 per query
     val failed = results.collect { case (k, _, Some(e), _, _) => s"${jq(k)}:${jq(e)}" }
@@ -119,12 +194,29 @@ object Bench {
     val flakyAll = results.collect { case (k, _, None, fs, _) if fs.nonEmpty =>
       s"${jq(k)}:${jq(fs.mkString("; "))}" }
     val total = results.collect { case (_, v, None, _, _) => v }.sum
-    // every successful rep's wall-time, per query — min-of-reps hides
-    // the draw variance, and round 6 proved the variance IS the story
+    // every successful rep's wall-time, per query (ALL queries since
+    // r13, single-rep included — the per-rep window columns below
+    // index into the same arrays) — min-of-reps hides the draw
+    // variance, and round 6 proved the variance IS the story
     // (q_ewise_add swung 6× between rounds at min-of-2). File-only:
     // the stdout line must stay small enough for tail capture.
-    val spread = results.collect { case (k, _, None, _, reps) if reps.size > 1 =>
-      jq(k) + ":" + reps.map(fmt).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    def repMap(f: Rep => Double): String =
+      results.collect { case (k, _, None, _, reps) if reps.nonEmpty =>
+        jq(k) + ":" + reps.map(r => fmt(f(r))).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    val spread = repMap(_.sec)
+    val gcMap = repMap(_.gcSec)
+    val psiCpu = repMap(_.psiSec.getOrElse("cpu", 0.0))
+    val psiIo = repMap(_.psiSec.getOrElse("io", 0.0))
+    val psiMem = repMap(_.psiSec.getOrElse("memory", 0.0))
+    val bwMap = repMap(_.bwMBs / 1.0)
+    // draw-level window aggregates for the stdout line
+    val allReps = results.flatMap(_._5)
+    val gcTotal = allReps.map(_.gcSec).sum
+    val psiIoTotal = allReps.map(_.psiSec.getOrElse("io", 0.0)).sum
+    val bws = allReps.map(_.bwMBs).sorted
+    val bwMin = if (bws.nonEmpty) bws.head else 0.0
+    val bwMed = if (bws.nonEmpty) bws(bws.size / 2) else 0.0
     // stdout line carries only the HEADLINE queries: the driver's tail
     // capture is finite, and round-3's all-70-query line got its front
     // truncated (→ parsed: null). Full per-query detail goes to the
@@ -133,15 +225,17 @@ object Bench {
     val head = if (headRs.nonEmpty) headRs else results.take(16)
     // method: documents the min-of-reps change (round 5) so totals are
     // not compared apples-to-oranges against single-rep rounds 1-4
-    val mk = (qs: String, sp: String) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$sp,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest) since r5; spread=all reps since r7; r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
+    val windowAgg = s""""gc_total":${fmt(gcTotal)},"psi_io_total":${fmt(psiIoTotal)},"bw_min_mbs":${fmt(bwMin)},"bw_med_mbs":${fmt(bwMed)}"""
+    val mk = (qs: String, extra: String) =>
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,$windowAgg,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest) since r5; spread/gc/psi_*/bw = per-rep arrays for every query since r13 (gc=JVM pause s, psi=PSI some-stall s over the timed region, bw=MB/s fixed-work copy probe before the rep); r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
     // BENCH_SELF.json is the FULL-CATALOG record; a filtered probe run
     // (SPARK_GRAFT_ONLY) must never clobber it — probes land in
     // BENCH_probe.json instead (round-10 advice: a 1-query ABBA once
     // overwrote the 149-query record)
     val outFile = if (only.isDefined) "BENCH_probe.json" else "BENCH_SELF.json"
     Files.writeString(Paths.get("/root/repo", outFile),
-      mk(qmap(results), s""","spread":$spread""") + "\n")
+      mk(qmap(results),
+        s""","spread":$spread,"gc":$gcMap,"psi_cpu":$psiCpu,"psi_io":$psiIo,"psi_mem":$psiMem,"bw_mbs":$bwMap""") + "\n")
     println(mk(qmap(head), ""))
   }
 
