@@ -64,6 +64,28 @@ object FastSV {
       a.df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val raw = if (callerCached) a.df else a.df.cache()
     val nnz = raw.count()
+    // Driver-local fast path (LocalCC scaladoc): below the threshold
+    // the loop's per-round fixed cost dwarfs the data — solve the
+    // labeling on the driver from the just-cached blocks and
+    // broadcast-join it onto the identity frame. Isolated vertices
+    // (in `nodes`/the dense range but in no edge) keep their
+    // self-label through the coalesce, exactly as the loop leaves
+    // them untouched.
+    val localThr = LocalCC.threshold(spark)
+    if (nnz <= localThr && nnz > 0) {
+      val pairs = raw.select(col("i").cast("long"), col("j").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (!callerCached) raw.unpersist(false)
+      import spark.implicits._
+      val labDf = LocalCC.labels(pairs).toSeq.toDF("i", "_lab")
+      val ident = nodes match {
+        case Some(ns) => ns.select(col("i"), col("i").as("v"))
+        case None => spark.range(n).select(col("id").as("i"), col("id").as("v"))
+      }
+      return new GrbVector(
+        ident.join(broadcast(labDf), Seq("i"), "left")
+          .select(col("i"), coalesce(col("_lab"), col("v")).as("v")), n)
+    }
     Iterate.withLoopWidth(spark, nnz) { width =>
     val A = new GrbMatrix(raw.repartition(width, col("j")).cache(), n, n)
     A.df.count()

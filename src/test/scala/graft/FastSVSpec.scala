@@ -311,6 +311,57 @@ class FastSVSpec extends SparkSpec {
     assert(pregel == fastsv.view.filterKeys(k => k != 5L).toMap)
   }
 
+  test("driver-local CC fast path matches the distributed loops on random graphs") {
+    // the shared test session pins spark.graft.cc.localNnz=0 so every
+    // other spec exercises the distributed machinery; here the local
+    // path is enabled per-run and cross-checked against the loop's
+    // labeling on the same graph — both engines, both contracts
+    val key = graft.algo.LocalCC.ConfKey
+    val rnd = new scala.util.Random(71)
+    try {
+      for (trial <- 1 to 3) {
+        val n = 20 + trial * 7
+        val edges = (for {
+          i <- 0 until n; j <- (i + 1) until n
+          if rnd.nextDouble() < 0.08
+        } yield (i.toLong, j.toLong)).toSeq
+        val a = matFromEdges(edges, n.toLong)
+        spark.conf.set(key, "0")
+        val dist = labelsOf(FastSV.connectedComponents(a))
+        spark.conf.set(key, graft.algo.LocalCC.DefaultNnz.toString)
+        val localF = labelsOf(FastSV.connectedComponents(a))
+        val localP = labelsOf(graft.algo.PregelCC.connectedComponents(a))
+        assert(localF == dist, s"trial $trial: FastSV local vs distributed")
+        val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(localP == dist.view.filterKeys(inEdges).toMap,
+          s"trial $trial: Pregel local path labels edge vertices only")
+      }
+    } finally spark.conf.set(key, "0")
+  }
+
+  test("driver-local CC respects the sparse nodes init and isolated vertices") {
+    val key = graft.algo.LocalCC.ConfKey
+    try {
+      spark.conf.set(key, graft.algo.LocalCC.DefaultNnz.toString)
+      // sparse id space: vertices {2, 9, 40, 77}, edge 9-40 only
+      val a = matFromEdges(Seq((9L, 40L)), 100L)
+      import spark.implicits._
+      val nodes = Seq(2L, 9L, 40L, 77L).toDF("i")
+      val l = labelsOf(FastSV.connectedComponents(a, nodes = Some(nodes)))
+      assert(l == Map(2L -> 2L, 9L -> 9L, 40L -> 9L, 77L -> 77L))
+    } finally spark.conf.set(key, "0")
+  }
+
+  test("LocalCC union-find: min labels, self-loops, chains built worst-first") {
+    // chain unions arriving largest-root-first exercise path
+    // compression; a self-loop must still register its endpoint
+    val pairs = Array((8L, 9L), (6L, 7L), (7L, 8L), (5L, 6L), (3L, 3L))
+    val l = graft.algo.LocalCC.labels(pairs)
+    assert((5L to 9L).forall(l(_) == 5L))
+    assert(l(3L) == 3L)
+    assert(l.size == 6)
+  }
+
   test("k-core peel cascades: pendant chain unravels, triangle survives") {
     // triangle {0,1,2} + chain 2-3-4: the 2-core is exactly the
     // triangle, and reaching it needs TWO peel rounds (4 falls first,

@@ -19,6 +19,12 @@ object TestSession {
       // C/numpy-style wrap-around + null semantics (GraphBLAS reference
       // behavior); ANSI mode would throw on narrowing-cast overflow
       .config("spark.sql.ansi.enabled", "false")
+      // every spec graph is tiny: with the driver-local CC fast path
+      // at its default threshold the suite would stop exercising the
+      // DISTRIBUTED FastSV/Pregel loops entirely. Disabled here; the
+      // local path gets its own cross-check tests (FastSVSpec) that
+      // set the conf per-test and restore it.
+      .config("spark.graft.cc.localNnz", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
