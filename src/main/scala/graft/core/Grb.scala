@@ -852,8 +852,10 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
   def mxm(other: GrbMatrix, sr: Semiring, mask: Option[Mask] = None): GrbMatrix = {
     if (ncols != other.nrows) GraphblasException.dimensionMismatch(
       s"mxm ncols $ncols vs nrows ${other.nrows}")
+    // per-side, per-key opt-out: only bucketing ON THE CONTRACTION KEY
+    // (j for the left operand, i for the right) earns the exemption
     val forceShuffle = mask.isEmpty &&
-      !Grb.hasBucketedScan(df) && !Grb.hasBucketedScan(other.df)
+      !Grb.hasBucketedScanOn(df, "j") && !Grb.hasBucketedScanOn(other.df, "i")
     def shuffled(d: org.apache.spark.sql.DataFrame) =
       if (forceShuffle) d.hint("merge") else d
     val a = shuffled(df.select(col("i"), col("j").as("_k"), col("v").as("_av")))
@@ -881,6 +883,18 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     * it could not possibly fit an executor (nnz ≤ size; beyond the
     * guard AQE still converts to broadcast at runtime when actual
     * stats allow).
+    *
+    * Deliberate ASYMMETRY with mxm's forced-shuffle SpGEMM rule (do
+    * not "consistency-fix" the merge hint onto vector products): a
+    * matrix product's row count is Σ_k nnz_A(·,k)·nnz_B(k,·) —
+    * quadratic in the contraction key's multiplicity, invisible to
+    * operand-size heuristics — while a vector product generates AT
+    * MOST ONE row per matching matrix entry (the vector holds ≤ 1
+    * value per k), so the product stream is bounded by nnz(A) and the
+    * broadcast plan's per-task aggregate state is bounded by the
+    * task's own matrix rows. The blow-up the mxm hint guards against
+    * cannot arise here; vxm inherits the same bound by symmetry.
+    * Pinned in PlanAuditSpec ("mxv keeps the broadcast plan").
     */
   def mxv(vec: GrbVector, sr: Semiring, mask: Option[Mask] = None,
       broadcastVec: Boolean = true): GrbVector = {
@@ -1235,21 +1249,59 @@ object Grb {
     */
   val BroadcastGuard: Long = 32L * 1000 * 1000
 
-  /** true when `d`'s plan reads a bucketed table anywhere — the
-    * mxm merge-hint opt-out (a bucketed operand's clustering was paid
-    * at write time; see the mxm scaladoc). Conservative on purpose:
-    * a derived frame whose bucketing a later exchange destroyed just
-    * skips the hint and keeps Catalyst's unassisted choice.
+  /** True when `d`'s output column `key` derives (through the analyzed
+    * plan's alias/cast lineage) from a bucket column of a bucketed
+    * table scan — the mxm merge-hint opt-out (a bucketed operand's
+    * clustering was paid at write time; see the mxm scaladoc).
+    *
+    * The check is per-COLUMN, not per-plan (round-12 advice): a frame
+    * that merely JOINED against some bucketed table, or one bucketed
+    * on the non-contracted dimension, must NOT lose the guard against
+    * the measured 4-7× broadcast-product pathology. Implementation:
+    * seed with the exprIds of `d`'s output attributes named `key`,
+    * chase Alias chains downward to the scan attributes, then require
+    * some bucketed HadoopFsRelation whose bucketSpec covers one of the
+    * traced attributes by its SCAN-level name. Residual conservatism
+    * is one-sided and safe: an exchange BELOW `d` that destroyed the
+    * bucketing isn't detected here, so that frame just keeps
+    * Catalyst's unassisted join choice (the pre-round-12 behavior)
+    * instead of the forced merge — never the reverse.
     */
-  private[core] def hasBucketedScan(d: org.apache.spark.sql.DataFrame): Boolean =
-    d.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if lr.relation.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
-            lr.relation.asInstanceOf[
-              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
-              .bucketSpec.isDefined => true
+  private[core] def hasBucketedScanOn(
+      d: org.apache.spark.sql.DataFrame, key: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = d.queryExecution.analyzed
+    var ids: Set[ExprId] = plan.output.filter(_.name == key).map(_.exprId).toSet
+    if (ids.isEmpty) return false
+    // transitive closure over alias chains: Alias(expr as key') whose
+    // exprId is traced pulls in every AttributeReference inside expr
+    // (covers select/withColumnRenamed/cast — the COO frame idioms)
+    val aliases = plan.collect { case p => p }
+      .flatMap(_.expressions).flatMap(_.collect { case a: Alias => a })
+    var changed = true
+    while (changed) {
+      changed = false
+      aliases.foreach { a =>
+        if (ids.contains(a.exprId)) {
+          a.child.foreach {
+            case ar: AttributeReference if !ids.contains(ar.exprId) =>
+              ids += ar.exprId; changed = true
+            case _ =>
+          }
+        }
+      }
+    }
+    plan.collectFirst {
+      case lr: LogicalRelation if (lr.relation match {
+            case fs: HadoopFsRelation => fs.bucketSpec.exists { spec =>
+              val bcols = spec.bucketColumnNames.toSet
+              lr.output.exists(o => ids.contains(o.exprId) && bcols.contains(o.name))
+            }
+            case _ => false
+          }) => true
     }.isDefined
+  }
 
   /** Session conf key selecting UINT64 semantics — `wrap` (default),
     * `checked`, or `wide`. UINT64 is stored in a signed long (Spark

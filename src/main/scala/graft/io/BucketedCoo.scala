@@ -40,30 +40,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedCoo {
 
-  /** Default external-table root for LOCAL runs: the same
-    * tmpfs-if-it-fits placement policy as every other local scratch
-    * (graft.LocalDirs — tmpfs persists across sessions, so "paid once
-    * at write" still holds), falling back to the JVM tmpdir when
-    * tmpfs is absent or a declared footprint doesn't fit. NOT the
-    * Spark shuffle dir, which is pid-scoped and swept on exit.
-    * Deployments that want durable bucketed tables pass `root`
-    * explicitly (object store / HDFS path) — the default is a
-    * local-mode convenience, and leaving it on the block device made
-    * the write-side of the round trip bimodal under host disk
-    * pressure (q_mxm_bucketed 5.5 ↔ 16 s, same code, healthy memory
-    * probes both ends).
+  /** Default external-table root for LOCAL runs: tmpfs-backed VOLATILE
+    * scratch — tables placed here survive across sessions but NOT a
+    * reboot, and tmpfs bytes are RAM. The default exists because this
+    * container's block device made the write side of the round trip
+    * bimodal under host disk pressure (q_mxm_bucketed 5.5 ↔ 16 s, same
+    * code, healthy memory probes both ends); any deployment that wants
+    * DURABLE bucketed tables passes `root` explicitly (object store /
+    * HDFS path) — that is the real 100 TB story, and the tmpfs default
+    * is strictly a local-mode bench convenience.
+    *
+    * RAM-safety gate, evaluated AT EVERY WRITE (`root`'s default
+    * argument re-runs this def per saveLoad call — round-12 advice:
+    * the old gate keyed off SPARK_GRAFT_SHUFFLE_GB, a shuffle-footprint
+    * declaration that says nothing about table bytes): tmpfs is used
+    * only when its usable space covers the DECLARED table footprint
+    * (`SPARK_GRAFT_TABLE_GB`, a dedicated table-size declaration)
+    * AND a hard floor of [[MinTmpfsHeadroomGb]] GiB — so even with no
+    * declaration, a mostly-full tmpfs routes new tables to the
+    * disk-backed JVM tmpdir (visibly, on stderr) instead of eating the
+    * host's remaining RAM.
     */
   def defaultRoot: String = {
     val user = Option(System.getProperty("user.name")).getOrElse("anon")
     val shm = new java.io.File("/dev/shm")
-    val declaredGb = sys.env.get("SPARK_GRAFT_SHUFFLE_GB").flatMap(_.toLongOption)
+    val declaredGb = sys.env.get("SPARK_GRAFT_TABLE_GB").flatMap(_.toLongOption)
+    val neededGb = math.max(declaredGb.getOrElse(0L), MinTmpfsHeadroomGb)
+    val fits = shm.isDirectory && shm.canWrite &&
+      graft.LocalDirs.fitsTmpfs(shm.getUsableSpace, Some(neededGb))
+    if (!fits && shm.isDirectory && shm.canWrite)
+      System.err.println(
+        s"graft: bucketed-table write needs ${neededGb} GiB tmpfs headroom " +
+          s"(declared ${declaredGb.getOrElse(0L)} GiB + floor), usable " +
+          s"${shm.getUsableSpace >> 30} GiB - table goes to the JVM tmpdir instead")
     val base =
-      if (shm.isDirectory && shm.canWrite &&
-          graft.LocalDirs.fitsTmpfs(shm.getUsableSpace, declaredGb))
-        shm.getPath
-      else System.getProperty("java.io.tmpdir")
+      if (fits) shm.getPath else System.getProperty("java.io.tmpdir")
     s"$base/graft-bucketed-$user"
   }
+
+  /** tmpfs headroom floor for undeclared table writes: 8 GiB keeps a
+    * bench-scale table (the catalog's largest is ~100 MB) far from the
+    * RAM cliff while letting the fast path engage on any healthy host
+    */
+  val MinTmpfsHeadroomGb = 8L
 
   /** Write `df` as a parquet table bucketed+sorted by `key` into
     * `buckets` buckets at `root/name`, replacing any previous table,

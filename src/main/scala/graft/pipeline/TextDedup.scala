@@ -25,10 +25,17 @@ object TextDedup {
 
   /** distinct word k-shingles of a document. Docs shorter than k
     * tokens have no shingles (guarded: Spark's sequence(0, negative)
-    * counts DOWN, which would index past the array).
+    * counts DOWN, which would index past the array). k = 1 is the
+    * distinct-token set (gramArray's zip_with formulation needs k ≥ 2,
+    * so the unigram case is served directly — round-12 advice: the
+    * k ≥ 2 require had narrowed this public signature); the empty
+    * token a null/empty doc tokenizes to is excluded, matching the
+    * k ≥ 2 contract of null-in → [].
     */
   def shingles(text: Column, k: Int = 3): Column =
-    array_distinct(gramArray(text, k))
+    if (k == 1)
+      array_distinct(filter(tokens(coalesce(text, lit(""))), t => t =!= lit("")))
+    else array_distinct(gramArray(text, k))
 
   /** Narrow k-gram array of the whitespace-tokenized text, in token
     * order (one entry per position 0..n−k; empty for docs shorter

@@ -29,6 +29,18 @@ class PipelineSpec extends SparkSpec {
     assert(bySz(0L) == 2 && bySz(1L) == 0)
   }
 
+  test("shingles k=1 is the distinct token set; null/empty text gives []") {
+    // round-12 advice: the gramArray k>=2 require must not narrow the
+    // public shingles signature — unigram shingles are tokens
+    val df = spark.createDataFrame(Seq(
+        (0L, "b a b c a"), (1L, null: String), (2L, "")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextDedup.shingles(col("text"), 1).as("sh"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(0L) == Set("a", "b", "c"))
+    assert(got(1L) == Set.empty && got(2L) == Set.empty)
+  }
+
   test("exact dedup groups identical texts") {
     val r = TextDedup.exact(docs).collect()
     assert(r.length == 5) // 6 docs, one exact-dup pair

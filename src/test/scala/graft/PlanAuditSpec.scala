@@ -439,6 +439,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p.take(400))
   }
 
+  test("mxv keeps the broadcast plan — the SpGEMM hint must not spread to vector products") {
+    // a vector product's stream is bounded by nnz(A) (≤ 1 vector value
+    // per contraction key), so the quadratic-product pathology the mxm
+    // hint guards against cannot arise — see the mxv scaladoc. A
+    // refactor that "consistency-fixes" the merge hint onto mxv would
+    // re-shuffle the MATRIX side on every loop round for nothing.
+    val (a, _) = tinyPair
+    val v = GrbVector.fromValues(spark,
+      (0L until 5L).map(i => (i, 1L: Any)), GrbType.INT64, 5L)
+    val p = plan(a.mxv(v, Ops.plusTimes).df)
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"), p.take(400))
+  }
+
   test("masked mxm keeps Catalyst's join choice (mask bounds agg state)") {
     val (a, b) = tinyPair
     val mask = Mask.structural(
@@ -452,8 +466,40 @@ class PlanAuditSpec extends SparkSpec {
     val bb = GrbMatrix.fromDF(graft.io.BucketedCoo.saveLoad(
       spark, b.df, "graft_planaudit_b", "i", 2), 5L, 7L)
     val p = plan(a.mxm(bb, Ops.plusTimes).df)
-    // write-time clustering respected: Catalyst's unassisted choice
-    // (broadcast for this tiny pair), not the forced merge join
+    // write-time clustering respected: Catalyst's unassisted choice,
+    // asserted POSITIVELY (round-12 advice) — for this tiny pair that
+    // choice is a broadcast of the small side, so a regression that
+    // merely changed plan rendering can't silently pass
     assert(!p.contains("SortMergeJoin"), p.take(400))
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("bucketing on the NON-contracted dimension does not lift the guard") {
+    // right operand contracts on i; a table bucketed by j made no
+    // placement decision about the contraction — the forced shuffle
+    // must survive (round-12 advice: the old any-bucketed-scan check
+    // lost the guard here)
+    val (a, b) = tinyPair
+    val bb = GrbMatrix.fromDF(graft.io.BucketedCoo.saveLoad(
+      spark, b.df, "graft_planaudit_bwrong", "j", 2), 5L, 7L)
+    val p = plan(a.mxm(bb, Ops.plusTimes).df)
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("BroadcastHashJoin"), p.take(400))
+  }
+
+  test("joining AGAINST a bucketed table does not lift the guard") {
+    // a derived operand that merely consulted some bucketed relation
+    // (here: semi-joined against one on an unrelated key) is not
+    // itself clustered on the contraction key — forced shuffle holds
+    val (a, b) = tinyPair
+    val lookup = graft.io.BucketedCoo.saveLoad(
+      spark, b.df.select(col("i")).distinct(), "graft_planaudit_lkp", "i", 2)
+    val derived = new GrbMatrix(
+      b.df.join(lookup, Seq("i"), "left_semi"), 5L, 7L)
+    val p = plan(a.mxm(derived, Ops.plusTimes).df)
+    // the semi-join key IS i here, but the surviving operand columns
+    // come from b's plain (unbucketed) scan — lineage tracing must not
+    // credit the lookup side's bucketing to the operand
+    assert(p.contains("SortMergeJoin"), p.take(400))
   }
 }
