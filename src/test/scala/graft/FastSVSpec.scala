@@ -311,6 +311,25 @@ class FastSVSpec extends SparkSpec {
     assert(pregel == fastsv.view.filterKeys(k => k != 5L).toMap)
   }
 
+  test("cc.engine=dataframe routes the Pregel bridge through FastSV — identical labels on one-direction edges") {
+    // ONE-direction edge list (no symmetrization at the call site):
+    // the bridge's contract accepts either direction (Pregel's sendMsg
+    // looks both ways), so the DataFrame route must symmetrize
+    // internally before handing FastSV the adjacency. The shared test
+    // session pins localNnz=0, so this exercises the DISTRIBUTED
+    // FastSV loop, not the driver-local path.
+    val oneWay = Seq((1L, 0L), (2L, 1L), (4L, 3L))
+    val triples: Seq[(Long, Long, Any)] = oneWay.map { case (a, b) => (a, b, 1L: Any) }
+    val a = GrbMatrix.fromValues(spark, triples, GrbType.INT64, 6L, 6L)
+    val viaPregel = labelsOf(graft.algo.PregelCC.connectedComponents(a))
+    try {
+      spark.conf.set(graft.algo.PregelCC.EngineConf, "dataframe")
+      val viaDataFrame = labelsOf(graft.algo.PregelCC.connectedComponents(a))
+      assert(viaDataFrame == viaPregel)
+      assert(viaDataFrame == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
+    } finally spark.conf.unset(graft.algo.PregelCC.EngineConf)
+  }
+
   test("driver-local CC fast path matches the distributed loops on random graphs") {
     // the shared test session pins spark.graft.cc.localNnz=0 so every
     // other spec exercises the distributed machinery; here the local
