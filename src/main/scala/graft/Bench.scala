@@ -173,7 +173,22 @@ object Bench {
             "q_ewise_add", "p_dedup_minhash")(name)) 3
           else if (Headline(name)) 2 else 1
         }
-      val runs = (1 to reps).map(_ => once(name, fn))
+      val runs0 = (1 to reps).map(_ => once(name, fn))
+      // Adaptive second rep for the single-rep tier: the per-rep window
+      // columns (round-13) showed EVERY query's first rep carries a
+      // 1.5-3× settle tax (fresh-context codegen JIT — the generated
+      // classes compile cached but run interpreted/C1 until warm;
+      // multi-rep rows show gaps of 2-11 s between rep 1 and the min).
+      // Min-of-reps corrects the headline tiers but a single-rep row
+      // records the tax as if it were the query's cost. Any single-rep
+      // query whose first rep lands ≥ 1 s gets one more; sub-second
+      // rows have nothing to recover worth a context spin-up.
+      // SPARK_GRAFT_REPS stays an absolute override for controlled A/Bs.
+      val runs =
+        if (reps > 1 || sys.env.contains("SPARK_GRAFT_REPS")) runs0
+        else if (runs0.head.err.isEmpty && runs0.head.sec >= 1.0)
+          runs0 :+ once(name, fn)
+        else runs0
       val ok = runs.filter(_.err.isEmpty)
       // a rep that errored while another succeeded is NOT silently
       // masked by min-of-reps: it's recorded in the `flaky` field
@@ -227,7 +242,7 @@ object Bench {
     // not compared apples-to-oranges against single-rep rounds 1-4
     val windowAgg = s""""gc_total":${fmt(gcTotal)},"psi_io_total":${fmt(psiIoTotal)},"bw_min_mbs":${fmt(bwMin)},"bw_med_mbs":${fmt(bwMed)}"""
     val mk = (qs: String, extra: String) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,$windowAgg,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest) since r5; spread/gc/psi_*/bw = per-rep arrays for every query since r13 (gc=JVM pause s, psi=PSI some-stall s over the timed region, bw=MB/s fixed-work copy probe before the rep); r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,$windowAgg,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest; a single-rep query at >=1s gets an adaptive 2nd rep since r13) since r5; spread/gc/psi_*/bw = per-rep arrays for every query since r13 (gc=JVM pause s, psi=PSI some-stall s over the timed region, bw=MB/s fixed-work copy probe before the rep); r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
     // BENCH_SELF.json is the FULL-CATALOG record; a filtered probe run
     // (SPARK_GRAFT_ONLY) must never clobber it — probes land in
     // BENCH_probe.json instead (round-10 advice: a 1-query ABBA once
