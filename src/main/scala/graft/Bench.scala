@@ -107,9 +107,31 @@ object Bench {
     4.0 * sz / dt / 1e6
   }
 
-  /** one rep's record: wall seconds, error, and the window evidence */
+  /** JVM process CPU seconds (all threads); -1 → bean unavailable */
+  private def cpuSec: Double = {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val ns = os.getProcessCpuTime
+        if (ns >= 0) ns / 1e9 else -1.0
+      case _ => -1.0
+    }
+  }
+
+  /** one rep's record: wall seconds, error, and the window evidence.
+    * cpuSec = process CPU seconds over the timed region — the
+    * discriminator the first degraded instrumented draw (round-13)
+    * showed was missing: a 5×-inflated rep with gc 0%, PSI 0%, and a
+    * HEALTHY pre-rep probe means the wave arrived mid-rep and is
+    * invisible to in-guest stall meters. cpu/wall ≈ parallelism →
+    * the guest computed the whole time but each cycle's memory was
+    * slow (host bandwidth steal); cpu ≪ wall × healthy-parallelism →
+    * threads waited (scheduler/IO). bwPost re-runs the copy probe
+    * AFTER the timed region, bracketing each rep: pre healthy + post
+    * collapsed = the wave landed during the rep.
+    */
   private case class Rep(sec: Double, err: Option[String], gcSec: Double,
-      psiSec: Map[String, Double], bwMBs: Double)
+      psiSec: Map[String, Double], bwMBs: Double, cpuS: Double,
+      bwPostMBs: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,6 +158,7 @@ object Bench {
       System.gc() // reclaim the probe's buffers before the timed region
       val gc0 = gcMillis
       val psi0 = psiTotals
+      val cpu0 = cpuSec
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
@@ -143,12 +166,17 @@ object Bench {
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - gc0) / 1e3
+      val cpu1 = cpuSec
+      val cpuS = if (cpu0 >= 0 && cpu1 >= 0) cpu1 - cpu0 else -1.0
       val psi1 = psiTotals
       val psiSec = psi0.map { case (k, v0) =>
         k -> (psi1.getOrElse(k, v0) - v0) / 1e6 }
+      // post-rep bracket: run the probe again BEFORE stopping the
+      // context so it samples the same window the rep just ran in
+      val bwPost = bwProbe()
       spark.stop()
       System.gc() // settle heap before the next query's context starts
-      Rep(sec, err, gcSec, psiSec, bw)
+      Rep(sec, err, gcSec, psiSec, bw, cpuS, bwPost)
     }
     // deterministic alphabetical order: run-to-run comparability
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -225,6 +253,8 @@ object Bench {
     val psiIo = repMap(_.psiSec.getOrElse("io", 0.0))
     val psiMem = repMap(_.psiSec.getOrElse("memory", 0.0))
     val bwMap = repMap(_.bwMBs / 1.0)
+    val cpuMap = repMap(_.cpuS)
+    val bwPostMap = repMap(_.bwPostMBs / 1.0)
     // draw-level window aggregates for the stdout line
     val allReps = results.flatMap(_._5)
     val gcTotal = allReps.map(_.gcSec).sum
@@ -242,7 +272,7 @@ object Bench {
     // not compared apples-to-oranges against single-rep rounds 1-4
     val windowAgg = s""""gc_total":${fmt(gcTotal)},"psi_io_total":${fmt(psiIoTotal)},"bw_min_mbs":${fmt(bwMin)},"bw_med_mbs":${fmt(bwMed)}"""
     val mk = (qs: String, extra: String) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,$windowAgg,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest; a single-rep query at >=1s gets an adaptive 2nd rep since r13) since r5; spread/gc/psi_*/bw = per-rep arrays for every query since r13 (gc=JVM pause s, psi=PSI some-stall s over the timed region, bw=MB/s fixed-work copy probe before the rep); r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,$windowAgg,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest; a single-rep query at >=1s gets an adaptive 2nd rep since r13) since r5; spread/gc/psi_*/bw/cpu/bw_post = per-rep arrays for every query since r13 (gc=JVM pause s, psi=PSI some-stall s over the timed region, bw/bw_post=MB/s fixed-work copy probe bracketing the rep, cpu=process CPU s over the timed region); r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
     // BENCH_SELF.json is the FULL-CATALOG record; a filtered probe run
     // (SPARK_GRAFT_ONLY) must never clobber it — probes land in
     // BENCH_probe.json instead (round-10 advice: a 1-query ABBA once
@@ -250,7 +280,7 @@ object Bench {
     val outFile = if (only.isDefined) "BENCH_probe.json" else "BENCH_SELF.json"
     Files.writeString(Paths.get("/root/repo", outFile),
       mk(qmap(results),
-        s""","spread":$spread,"gc":$gcMap,"psi_cpu":$psiCpu,"psi_io":$psiIo,"psi_mem":$psiMem,"bw_mbs":$bwMap""") + "\n")
+        s""","spread":$spread,"gc":$gcMap,"psi_cpu":$psiCpu,"psi_io":$psiIo,"psi_mem":$psiMem,"bw_mbs":$bwMap,"cpu":$cpuMap,"bw_post_mbs":$bwPostMap""") + "\n")
     println(mk(qmap(head), ""))
   }
 

@@ -11,11 +11,18 @@ and a fixed-work copy-bandwidth probe run just before the rep
   sec      the rep's wall time
   gc%      GC pause share of the wall (JVM-wide; local mode = the query)
   stall%   max(psi_cpu, psi_io, psi_mem) share of the wall
-  bw       the pre-rep copy probe, MB/s (healthy ~4000-12000; host
-           waves collapse it to the low hundreds)
+  cpu/s    process CPU seconds per wall second (effective parallelism);
+           -1 column absent (pre-cpu-column file)
+  bw→bw2   the copy probe bracketing the rep, MB/s (healthy ~4000-12000;
+           host waves collapse it)
 
-A window-taxed rep reads: inflated sec + collapsed bw and/or high gc%/
-stall%. A plan defect reads: inflated sec with healthy bw and low gc%.
+The first degraded instrumented draw showed the wave is INVISIBLE to
+in-guest stall meters (a 5x-inflated rep with gc 0%, PSI 0%, healthy
+pre-probe): the cpu column discriminates — cpu/s near the healthy
+rep's parallelism means the guest computed the whole time but each
+cycle's memory was slow (host bandwidth steal); cpu/s far below means
+threads waited. A plan defect reads: inflated sec with healthy
+brackets, low gc%, and the same cpu/s as the healthy rep.
 
 Usage: window_report.py [BENCH_SELF.json] [--top N] [--all]
 """
@@ -41,6 +48,8 @@ def main() -> None:
     gc = d.get("gc", {})
     psi = {r: d.get(f"psi_{r}", {}) for r in ("cpu", "io", "mem")}
     bw = d.get("bw_mbs", {})
+    cpu = d.get("cpu", {})
+    bw2 = d.get("bw_post_mbs", {})
     if not spread:
         sys.exit(f"{path}: no per-rep spread — pre-r13 file?")
 
@@ -50,29 +59,33 @@ def main() -> None:
             g = gc.get(q, [0] * len(secs))[i]
             stalls = [psi[r].get(q, [0] * len(secs))[i] for r in psi]
             b = bw.get(q, [0] * len(secs))[i]
-            rows.append((q, i, sec, g, max(stalls), b))
+            c = cpu.get(q, [-1] * len(secs))[i]
+            b2 = bw2.get(q, [0] * len(secs))[i]
+            rows.append((q, i, sec, g, max(stalls), b, c, b2))
 
     # rank queries by worst rep wall-time; print per-rep evidence
     by_q = {}
-    for q, i, sec, g, st, b in rows:
-        by_q.setdefault(q, []).append((i, sec, g, st, b))
+    for q, i, sec, g, st, b, c, b2 in rows:
+        by_q.setdefault(q, []).append((i, sec, g, st, b, c, b2))
     order = sorted(by_q, key=lambda q: -max(r[1] for r in by_q[q]))
     if not show_all:
         order = order[:top]
-    print(f"{'query':28} {'rep':>3} {'sec':>8} {'gc%':>6} {'stall%':>7} {'bw_mbs':>8}")
+    print(f"{'query':28} {'rep':>3} {'sec':>8} {'gc%':>6} {'stall%':>7} "
+          f"{'cpu/s':>6} {'bw':>7} {'bw2':>7}")
     for q in order:
-        for i, sec, g, st, b in by_q[q]:
+        for i, sec, g, st, b, c, b2 in by_q[q]:
             gp = 100 * g / sec if sec > 0 else 0
             sp = 100 * st / sec if sec > 0 else 0
-            print(f"{q:28} {i + 1:>3} {sec:>8.2f} {gp:>5.0f}% {sp:>6.0f}% {b:>8.0f}")
+            cs = c / sec if (sec > 0 and c >= 0) else -1
+            print(f"{q:28} {i + 1:>3} {sec:>8.2f} {gp:>5.0f}% {sp:>6.0f}% "
+                  f"{cs:>6.1f} {b:>7.0f} {b2:>7.0f}")
 
     # draw-level summary
-    allr = [(sec, g, st, b) for _, _, sec, g, st, b in rows]
-    tot = sum(r[0] for r in allr)
-    gct = sum(r[1] for r in allr)
-    stt = sum(r[2] for r in allr)
-    bws = sorted(r[3] for r in allr)
-    print(f"\nreps={len(allr)} wall_total={tot:.1f}s gc_total={gct:.1f}s "
+    tot = sum(r[2] for r in rows)
+    gct = sum(r[3] for r in rows)
+    stt = sum(r[4] for r in rows)
+    bws = sorted(r[5] for r in rows)
+    print(f"\nreps={len(rows)} wall_total={tot:.1f}s gc_total={gct:.1f}s "
           f"({100 * gct / tot:.0f}%) stall_total={stt:.1f}s "
           f"bw min/med/max={bws[0]:.0f}/{bws[len(bws) // 2]:.0f}/{bws[-1]:.0f} MB/s")
 
