@@ -99,10 +99,18 @@ object FastSV {
     var gp = new GrbVector(ident, n)
     var change = true
     var iter = 0
+    // loop observability: spark.graft.cc.logRounds=true prints each
+    // round's wall to stderr — at cluster scale the per-round cadence
+    // is the first thing an operator needs when a CC job runs long,
+    // and it is invisible from the outside (one SQL execution per
+    // round, no stage names). Off by default; costs one conf read.
+    val logRounds = scala.util.Try(
+      spark.conf.get("spark.graft.cc.logRounds").toBoolean).getOrElse(false)
     // previous round's checkpoint blocks (freed once superseded)
     var prevF: Option[org.apache.spark.rdd.RDD[_]] = None
     var prevCmp: Option[org.apache.spark.rdd.RDD[_]] = None
     while (change && iter < maxIter) {
+      val roundT0 = if (logRounds) System.nanoTime() else 0L
       // mngp = min_second(A @ gp): per-vertex min of neighbours' parents
       val mngp = A.mxv(gp, Ops.minSecond, broadcastVec = false)
       // f(min)[I=f-as-values] << mngp — fused hooking: scatter mngp
@@ -152,6 +160,8 @@ object FastSV {
       prevF = checkpointRdd(f.df)
       prevCmp = checkpointRdd(cmp)
       iter += 1
+      if (logRounds) System.err.println(
+        f"graft FastSV round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2f s, changed=$change")
     }
     A.df.unpersist(false)
     // the terminal compare frame is internal — only f is returned
