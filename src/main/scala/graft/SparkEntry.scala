@@ -14,4 +14,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracle
+  /** Untimed per-query preparation (persisted state a deployment pays
+    * at ingest time — e.g. bucketed tables); the bench runs these
+    * outside the rep timer. Queries stay self-contained without them.
+    */
+  def prepares: Map[String, (SparkSession, String) => Unit] = Queries.prepares
 }

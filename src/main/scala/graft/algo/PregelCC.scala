@@ -75,6 +75,12 @@ object PregelCC {
     * plan that cannot be multiplied.
     */
   def connectedComponents(a: GrbMatrix): GrbVector = {
+    // squareness guarded uniformly across BOTH engines (r13 advice:
+    // the dataframe route used to throw inside FastSV on inputs the
+    // pregel route silently accepted) — an adjacency is square by
+    // definition; a non-square frame here is a caller bug
+    require(a.nrows == a.ncols,
+      s"adjacency must be square (got ${a.nrows}x${a.ncols})")
     // GraphX persists RDDs we can't all reach by name (the
     // pre-mapVertices construction graph, Pregel's final message
     // VertexRDD), so a long-lived session (SelfBaseline, notebooks)
@@ -109,8 +115,14 @@ object PregelCC {
       .orElse(sys.env.get("SPARK_GRAFT_CC_ENGINE")).getOrElse("pregel")
     if (engine == "dataframe") {
       raw.unpersist(false) // FastSV caches the COO frame itself
+      // dedup after the symmetrizing union (r13 advice): an already-
+      // symmetric adjacency — the common q_cc_events input — would
+      // otherwise carry every edge twice, doubling the cached COO and
+      // each round's mxv shuffle volume. min_second ignores v, so the
+      // structural (i, j) key is the right dedup key.
       val sym = a.df.select(col("i"), col("j"), col("v"))
         .unionByName(a.df.select(col("j").as("i"), col("i").as("j"), col("v")))
+        .dropDuplicates("i", "j")
       val verts = a.df.select(col("i"))
         .unionByName(a.df.select(col("j").as("i"))).distinct()
       return FastSV.connectedComponents(

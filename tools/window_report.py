@@ -80,14 +80,22 @@ def main() -> None:
             print(f"{q:28} {i + 1:>3} {sec:>8.2f} {gp:>5.0f}% {sp:>6.0f}% "
                   f"{cs:>6.1f} {b:>7.0f} {b2:>7.0f}")
 
-    # draw-level summary
+    # draw-level summary: both probe brackets (pre `bw`, post `bw2`)
+    # fold into the bandwidth line — the post-rep probes sample the
+    # windows the reps actually RAN in; guard tot=0 (all-sub-ms or
+    # zeroed probe files must not ZeroDivisionError)
     tot = sum(r[2] for r in rows)
     gct = sum(r[3] for r in rows)
     stt = sum(r[4] for r in rows)
-    bws = sorted(r[5] for r in rows)
+    bws = sorted([r[5] for r in rows] + [r[7] for r in rows if r[7] > 0])
+    gcp = 100 * gct / tot if tot > 0 else 0
+    bw_med = bws[len(bws) // 2]
+    wclass = ("healthy" if bw_med >= 8000 else
+              "mid" if bw_med >= 4000 else "low")
     print(f"\nreps={len(rows)} wall_total={tot:.1f}s gc_total={gct:.1f}s "
-          f"({100 * gct / tot:.0f}%) stall_total={stt:.1f}s "
-          f"bw min/med/max={bws[0]:.0f}/{bws[len(bws) // 2]:.0f}/{bws[-1]:.0f} MB/s")
+          f"({gcp:.0f}%) stall_total={stt:.1f}s "
+          f"bw(pre+post) min/med/max={bws[0]:.0f}/{bw_med:.0f}/{bws[-1]:.0f} MB/s "
+          f"window_class={d.get('window_class', wclass)}")
 
 
 if __name__ == "__main__":
