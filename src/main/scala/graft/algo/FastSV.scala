@@ -87,6 +87,13 @@ object FastSV {
           .select(col("i"), coalesce(col("_lab"), col("v")).as("v")), n)
     }
     Iterate.withLoopWidth(spark, nnz) { width =>
+    // whole-stage codegen off for the loop body: the per-round plans
+    // re-generate fused classes every round/rep (measured 30 s of JIT
+    // per fresh-context rep — see withLoopCodegenOff scaladoc);
+    // volcano iterators with small cached projections run the same
+    // few-MB exchanges at a fraction of the settle tax. Fresh-context
+    // 31.9 -> 16.0 s on the q_cc_events graph, identical results.
+    Iterate.withLoopCodegenOff(spark) {
     val A = new GrbMatrix(raw.repartition(width, col("j")).cache(), n, n)
     A.df.count()
     if (!callerCached) raw.unpersist(false)
@@ -123,8 +130,13 @@ object FastSV {
           .select(col("i"), col("v"))
       // hook + both min-merges fused: chained ewise_add(min) over
       // {f, scattered, mngp, gp} ≡ one per-key min over their union —
-      // a single shuffle instead of three full-outer joins
-      val f1 = f.df.unionByName(scattered).unionByName(mngp.df).unionByName(gp.df)
+      // a single shuffle instead of three full-outer joins. f itself
+      // is REDUNDANT in that union (round-14): every vertex's parent
+      // satisfies f(v) ≤ v, so gp(i) = f(f(i)) ≤ f(i) pointwise, and
+      // the gather preserves f's key set exactly — min(gp, …) already
+      // covers min(f, gp, …) on every key. Dropping f cuts the
+      // shuffled union from 4n to 3n rows with identical results.
+      val f1 = scattered.unionByName(mngp.df).unionByName(gp.df)
         .groupBy("i").agg(min(col("v")).as("v"))
       // lineage truncation every round: with cache-only chaining the
       // logical plan (and per-round analysis cost) grows with the
@@ -167,6 +179,7 @@ object FastSV {
     // the terminal compare frame is internal — only f is returned
     prevCmp.foreach(_.unpersist(false))
     f
+    } // withLoopCodegenOff
     } // withLoopWidth
   }
 }

@@ -173,6 +173,48 @@ object Iterate {
     try body(width) finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with whole-stage codegen OFF, restoring the session's
+    * setting afterwards — the JIT-surface lever for checkpointed loops
+    * (round-14, PERF_NOTES §17).
+    *
+    * A checkpointed loop re-plans every round, and under AQE each
+    * round's stages carry freshly generated whole-stage classes (the
+    * runtime-reoptimized plans differ enough that the source-keyed
+    * codegen cache misses): the per-rep JIT meter showed the FastSV
+    * loop COMPILING 30 s of code per fresh-context rep — more wall
+    * than the data work itself — and the not-yet-compiled generated
+    * classes burn interpreted CPU until C2 lands (the §16f settle,
+    * re-paid every rep). Whole-stage codegen exists to fuse operator
+    * loops over millions of rows per task; a loop round here pushes a
+    * few MB per exchange, so the fused-loop win is microseconds while
+    * the compile+interpret tax is seconds. With wholeStage off the
+    * stages run through volcano iterators built from SMALL per-
+    * operator projections (stable sources → codegen-cache hits across
+    * rounds and reps): measured on the q_cc_events FastSV loop
+    * (1.2M nnz), fresh-context 31.9 → 16.0 s, warm 19.3 → 10.5 s,
+    * per-rep JIT 30 → 12 s, identical results.
+    *
+    * Two alternatives measured and REJECTED on the same A/B
+    * (PERF_NOTES §17): AQE off entirely (static plans would dedup the
+    * codegen) lost 1.6× — the loop's joins fell back to sort-merge
+    * where AQE had been choosing cheaper local strategies, executor
+    * CPU rose 2× (178 s); and shuffle_hash join hints on the
+    * co-partitioned joins lost ~15% — AQE's independent per-exchange
+    * coalescing breaks the partition-count match the hint needs, so
+    * the hinted join re-exchanges both sides.
+    *
+    * NOT for one-shot queries: a scan-heavy aggregation over many
+    * rows per task is exactly what whole-stage codegen is for. The
+    * tradeoff only inverts when a small plan runs many times.
+    */
+  def withLoopCodegenOff[T](spark: org.apache.spark.sql.SparkSession)(
+      body: => T): T = {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** the [[withLoopWidth]] sizing rule alone — for loops that size an
     * RDD partitioning instead of the SQL shuffle width (PregelCC's
     * GraphX rounds follow the edge RDD's partition count)

@@ -32,41 +32,38 @@ case class QuantizedDot(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) null
-    else {
-      var acc = 0L
-      var i = 0
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc += x.getLong(i) * y.getLong(i)
-        i += 1
-      }
-      acc
-    }
+    val buf = new Array[Long](1)
+    if (GraftDot.macc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], buf))
+      buf(0)
+    else null
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  /** Generated code CALLS the precompiled [[GraftDot.macc]] helper
+    * instead of inlining the multiply-accumulate loop (round-14
+    * profiling, PERF_NOTES §17): the p_ann_lsh verify stage evaluates
+    * ~10M dots and its whole-stage class runs INTERPRETED until C2
+    * lands — with the loop inlined in generated Java that tax was
+    * measured at 59.5 executor-CPU-s for work that costs 1.6 s warm
+    * (a 37× JIT-state lottery the bench's fresh-context reps re-draw
+    * every rep, and the one mechanism invisible to the gc/psi/bw
+    * window meters). A static call keeps the O(dims) inner loop at
+    * compiled-library speed always — only the thin per-row glue ever
+    * interprets — and shrinks the generated method toward the JIT's
+    * inlining/HugeMethodLimit comfort zone. The per-operator long[1]
+    * scratch slot avoids boxing the nullable result.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val buf = ctx.addMutableState("long[]", "graftDotBuf", v => s"$v = new long[1];")
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
       s"""
-         |final int $n = $x.numElements();
-         |if ($n != $y.numElements()) {
-         |  ${ev.isNull} = true;
+         |if (org.apache.spark.sql.graft.GraftDot.macc($x, $y, $buf)) {
+         |  ${ev.value} = $buf[0];
          |} else {
-         |  long $acc = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $x.getLong($i) * $y.getLong($i);
-         |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |  ${ev.isNull} = true;
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizedDot =
@@ -78,4 +75,28 @@ object QuantizedDot {
   def apply(a: Column, b: Column): Column =
     ExpressionUtils.column(
       QuantizedDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** Precompiled hot loops shared by QuantizedDot's generated code and
+  * its interpreted eval. A top-level object so scalac emits a static
+  * forwarder — generated Java calls `GraftDot.macc(...)` directly.
+  */
+object GraftDot {
+  /** multiply-accumulate: out(0) = Σ x(i)·y(i); returns false (null
+    * result) on length mismatch or any null element — the HOF
+    * `aggregate(zip_with(...))` null contract QuantizedDot replaces.
+    */
+  def macc(x: ArrayData, y: ArrayData, out: Array[Long]): Boolean = {
+    val n = x.numElements()
+    if (n != y.numElements()) return false
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return false
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    out(0) = acc
+    true
+  }
 }

@@ -987,3 +987,58 @@ class FastSVSpec extends SparkSpec {
     assert(got == Set((0L, 0L, 0L), (0L, 1L, 1L)))
   }
 }
+
+/** Round-14 plan-surface pin for the distributed FastSV loop.
+  *
+  * The §16g/§17 studies measured the DataFrame loop at ~13 AQE
+  * stage-jobs per round (one per exchange/broadcast materialization +
+  * the checkpoint + the convergence scan) — the fixed cost that
+  * dominates the loop at bench scale and the number the round-14
+  * wholeStage-off work holds steady while cutting the JIT tax. This
+  * spec pins the count so a refactor that quietly adds per-round
+  * actions (an extra eager checkpoint, a stats count, a second
+  * convergence probe) fails loudly instead of shipping a 20% loop
+  * regression nobody measured.
+  */
+class FastSVJobCountSpec extends SparkSpec {
+  test("distributed FastSV runs <= 15 jobs per round (plan-surface pin)") {
+    import graft.core._
+    val n = 32
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val triples: Seq[(Long, Long, Any)] = sym.map { case (a, b) => (a, b, 1L: Any) }
+    val a = GrbMatrix.fromValues(spark, triples, GrbType.INT64, n.toLong, n.toLong)
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    val errCapture = new java.io.ByteArrayOutputStream()
+    spark.conf.set("spark.graft.cc.logRounds", "true")
+    spark.sparkContext.addSparkListener(l)
+    val oldErr = System.err
+    val labels = try {
+      System.setErr(new java.io.PrintStream(errCapture))
+      val v = graft.algo.FastSV.connectedComponents(a)
+      v.df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    } finally {
+      System.setErr(oldErr)
+      spark.sparkContext.removeSparkListener(l)
+      spark.conf.unset("spark.graft.cc.logRounds")
+    }
+    // listener events are async; the counter only needs job STARTS,
+    // which all fired before the final collect returned
+    val rounds = "round (\\d+)".r
+      .findAllMatchIn(errCapture.toString).map(_.group(1).toInt)
+      .maxOption.getOrElse(0)
+    assert(labels == (0 until n).map(i => i.toLong -> 0L).toMap,
+      "path graph must collapse to a single component labeled 0")
+    assert(rounds >= 3, s"path-32 must take several rounds (got $rounds)")
+    // measured 86 jobs / 6 rounds = 14.3 (includes ~4 one-time setup
+    // jobs: sizing count, adjacency cache count, result collect);
+    // 15/round is the regression ceiling, not a target
+    assert(jobs.toDouble / rounds <= 15.0,
+      s"FastSV plan surface grew: $jobs jobs over $rounds rounds " +
+        s"(${jobs.toDouble / rounds}%.1f per round; pinned at <= 15)")
+  }
+}
