@@ -62,19 +62,31 @@ object BucketedCoo {
     * host's remaining RAM.
     */
   def defaultRoot: String = {
-    val user = Option(System.getProperty("user.name")).getOrElse("anon")
     val shm = new java.io.File("/dev/shm")
-    val declaredGb = sys.env.get("SPARK_GRAFT_TABLE_GB").flatMap(_.toLongOption)
+    rootFor(sys.env.get("SPARK_GRAFT_TABLE_GB").flatMap(_.toLongOption),
+      shmWritable = shm.isDirectory && shm.canWrite,
+      shmUsableBytes = if (shm.isDirectory) shm.getUsableSpace else 0L,
+      shmPath = shm.getPath,
+      tmpdir = System.getProperty("java.io.tmpdir"),
+      user = Option(System.getProperty("user.name")).getOrElse("anon"))
+  }
+
+  /** the [[defaultRoot]] placement decision as a pure function of its
+    * inputs — injectable for the fallback spec (round-13 advice: the
+    * reroute printed to stderr but no test exercised it)
+    */
+  private[graft] def rootFor(declaredGb: Option[Long], shmWritable: Boolean,
+      shmUsableBytes: Long, shmPath: String, tmpdir: String,
+      user: String): String = {
     val neededGb = math.max(declaredGb.getOrElse(0L), MinTmpfsHeadroomGb)
-    val fits = shm.isDirectory && shm.canWrite &&
-      graft.LocalDirs.fitsTmpfs(shm.getUsableSpace, Some(neededGb))
-    if (!fits && shm.isDirectory && shm.canWrite)
+    val fits = shmWritable &&
+      graft.LocalDirs.fitsTmpfs(shmUsableBytes, Some(neededGb))
+    if (!fits && shmWritable)
       System.err.println(
         s"graft: bucketed-table write needs ${neededGb} GiB tmpfs headroom " +
           s"(declared ${declaredGb.getOrElse(0L)} GiB + floor), usable " +
-          s"${shm.getUsableSpace >> 30} GiB - table goes to the JVM tmpdir instead")
-    val base =
-      if (fits) shm.getPath else System.getProperty("java.io.tmpdir")
+          s"${shmUsableBytes >> 30} GiB - table goes to the JVM tmpdir instead")
+    val base = if (fits) shmPath else tmpdir
     s"$base/graft-bucketed-$user"
   }
 

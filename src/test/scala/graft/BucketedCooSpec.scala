@@ -137,6 +137,58 @@ class BucketedCooSpec extends SparkSpec {
     }
   }
 
+  test("tmpfs placement falls back to the JVM tmpdir when headroom is short") {
+    // the round-13 advice item: the reroute decision is now a pure
+    // function — exercise both branches and the floor (no declaration
+    // still demands MinTmpfsHeadroomGb)
+    def root(declared: Option[Long], usableGb: Long): String =
+      BucketedCoo.rootFor(declared, shmWritable = true,
+        shmUsableBytes = usableGb << 30, shmPath = "/dev/shm",
+        tmpdir = "/tmp-disk", user = "spec")
+    assert(root(Some(4L), usableGb = 100L).startsWith("/dev/shm/"))
+    assert(root(Some(200L), usableGb = 100L).startsWith("/tmp-disk/"))
+    // floor: even undeclared writes need MinTmpfsHeadroomGb
+    assert(root(None, usableGb = BucketedCoo.MinTmpfsHeadroomGb - 1)
+      .startsWith("/tmp-disk/"))
+    assert(root(None, usableGb = BucketedCoo.MinTmpfsHeadroomGb + 1)
+      .startsWith("/dev/shm/"))
+    // unwritable tmpfs routes to disk regardless of headroom
+    assert(BucketedCoo.rootFor(None, shmWritable = false,
+      shmUsableBytes = 1L << 40, shmPath = "/dev/shm",
+      tmpdir = "/tmp-disk", user = "spec").startsWith("/tmp-disk/"))
+  }
+
+  test("saveLoad with an unchanged input reuses the on-disk table instead of rewriting") {
+    val df = coo(Seq((0L, 1L, 2L), (3L, 4L, 5L), (6L, 1L, 7L)))
+    val name = "graft_spec_reuse"
+    val r1 = BucketedCoo.saveLoad(spark, df, name, "j", 2)
+    val expect = r1.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val dir = new java.io.File(s"${BucketedCoo.defaultRoot}/$name")
+    def parquetMtimes: Map[String, Long] =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val m1 = parquetMtimes
+    assert(m1.nonEmpty, s"no parquet files under $dir")
+    // catalog forgets across sessions; simulate by dropping the table —
+    // the second call must re-REGISTER from the spec marker, not rewrite
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val r2 = BucketedCoo.saveLoad(spark, coo(Seq((0L, 1L, 2L), (3L, 4L, 5L), (6L, 1L, 7L))),
+      name, "j", 2)
+    assert(r2.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet == expect)
+    assert(parquetMtimes == m1,
+      "unchanged input must not rewrite the table files")
+    // a CHANGED derivation misses the marker and rewrites
+    val r3 = BucketedCoo.saveLoad(spark, coo(Seq((9L, 9L, 9L))), name, "j", 2)
+    assert(r3.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set((9L, 9L, 9L)))
+    assert(parquetMtimes != m1, "changed input must rewrite")
+    // a changed BUCKET SPEC (same data) also rewrites
+    val m3 = parquetMtimes
+    BucketedCoo.saveLoad(spark, coo(Seq((9L, 9L, 9L))), name, "j", 3)
+    assert(parquetMtimes != m3, "changed bucket count must rewrite")
+  }
+
   test("saveLoad replaces a previous table of the same name") {
     val first = coo(Seq((0L, 0L, 1L)))
     val second = coo(Seq((5L, 6L, 7L), (8L, 9L, 10L)))
