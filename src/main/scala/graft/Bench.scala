@@ -43,7 +43,19 @@ object Bench {
     * run needs (partition count follows per-task STATE, not core
     * count).
     */
-  private def mkSession(cpus: String): SparkSession = SparkSession.builder()
+  /** controlled-A/B hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" lays
+    * arbitrary session confs over the bench defaults — the same
+    * mechanism SPARK_GRAFT_REPS/SPARK_GRAFT_CC_ENGINE provide for
+    * their specific knobs, generalized so a conf A/B (codegen,
+    * broadcast thresholds, AQE flags) needs no code change. Malformed
+    * entries are skipped; never set in a recorded draw.
+    */
+  private[graft] def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap(_.split(';'))
+      .map(_.split("=", 2)).collect { case Array(k, v) if k.nonEmpty => (k.trim, v.trim) }
+
+  private def mkSession(cpus: String): SparkSession = {
+    val base = SparkSession.builder()
     .master(s"local[$cpus]")
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 4).toString))
@@ -63,7 +75,9 @@ object Bench {
     .config("spark.sql.session.timeZone", "UTC")
     // graft SQL functions resolve in spark.sql(...) everywhere
     .config("spark.sql.extensions", "graft.GraftExtensions")
-    .getOrCreate()
+    // extras LAST so an A/B override beats the defaults above
+    extraConf.foldLeft(base)((b, kv) => b.config(kv._1, kv._2)).getOrCreate()
+  }
 
   /** cumulative JVM GC pause milliseconds across all collector beans */
   private def gcMillis: Long = {

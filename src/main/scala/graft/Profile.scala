@@ -64,7 +64,7 @@ object Profile {
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .map(math.max(1, _)).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus.toInt * 4).toString))
@@ -75,6 +75,8 @@ object Profile {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    // SPARK_GRAFT_EXTRA_CONF overlays (Bench's controlled-A/B hook)
+    val spark = Bench.extraConf.foldLeft(base)((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Bench-identical untimed warm-up + prepare
