@@ -63,6 +63,13 @@ object KCore {
     val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
     val nnz = raw.count()
     Iterate.withLoopWidth(spark, nnz) { width =>
+    // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
+    // §17g): same mechanism as FastSV — many rounds of few-MB
+    // exchanges re-generate fused classes per round/rep and pay the
+    // interpret-until-C2 settle every rep. ABBA at sf0.1 (3-rep
+    // mins, mid window): kcore 8.26->6.42, lpa 8.88->7.15,
+    // mis 8.09->5.28 — each below its healthy-window record.
+    Iterate.withLoopCodegenOff(spark) {
     var A = new GrbMatrix(
       raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
     A.df.count() // materialize before freeing the sizing pass's cache
@@ -192,6 +199,7 @@ object KCore {
         spark.sparkContext.removeSparkListener(meter)
       }
     }
+    } // withLoopCodegenOff
     } // withLoopWidth
   }
 }

@@ -46,6 +46,11 @@ object LabelProp {
     val raw = a.df.select(col("i"), col("j")).cache()
     val nnz = raw.count()
     Iterate.withLoopWidth(spark, nnz) { width =>
+      // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
+      // §17g): same mechanism as FastSV — many rounds of few-MB
+      // exchanges re-generate fused classes per round/rep. ABBA at
+      // sf0.1 (3-rep mins, mid window): lpa 8.88->7.15 s.
+      Iterate.withLoopCodegenOff(spark) {
       val adj = raw.repartition(width, col("j")).cache()
       adj.count() // materialize before freeing the sizing pass's cache
       raw.unpersist(false)
@@ -68,6 +73,7 @@ object LabelProp {
         System.err.println(s"graft.LabelProp rounds=$used/$rounds")
       adj.unpersist(false)
       out
+      } // withLoopCodegenOff
     }
   }
 

@@ -52,6 +52,13 @@ object Mis {
       .cache()
     val nnz = raw.count()
     Iterate.withLoopWidth(spark, nnz) { width =>
+    // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
+    // §17g): same mechanism as FastSV — many rounds of few-MB
+    // exchanges re-generate fused classes per round/rep and pay the
+    // interpret-until-C2 settle every rep. ABBA at sf0.1 (3-rep
+    // mins, mid window): kcore 8.26->6.42, lpa 8.88->7.15,
+    // mis 8.09->5.28 — each below its healthy-window record.
+    Iterate.withLoopCodegenOff(spark) {
     val adj = raw.repartition(width, col("j")).cache()
     adj.count() // materialize before freeing the sizing pass's cache
     raw.unpersist(false)
@@ -102,6 +109,7 @@ object Mis {
     if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
       System.err.println(s"graft.Mis rounds=$iter")
     new GrbVector(mis.select(col("n").as("i"), lit(1L).as("v")), a.nrows)
+    } // withLoopCodegenOff
     } // withLoopWidth
   }
 }
