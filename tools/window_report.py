@@ -50,6 +50,7 @@ def main() -> None:
     bw = d.get("bw_mbs", {})
     cpu = d.get("cpu", {})
     bw2 = d.get("bw_post_mbs", {})
+    prep = d.get("prep", {})
     if not spread:
         sys.exit(f"{path}: no per-rep spread — pre-r13 file?")
 
@@ -61,24 +62,25 @@ def main() -> None:
             b = bw.get(q, [0] * len(secs))[i]
             c = cpu.get(q, [-1] * len(secs))[i]
             b2 = bw2.get(q, [0] * len(secs))[i]
-            rows.append((q, i, sec, g, max(stalls), b, c, b2))
+            p = prep.get(q, [0] * len(secs))[i]
+            rows.append((q, i, sec, g, max(stalls), b, c, b2, p))
 
     # rank queries by worst rep wall-time; print per-rep evidence
     by_q = {}
-    for q, i, sec, g, st, b, c, b2 in rows:
-        by_q.setdefault(q, []).append((i, sec, g, st, b, c, b2))
+    for q, i, sec, g, st, b, c, b2, p in rows:
+        by_q.setdefault(q, []).append((i, sec, g, st, b, c, b2, p))
     order = sorted(by_q, key=lambda q: -max(r[1] for r in by_q[q]))
     if not show_all:
         order = order[:top]
     print(f"{'query':28} {'rep':>3} {'sec':>8} {'gc%':>6} {'stall%':>7} "
-          f"{'cpu/s':>6} {'bw':>7} {'bw2':>7}")
+          f"{'cpu/s':>6} {'bw':>7} {'bw2':>7} {'prep':>6}")
     for q in order:
-        for i, sec, g, st, b, c, b2 in by_q[q]:
+        for i, sec, g, st, b, c, b2, p in by_q[q]:
             gp = 100 * g / sec if sec > 0 else 0
             sp = 100 * st / sec if sec > 0 else 0
             cs = c / sec if (sec > 0 and c >= 0) else -1
             print(f"{q:28} {i + 1:>3} {sec:>8.2f} {gp:>5.0f}% {sp:>6.0f}% "
-                  f"{cs:>6.1f} {b:>7.0f} {b2:>7.0f}")
+                  f"{cs:>6.1f} {b:>7.0f} {b2:>7.0f} {p:>6.2f}")
 
     # draw-level summary: both probe brackets (pre `bw`, post `bw2`)
     # fold into the bandwidth line — the post-rep probes sample the
