@@ -189,4 +189,64 @@ object BucketedCoo {
     scala.util.Try(java.nio.file.Files.writeString(marker.toPath, spec))
     spark.table(name)
   }
+
+  /** Incremental ingest: append `batch` into the EXISTING bucketed
+    * table `name` without rewriting history — the steady-state 100 TB
+    * pattern (a corpus bucketed at ingest takes daily batches; a full
+    * rewrite of a 100 TB table per batch is a non-starter). The batch
+    * is repartitioned onto the table's bucket hash (one new file per
+    * bucket it touches, not writers × buckets spray) and appended
+    * through the catalog, so every row lands in the bucket its key
+    * hashes to and contraction joins against the table STAY
+    * exchange-free (pinned by BucketedCooSpec).
+    *
+    * Honest layout tradeoff, stated not hidden: appended buckets hold
+    * MULTIPLE files, and Spark only trusts per-bucket sort order for
+    * single-file buckets — so after the first append the read-back
+    * forfeits the sortBy claim and a sort-merge consumer re-sorts its
+    * partitions. The exchange elision (the expensive half at scale)
+    * survives; a deployment that wants the sort claim back runs
+    * `saveLoadKeys` as a compaction after enough batches (the marker
+    * machinery makes that rewrite idempotent per derivation). The
+    * batch schema must match the table's (checked against the marker;
+    * mismatch throws rather than poisoning the layout).
+    *
+    * The spec marker is updated to a non-reusable sentinel after an
+    * append: the table's contents no longer equal any single saveLoad
+    * derivation, so a later saveLoad with the ORIGINAL input must
+    * rewrite, not reuse — correctness beats the skipped write.
+    */
+  def append(spark: SparkSession, batch: DataFrame, name: String,
+      root: String = defaultRoot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = s"$root/$name"
+    val marker = new java.io.File(path, SpecMarker)
+    require(marker.isFile,
+      s"append target $name has no spec marker at $path - saveLoad it first")
+    val spec = scala.util.Try(
+      java.nio.file.Files.readString(marker.toPath)).getOrElse("")
+    val keys = """"keys":\[([^\]]*)\]""".r.findFirstMatchIn(spec)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(sys.error(s"unreadable bucket spec for $name"))
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(spec)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"unreadable bucket count for $name"))
+    val schemaDdl = """"schema":"([^"]*)"""".r.findFirstMatchIn(spec)
+      .map(_.group(1)).getOrElse("")
+    require(batch.schema.toDDL.replace("\"", "'") == schemaDdl,
+      s"append batch schema ${batch.schema.toDDL} != table schema $schemaDdl")
+    // the table may be absent from THIS session's catalog (fresh
+    // session, files on disk) — re-register before the append
+    registerExisting(spark, batch.schema.toDDL, name, keys, buckets, path)
+    batch.repartition(buckets, keys.map(col): _*)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(name)
+    // poison the reuse marker: contents ≠ any single derivation now.
+    // Keys/buckets/schema stay readable for the NEXT append.
+    scala.util.Try(java.nio.file.Files.writeString(marker.toPath,
+      spec.replaceFirst(""""semanticHash":-?\d+""", """"semanticHash":"appended"""")))
+    spark.table(name)
+  }
 }

@@ -189,6 +189,47 @@ class BucketedCooSpec extends SparkSpec {
     assert(parquetMtimes != m3, "changed bucket count must rewrite")
   }
 
+  test("append lands batches in the bucketed layout; joins stay exchange-free; reuse is poisoned") {
+    val name = "graft_spec_append"
+    val base = coo(Seq((0L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 30L)))
+    BucketedCoo.saveLoad(spark, base, name, "j", 2)
+    val t1 = BucketedCoo.append(spark, coo(Seq((3L, 1L, 40L), (4L, 2L, 50L))), name)
+    assert(t1.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set((0L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 30L), (3L, 1L, 40L), (4L, 2L, 50L)))
+    // a second batch through a FRESH catalog registration path
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val t2 = BucketedCoo.append(spark, coo(Seq((5L, 3L, 60L))), name)
+    assert(t2.count() == 6)
+    // the contraction join against the appended table still plans no
+    // table-side exchange: its scan must stay bucket-partitioned
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val other = coo(Seq((1L, 9L, 1L), (2L, 9L, 1L), (3L, 9L, 1L)))
+        .withColumnRenamed("i", "jj")
+      val joined = spark.table(name)
+        .join(other, spark.table(name)("j") === other("jj"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // exactly one hashpartitioning exchange: the non-bucketed side
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"bucketed side re-exchanged after append:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevThreshold)
+    }
+    // reuse poisoned: saveLoad with the ORIGINAL derivation must
+    // REWRITE (contents have diverged), leaving exactly the base rows
+    val again = BucketedCoo.saveLoad(spark, coo(Seq((0L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 30L))), name, "j", 2)
+    assert(again.count() == 3, "post-append saveLoad must rewrite, not reuse")
+    // schema mismatch refuses rather than poisoning the layout
+    import org.apache.spark.sql.functions.col
+    val bad = coo(Seq((9L, 9L, 9L))).withColumn("extra", col("v"))
+    intercept[IllegalArgumentException] {
+      BucketedCoo.append(spark, bad, name)
+    }
+  }
+
   test("saveLoad replaces a previous table of the same name") {
     val first = coo(Seq((0L, 0L, 1L)))
     val second = coo(Seq((5L, 6L, 7L), (8L, 9L, 10L)))
