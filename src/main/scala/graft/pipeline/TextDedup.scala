@@ -896,6 +896,32 @@ object TextDedup {
       .select(col("doc_id"), col("n_bands_hit"),
         when(col("n_bands_hit") > 0, 1L).otherwise(0L).as("near_corpus"))
 
+  /** The ledger-maintenance half of the ingest cycle
+    * [[minhashLedger]]'s scaladoc promises: append the batch's NOVEL
+    * band signatures into the persisted bucketed ledger table and
+    * return the updated frame. Novelty is an anti-join against the
+    * current ledger — co-located on the ledger side (it is bucketed
+    * on (band, sig)), so the ledger is never shuffled — and it is
+    * what PRESERVES the ledger's distinctness on (band, sig): a blind
+    * append would duplicate already-known signatures and break the
+    * probe join's at-most-1:1 fan-out invariant (the scale property
+    * nearDupAgainstLedger's scaladoc pins). Appended buckets are
+    * multi-file (BucketedCoo.append tradeoff) — probe joins keep the
+    * exchange elision; run a saveLoadKeys compaction when re-sorting
+    * pays.
+    *
+    * @param ledger the CURRENT ledger frame, read from the bucketed
+    *               table `name` (e.g. BucketedCoo.saveLoadKeys output)
+    * @return the updated ledger table frame
+    */
+  def appendBatchToMinhashLedger(ledger: DataFrame, batch: DataFrame,
+      name: String, bands: Int = 4): DataFrame = {
+    val novel = lshBandSignatures(batch, bands).select("band", "sig")
+      .distinct()
+      .join(ledger, Seq("band", "sig"), "left_anti")
+    graft.io.BucketedCoo.append(ledger.sparkSession, novel, name)
+  }
+
   /** [[incrementalDedup]] against a pre-computed ledger frame
     * (`h` column — typically [[dedupLedger]] output persisted
     * bucketed on `h` across ingest cycles).

@@ -230,6 +230,34 @@ class BucketedCooSpec extends SparkSpec {
     }
   }
 
+  test("minhash ledger ingest cycle: probe, append novel signatures, re-probe hits") {
+    import graft.pipeline.TextDedup
+    import spark.implicits._
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "entirely different content about distributed query engines at scale"))
+      .toDF("doc_id", "text")
+    val name = "graft_spec_ledger_cycle"
+    var ledger = BucketedCoo.saveLoadKeys(spark,
+      TextDedup.minhashLedger(corpus), name, Seq("band", "sig"), 4)
+    val batch = Seq((10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely novel text that matches nothing currently ingested"))
+      .toDF("doc_id", "text")
+    def probe(l: org.apache.spark.sql.DataFrame) =
+      TextDedup.nearDupAgainstLedger(l, batch).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val before = probe(ledger)
+    assert(before == Map(10L -> 1L, 11L -> 0L))
+    ledger = TextDedup.appendBatchToMinhashLedger(ledger, batch, name)
+    // distinctness preserved (the probe's 1:1 fan-out invariant)
+    assert(ledger.count() == ledger.select("band", "sig").distinct().count())
+    // the previously-novel doc's signatures are now in the ledger
+    assert(probe(ledger) == Map(10L -> 1L, 11L -> 1L))
+    // idempotent at the signature level: a re-append adds nothing
+    val n = ledger.count()
+    ledger = TextDedup.appendBatchToMinhashLedger(ledger, batch, name)
+    assert(ledger.count() == n)
+  }
+
   test("saveLoad replaces a previous table of the same name") {
     val first = coo(Seq((0L, 0L, 1L)))
     val second = coo(Seq((5L, 6L, 7L), (8L, 9L, 10L)))
