@@ -2025,6 +2025,30 @@ object Queries {
         TextDedup.minhashLedger(docs.filter(col("doc_id") % 4 =!= 0)),
         batch = docs.filter(col("doc_id") % 4 === 0))
     }),
+    // the FULL ledger ingest cycle over the persisted bucketed table:
+    // build the base ledger (docs ≡ 0 mod 3) with saveLoadKeys, append
+    // batch 1's novel signatures (≡ 1) through
+    // TextDedup.appendBatchToMinhashLedger, then probe batch 2 (≡ 2)
+    // against the grown ledger. Converges to the same table contents
+    // every run regardless of history: append poisons the reuse
+    // marker, so the next run's saveLoadKeys rewrites the base and the
+    // anti-joined append re-adds exactly batch 1 — deterministic, and
+    // the cycle (write → append → probe) is exercised end-to-end each
+    // time. The probe join stays exchange-free on the ledger side
+    // (BucketedCooSpec pins the plan); at 100 TB this is the shape
+    // where corpus text is shingled once, ever.
+    "p_ledger_cycle" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val tag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+        .toHexString
+      var ledger = graft.io.BucketedCoo.saveLoadKeys(s,
+        TextDedup.minhashLedger(docs.filter(col("doc_id") % 3 === 0)),
+        s"graft_p_ledger_cycle_$tag", Seq("band", "sig"), 8)
+      ledger = TextDedup.appendBatchToMinhashLedger(ledger,
+        docs.filter(col("doc_id") % 3 === 1), s"graft_p_ledger_cycle_$tag")
+      TextDedup.nearDupAgainstLedger(ledger,
+        batch = docs.filter(col("doc_id") % 3 === 2))
+    }),
     // the end-to-end curation verdict: quality + exact dedup + minhash
     // near-dup + contamination flags composed into one keep/drop frame
     // per doc — the integration check over four individually-verified
@@ -2640,6 +2664,18 @@ object Queries {
     // joined by the batch's bands — same band formula as
     // p_dedup_minhash via the shared bandSigSql constants
     "p_minhash_ledger" -> minhashLedgerSql,
+    // the grown ledger ≡ distinct band sigs of batches 0 and 1: the
+    // anti-joined append is set union on (band, sig) by construction
+    "p_ledger_cycle" ->
+      s"""WITH $shinglesSql, $bandSigSql,
+         led AS (SELECT DISTINCT band, sig FROM bands WHERE doc_id % 3 < 2),
+         bb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 3 = 2),
+         hits AS (SELECT bb.doc_id, CAST(COUNT(l.band) AS BIGINT) AS n_bands_hit
+                  FROM bb LEFT JOIN led l ON l.band = bb.band AND l.sig = bb.sig
+                  GROUP BY 1)
+         SELECT doc_id, n_bands_hit,
+                CAST(CASE WHEN n_bands_hit > 0 THEN 1 ELSE 0 END AS BIGINT) AS near_corpus
+         FROM hits""",
     // the streaming screen drains to the identical batch result
     "p_stream_neardup" -> minhashLedgerSql,
     // transitive closure over the near-dup pairs: hook+jump CC, label
