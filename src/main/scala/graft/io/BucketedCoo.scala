@@ -249,4 +249,42 @@ object BucketedCoo {
       spec.replaceFirst(""""semanticHash":-?\d+""", """"semanticHash":"appended"""")))
     spark.table(name)
   }
+
+  /** Compaction: rewrite an appended table back to the one-file-per-
+    * bucket sorted layout [[saveLoadKeys]] produces, restoring the
+    * per-bucket sort claim appends forfeit. The current contents are
+    * materialized (eager localCheckpoint — the table cannot be
+    * overwritten while a lazy plan still reads its files) and
+    * rewritten under the SAME name, keys, and bucket count; the fresh
+    * spec marker makes the compacted state reusable across sessions
+    * again.
+    *
+    * Scale honesty: the localCheckpoint stages the whole table in
+    * executor storage, which is fine for the bench/local tier this
+    * default targets; a 100 TB deployment compacts by writing to a
+    * NEW table name (plain saveLoadKeys from the old table's frame)
+    * and cutting consumers over — object stores make same-path
+    * rewrite-while-reading unsafe at any engine. The building block
+    * is identical either way.
+    */
+  def compact(spark: SparkSession, name: String,
+      root: String = defaultRoot): DataFrame = {
+    val path = s"$root/$name"
+    val marker = new java.io.File(path, SpecMarker)
+    require(marker.isFile,
+      s"compact target $name has no spec marker at $path")
+    val spec = scala.util.Try(
+      java.nio.file.Files.readString(marker.toPath)).getOrElse("")
+    val keys = """"keys":\[([^\]]*)\]""".r.findFirstMatchIn(spec)
+      .map(_.group(1).split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(sys.error(s"unreadable bucket spec for $name"))
+    val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(spec)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"unreadable bucket count for $name"))
+    val schemaDdl = """"schema":"([^"]*)"""".r.findFirstMatchIn(spec)
+      .map(_.group(1)).getOrElse("")
+    val frozen = registerExisting(spark, schemaDdl, name, keys, buckets, path)
+      .localCheckpoint(true)
+    saveLoadKeys(spark, frozen, name, keys, buckets, root)
+  }
 }

@@ -258,6 +258,28 @@ class BucketedCooSpec extends SparkSpec {
     assert(ledger.count() == n)
   }
 
+  test("compact restores the one-file-per-bucket layout after appends") {
+    val name = "graft_spec_compact"
+    BucketedCoo.saveLoad(spark, coo(Seq((0L, 1L, 1L), (1L, 2L, 2L))), name, "j", 2)
+    BucketedCoo.append(spark, coo(Seq((2L, 1L, 3L), (3L, 2L, 4L))), name)
+    BucketedCoo.append(spark, coo(Seq((4L, 3L, 5L))), name)
+    val dir = new java.io.File(s"${BucketedCoo.defaultRoot}/$name")
+    def parquetFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles > 2, s"appends should have produced multi-file buckets (got $parquetFiles)")
+    val compacted = BucketedCoo.compact(spark, name)
+    assert(compacted.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet ==
+      Set((0L, 1L, 1L), (1L, 2L, 2L), (2L, 1L, 3L), (3L, 2L, 4L), (4L, 3L, 5L)))
+    assert(parquetFiles <= 2, s"compaction must leave one file per non-empty bucket (got $parquetFiles)")
+    // still bucket-aware after compaction: an aggregate on the bucket
+    // key must plan with NO exchange (a bare scan shows "Bucketed:
+    // false (disabled by query planner)" because nothing needs it)
+    val plan = spark.table(name).groupBy("j").count()
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucket-key aggregate re-exchanged after compaction:\n$plan")
+  }
+
   test("saveLoad replaces a previous table of the same name") {
     val first = coo(Seq((0L, 0L, 1L)))
     val second = coo(Seq((5L, 6L, 7L), (8L, 9L, 10L)))
