@@ -207,6 +207,44 @@ object SelfBaseline {
         .df.select(col("v")).distinct().count())
       println(f"""{"graph":"cc_events:$dir","fastsv_sec":$fsvSec%.2f,"pregel_sec":$prgSec%.2f,"components_fastsv":$cF,"components_pregel":$cP}""")
     }
+    // Ingest tier (SPARK_GRAFT_INGEST=<sfDir>): the bucketed-table
+    // steady state at millions of rows — initial saveLoad, a
+    // contraction-style join against the table, five incremental
+    // appends (disjoint batches), the same join over the appended
+    // (multi-file-bucket) table, then compact and join once more.
+    // The claim under test is the 100 TB ingest story: APPEND COST IS
+    // PROPORTIONAL TO THE BATCH, NOT THE TABLE, and the join's
+    // exchange elision survives appends (only the sort claim is
+    // forfeited until compact).
+    sys.env.get("SPARK_GRAFT_INGEST").foreach { dir =>
+      import graft.io.BucketedCoo
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("i"), col("l_partkey").as("j"),
+          col("l_quantity").cast("long").as("v"))
+      val base = li.filter(col("i") % 8L =!= 0L)
+      val name = "graft_ingest_tier"
+      val (t0, writeSec) = timed {
+        // unique per run: drop any previous marker so the write is timed
+        val d = new java.io.File(s"${BucketedCoo.defaultRoot}/$name")
+        if (d.isDirectory) d.listFiles().foreach(_.delete())
+        BucketedCoo.saveLoad(spark, base, name, "j", 32).count()
+      }
+      val probe = li.filter(col("i") % 97L === 0L)
+        .select(col("j").as("pj"), col("v").as("pv"))
+      def contract(): Long = spark.table(name)
+        .join(probe, col("j") === col("pj"))
+        .groupBy(col("i")).agg(sum(col("v") * col("pv")))
+        .count()
+      val (r1, joinBaseSec) = timed(contract())
+      val appendSecs = (1 to 5).map { k =>
+        val batch = li.filter(col("i") % 8L === 0L && col("i") % 5L === (k % 5L))
+        timed(BucketedCoo.append(spark, batch, name).count())._2
+      }
+      val (r2, joinAppendedSec) = timed(contract())
+      val (_, compactSec) = timed(BucketedCoo.compact(spark, name).count())
+      val (r3, joinCompactSec) = timed(contract())
+      println(f"""{"tier":"ingest:$dir","table_rows":$t0,"write_sec":$writeSec%.2f,"join_base_sec":$joinBaseSec%.2f,"append_secs":[${appendSecs.map(s => f"$s%.2f").mkString(",")}],"join_appended_sec":$joinAppendedSec%.2f,"compact_sec":$compactSec%.2f,"join_compacted_sec":$joinCompactSec%.2f,"join_groups":[$r1,$r2,$r3]}""")
+    }
     // 10× pipeline tier: MinHash near-dup + LSH ANN at synthetic scale
     sys.env.get("SPARK_GRAFT_PIPELINE10X").foreach { nStr =>
       val nDocs = nStr.toLong
