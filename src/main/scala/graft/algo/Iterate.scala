@@ -221,6 +221,11 @@ object Iterate {
     */
   def loopWidth(spark: org.apache.spark.sql.SparkSession,
       workRows: Long): Int = {
+    // operator override for controlled width A/Bs and deployments
+    // whose executor/storage geometry contradicts the sizing rule —
+    // the same escape hatch every sizing heuristic in the repo keeps
+    scala.util.Try(spark.conf.get("spark.graft.loop.width").toInt)
+      .toOption.filter(_ >= 1).foreach(w => return w)
     val hi = math.min(math.max(
       spark.sparkContext.defaultParallelism.toLong,
       workRows / 500000L), 1000000L)

@@ -947,6 +947,22 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("loop width conf override wins over the sizing rule; garbage is ignored") {
+    import graft.algo.Iterate.loopWidth
+    val key = "spark.graft.loop.width"
+    try {
+      // a valid override replaces the rule entirely, any workload size
+      spark.conf.set(key, "5")
+      assert(loopWidth(spark, 100000L) == 5)
+      assert(loopWidth(spark, 500000000L) == 5)
+      // non-positive and non-numeric values fall through to the rule
+      spark.conf.set(key, "0")
+      assert(loopWidth(spark, 100000L) == 4)
+      spark.conf.set(key, "wide")
+      assert(loopWidth(spark, 100000L) == 4)
+    } finally spark.conf.unset(key)
+  }
+
   test("loop width floor is clamped at the session's shuffle width") {
     import graft.algo.Iterate.loopWidth
     val key = "spark.sql.shuffle.partitions"
