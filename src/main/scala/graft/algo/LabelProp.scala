@@ -45,13 +45,37 @@ object LabelProp {
     val spark = a.df.sparkSession
     val raw = a.df.select(col("i"), col("j")).cache()
     val nnz = raw.count()
+    // ZERO-EXCHANGE ROUNDS for label vectors small enough to
+    // broadcast: with the label frame broadcast into the vote join,
+    // the join no longer demands j-clustering — so the adjacency is
+    // cached partitioned by I instead, the broadcast-hash join
+    // preserves that partitioning (streamed-side passthrough), and
+    // BOTH vote aggregates plan exchange-free (HashPartitioning(i)
+    // satisfies ClusteredDistribution(i, lab) — subset rule — and
+    // ClusteredDistribution(i)); the loop's cmp join rides the same
+    // i-partitioning through FreshCheckpoint, which carries output
+    // partitioning across rounds. Per round that removes all three
+    // exchanges (labels-by-nb, votes-by-(i,lab), argmax-by-i) — the
+    // loop's per-round fixed cost, which §14/§17 measured as the
+    // dominant term at bench scale and the term degraded host windows
+    // multiply. Guarded exactly like mxv's broadcast hint
+    // (Grb.BroadcastGuard on the vector DIMENSION): above the guard —
+    // a label vector too big to collect per round — the equi-join
+    // plan below is unchanged (adjacency by j, shuffled aggregates),
+    // which is the right 100 TB shape: at n ≫ guard the per-round
+    // bytes dominate and per-executor label replication would cost
+    // more than the exchanges it saves. spark.graft.lpa.broadcast
+    // (default true) is the escape hatch for the guard's gray zone.
+    val bcast = a.nrows <= Grb.BroadcastGuard &&
+      scala.util.Try(spark.conf.get("spark.graft.lpa.broadcast").toBoolean)
+        .getOrElse(true)
     Iterate.withLoopWidth(spark, nnz) { width =>
       // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
       // §17g): same mechanism as FastSV — many rounds of few-MB
       // exchanges re-generate fused classes per round/rep. ABBA at
       // sf0.1 (3-rep mins, mid window): lpa 8.88->7.15 s.
       Iterate.withLoopCodegenOff(spark) {
-      val adj = raw.repartition(width, col("j")).cache()
+      val adj = raw.repartition(width, col(if (bcast) "i" else "j")).cache()
       adj.count() // materialize before freeing the sizing pass's cache
       raw.unpersist(false)
       val init = new GrbVector(
@@ -67,7 +91,7 @@ object LabelProp {
       // bipartite oscillation in the scaladoc) never stabilize and
       // still stop at the horizon.
       val (out, used) = Iterate.vectorLoopStableCounted(init, rounds) {
-        (l, _) => new GrbVector(round(adj, l.df), a.nrows)
+        (l, _) => new GrbVector(round(adj, l.df, bcast), a.nrows)
       }
       if (sys.env.contains("SPARK_GRAFT_DEBUG_ROUNDS"))
         System.err.println(s"graft.LabelProp rounds=$used/$rounds")
@@ -82,10 +106,12 @@ object LabelProp {
     * frame's plan is a block scan, not the round's shape)
     */
   private[graft] def round(adj: org.apache.spark.sql.DataFrame,
-      labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      labels: org.apache.spark.sql.DataFrame,
+      bcast: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val lab0 = labels.select(col("i").as("nb"), col("v").as("lab"))
+    val lab = if (bcast) broadcast(lab0) else lab0
     val votes = adj
-      .join(labels.select(col("i").as("nb"), col("v").as("lab")),
-        col("j") === col("nb"))
+      .join(lab, col("j") === col("nb"))
       .groupBy(col("i"), col("lab")).agg(count(lit(1)).as("c"))
     votes.groupBy(col("i"))
       .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))

@@ -620,6 +620,23 @@ class FastSVSpec extends SparkSpec {
     }
   }
 
+  test("LPA equi-join mode (the above-guard 100TB path) matches broadcast mode") {
+    // two triangles + a bridge; broadcast mode is the small-n default,
+    // the conf escape hatch forces the sharded equi-join plan the
+    // above-BroadcastGuard path takes — labels must be identical
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 6L, 6L)
+    val want = labelsOf(graft.algo.LabelProp.communities(a, 7))
+    val key = "spark.graft.lpa.broadcast"
+    try {
+      spark.conf.set(key, "false")
+      assert(labelsOf(graft.algo.LabelProp.communities(a, 7)) == want)
+    } finally spark.conf.unset(key)
+  }
+
   test("path graph needs shortcutting (worst case for hooking)") {
     val n = 32L
     val a = matFromEdges((0L until n - 1).map(i => (i, i + 1)), n)
