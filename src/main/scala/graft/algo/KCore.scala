@@ -62,6 +62,15 @@ object KCore {
     // session's heaviest-single-aggregate width (Iterate.withLoopWidth)
     val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
     val nnz = raw.count()
+    // ZERO-EXCHANGE ROUNDS below the broadcast guard (the LPA §17o
+    // pattern): survivor-vector joins broadcast, adjacency cached by
+    // i — see coreDegree below. Above the guard the sharded j-cache
+    // plan is unchanged; spark.graft.kcore.broadcast=false forces it.
+    val bcast = a.nrows <= Grb.BroadcastGuard &&
+      scala.util.Try(spark.conf.get("spark.graft.kcore.broadcast").toBoolean)
+        .getOrElse(true)
+    def hint(df: org.apache.spark.sql.DataFrame) =
+      if (bcast) org.apache.spark.sql.functions.broadcast(df) else df
     Iterate.withLoopWidth(spark, nnz) { width =>
     // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
     // §17g): same mechanism as FastSV — many rounds of few-MB
@@ -71,12 +80,19 @@ object KCore {
     // mis 8.09->5.28 — each below its healthy-window record.
     Iterate.withLoopCodegenOff(spark) {
     var A = new GrbMatrix(
-      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col(if (bcast) "i" else "j")).cache(),
+      a.nrows, a.ncols)
     A.df.count() // materialize before freeing the sizing pass's cache
     raw.unpersist(false)
+    // broadcast mode (the LPA §17o pattern): survivor vector broadcast
+    // into BOTH its joins — mxv's own vector join (broadcastVec, the
+    // existing dimension-guarded hint) and the structural-mask semi-
+    // join (pre-hinted frame; the hint rides the mask's subtree into
+    // the join). With A partitioned by i, the per-vertex degree
+    // aggregate and every checkpoint then plan exchange-free.
     def coreDegree(s: GrbVector): GrbVector =
-      A.mxv(s, Ops.plusPair, mask = Some(Mask.structural(s.df)),
-        broadcastVec = false)
+      A.mxv(s, Ops.plusPair,
+        mask = Some(Mask.structural(hint(s.df))), broadcastVec = bcast)
     var s = new GrbVector(
       A.df.select(col("i"), lit(1L).as("v")).distinct()
         .freshCheckpoint(true), a.nrows)
@@ -171,11 +187,14 @@ object KCore {
         }
       if (!stable && n > 0 && wantShrink) {
         val shrunk = A.df
-          .join(s.df.select(col("i").as("sa")), col("i") === col("sa"), "leftsemi")
-          .join(s.df.select(col("i").as("sb")), col("j") === col("sb"), "leftsemi")
+          .join(hint(s.df.select(col("i").as("sa"))),
+            col("i") === col("sa"), "leftsemi")
+          .join(hint(s.df.select(col("i").as("sb"))),
+            col("j") === col("sb"), "leftsemi")
           .select(col("i"), col("j"), col("v"))
         val nextA = new GrbMatrix(
-          shrunk.repartition(width, col("j")).cache(), a.nrows, a.ncols)
+          shrunk.repartition(width, col(if (bcast) "i" else "j")).cache(),
+          a.nrows, a.ncols)
         nextA.df.count() // materialize before dropping the old basis
         A.df.unpersist(false)
         A = nextA

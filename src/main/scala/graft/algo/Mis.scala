@@ -51,6 +51,21 @@ object Mis {
     val raw = a.df.select(col("i"), col("j")).filter(col("i") =!= col("j"))
       .cache()
     val nnz = raw.count()
+    // ZERO-EXCHANGE ROUNDS below the broadcast guard (the LPA §17o
+    // pattern): with every vertex-sized frame (active set, selection,
+    // knocked-out neighbours) BROADCAST into its join, no join demands
+    // j-clustering — the edge set caches partitioned by I, the
+    // neighbour-min aggregate and the active/selection joins all ride
+    // that one partitioning (broadcast joins preserve the streamed
+    // side; checkpoints carry partitioning across rounds), and the
+    // per-round exchanges vanish. Above the guard the sharded plan
+    // below is unchanged — at n ≫ guard per-executor replication of
+    // the active set costs more than the vertex-sized exchanges it
+    // saves. spark.graft.mis.broadcast=false forces the sharded plan.
+    val bcast = a.nrows <= Grb.BroadcastGuard &&
+      scala.util.Try(spark.conf.get("spark.graft.mis.broadcast").toBoolean)
+        .getOrElse(true)
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     Iterate.withLoopWidth(spark, nnz) { width =>
     // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
     // §17g): same mechanism as FastSV — many rounds of few-MB
@@ -59,7 +74,7 @@ object Mis {
     // mins, mid window): kcore 8.26->6.42, lpa 8.88->7.15,
     // mis 8.09->5.28 — each below its healthy-window record.
     Iterate.withLoopCodegenOff(spark) {
-    val adj = raw.repartition(width, col("j")).cache()
+    val adj = raw.repartition(width, col(if (bcast) "i" else "j")).cache()
     adj.count() // materialize before freeing the sizing pass's cache
     raw.unpersist(false)
     var act: DataFrame = adj.select(col("i").as("n")).distinct()
@@ -73,12 +88,13 @@ object Mis {
       val actB = act.select(col("n").as("nb"), pkey(col("n")).as("bpk"))
       // min active-neighbour priority per edge head. Heads are NOT
       // pre-restricted to active: a leftsemi on i would re-shuffle the
-      // whole adjacency every round (the cache is partitioned on j, so
-      // the actB join below reuses it shuffle-free, and the groupBy
-      // ships map-side-combined partials only); inactive heads' rows
+      // whole adjacency every round (the cache is partitioned on the
+      // join side's key — j sharded, i broadcast-mode — so the actB
+      // join below reuses it shuffle-free, and the groupBy ships
+      // map-side-combined partials only); inactive heads' rows
       // die in sel's act join
       val nbmin = adj
-        .join(actB, col("j") === col("nb"))
+        .join(hint(actB), col("j") === col("nb"))
         .groupBy(col("i")).agg(min(col("bpk")).as("mn"))
       // eager-checkpoint the selection: nextAct and nextMis both hang
       // off it, and without the materialization each would recompute
@@ -90,10 +106,11 @@ object Mis {
       // no distinct: left_anti below ignores duplicate right-side rows,
       // so deduplicating the neighbour set would be a wasted shuffle
       val newOut = adj
-        .join(sel.select(col("n").as("s")), col("j") === col("s"), "leftsemi")
+        .join(hint(sel.select(col("n").as("s"))),
+          col("j") === col("s"), "leftsemi")
         .select(col("i").as("n"))
-      val nextAct = act.join(sel, Seq("n"), "left_anti")
-        .join(newOut, Seq("n"), "left_anti").freshCheckpoint(true)
+      val nextAct = act.join(hint(sel), Seq("n"), "left_anti")
+        .join(hint(newOut), Seq("n"), "left_anti").freshCheckpoint(true)
       val nextMis = mis.unionByName(sel).freshCheckpoint(true)
       prevAct.foreach(_.unpersist(false))
       prevMis.foreach(_.unpersist(false))

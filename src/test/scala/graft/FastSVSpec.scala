@@ -637,6 +637,36 @@ class FastSVSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("MIS sharded mode (the above-guard 100TB path) matches broadcast mode") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L), (5L, 6L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 7L, 7L)
+    val want = labelsOf(graft.algo.Mis.mis(a))
+    val key = "spark.graft.mis.broadcast"
+    try {
+      spark.conf.set(key, "false")
+      assert(labelsOf(graft.algo.Mis.mis(a)) == want)
+    } finally spark.conf.unset(key)
+  }
+
+  test("k-core sharded mode (the above-guard 100TB path) matches broadcast mode") {
+    // 3-core (clique of 4) + a pendant path that peels away
+    val clique = for (x <- 0L to 3L; y <- 0L to 3L if x < y) yield (x, y)
+    val edges = clique ++ Seq((3L, 4L), (4L, 5L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 6L, 6L)
+    val want = labelsOf(graft.algo.KCore.kcore(a, 3L))
+    assert(want.keySet == Set(0L, 1L, 2L, 3L))
+    val key = "spark.graft.kcore.broadcast"
+    try {
+      spark.conf.set(key, "false")
+      assert(labelsOf(graft.algo.KCore.kcore(a, 3L)) == want)
+    } finally spark.conf.unset(key)
+  }
+
   test("path graph needs shortcutting (worst case for hooking)") {
     val n = 32L
     val a = matFromEdges((0L until n - 1).map(i => (i, i + 1)), n)
