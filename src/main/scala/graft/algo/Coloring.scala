@@ -55,8 +55,19 @@ object Coloring {
     val raw = a.df.select(col("i"), col("j")).filter(col("i") =!= col("j"))
       .cache()
     val nnz = raw.count()
+    // Broadcast mode below the guard (the LPA/MIS §17o/§17p pattern):
+    // vertex-sized frames broadcast into their joins, adjacency cached
+    // by i — the actB/sel/colored joins and the nbmin aggregate then
+    // plan exchange-free, and the thrice-referenced sel subtree dedups
+    // through broadcast-exchange reuse instead of recomputing. Above
+    // Grb.BroadcastGuard the sharded plan is unchanged;
+    // spark.graft.coloring.broadcast=false forces it.
+    val bcast = a.nrows <= Grb.BroadcastGuard &&
+      scala.util.Try(spark.conf.get("spark.graft.coloring.broadcast").toBoolean)
+        .getOrElse(true)
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     Iterate.withLoopWidth(spark, nnz) { width =>
-    val adj = raw.repartition(width, col("j")).cache()
+    val adj = raw.repartition(width, col(if (bcast) "i" else "j")).cache()
     adj.count() // materialize before freeing the sizing pass's cache
     raw.unpersist(false)
     // single state frame: (n, color) with color NULL while active
@@ -70,19 +81,20 @@ object Coloring {
       val act = state.filter(col("color").isNull).select(col("n"))
       val actB = act.select(col("n").as("nb"), pkey(iter + 1, col("n")).as("bpk"))
       // heads not pre-restricted to active: a leftsemi on i would
-      // re-shuffle the adjacency every round (cache is partitioned on
-      // j — the actB join reuses it shuffle-free); inactive heads die
-      // in sel's act join (the Mis lesson, 2.9x on the bench graph)
+      // re-shuffle the adjacency every round (the cache is partitioned
+      // on the join side's key — j sharded, i broadcast-mode — so the
+      // actB join reuses it shuffle-free); inactive heads die in
+      // sel's act join (the Mis lesson, 2.9x on the bench graph)
       val nbmin = adj
-        .join(actB, col("j") === col("nb"))
+        .join(hint(actB), col("j") === col("nb"))
         .groupBy(col("i")).agg(min(col("bpk")).as("mn"))
       val sel = act.join(nbmin, col("n") === col("i"), "left")
         .filter(col("mn").isNull || pkey(iter + 1, col("n")) < col("mn"))
         .select(col("n"))
       // colors already taken by the selected vertices' neighbours
-      val used = sel.join(adj, col("n") === col("i"))
-        .join(state.filter(col("color").isNotNull)
-          .select(col("n").as("cn"), col("color")), col("j") === col("cn"))
+      val used = hint(sel).join(adj, col("n") === col("i"))
+        .join(hint(state.filter(col("color").isNotNull)
+          .select(col("n").as("cn"), col("color"))), col("j") === col("cn"))
         .select(col("n"), col("color")).distinct()
       // mex: candidates {0} ∪ {used + 1}, minus used, min
       val cand = sel.withColumn("cc", lit(0L))

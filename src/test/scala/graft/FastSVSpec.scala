@@ -667,6 +667,20 @@ class FastSVSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("coloring sharded mode (the above-guard 100TB path) matches broadcast mode") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (3L, 5L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val a = GrbMatrix.fromValues(spark,
+      sym.map { case (i, j) => (i, j, 1L: Any) }, GrbType.INT64, 6L, 6L)
+    val want = labelsOf(graft.algo.Coloring.greedyColor(a))
+    val key = "spark.graft.coloring.broadcast"
+    try {
+      spark.conf.set(key, "false")
+      assert(labelsOf(graft.algo.Coloring.greedyColor(a)) == want)
+    } finally spark.conf.unset(key)
+  }
+
   test("path graph needs shortcutting (worst case for hooking)") {
     val n = 32L
     val a = matFromEdges((0L until n - 1).map(i => (i, i + 1)), n)
