@@ -685,6 +685,43 @@ object SelfBaseline {
       val envelope = 256L * nnz
       println(f"""{"tier":"anf","edges":$nEdges,"nnz":$nnz,"rounds":$rounds,"anf_sec":$anfSec%.2f,"sec_per_round":${anfSec / rounds}%.2f,"rows":$nRows,"shuffle_bytes_per_round":$perRound,"envelope_bytes":$envelope,"bytes_vs_envelope":${perRound.toDouble / envelope}%.2f,"within_2x":${perRound <= 2 * envelope}}""")
     }
+    // Vertex-loop broadcast-mode tier (SPARK_GRAFT_LOOPBCAST=<edges>,
+    // round-14, PERF_NOTES §17o-§17q): LPA / MIS / k-core in BOTH
+    // modes on the identical synthetic graph, past bench scale — the
+    // broadcast guard's gray zone under test (at 10M edges the label
+    // vector is ~1.25M rows: per-round driver collects are tens of
+    // MB, the regime where the zero-exchange win must pay for real
+    // replication cost). Results are asserted identical across modes
+    // before either time is printed.
+    sys.env.get("SPARK_GRAFT_LOOPBCAST").foreach { eStr =>
+      val nEdges = eStr.toLong
+      val a = new GrbMatrix(syntheticGraph(spark, nEdges).df.cache(),
+        nEdges / 8, nEdges / 8)
+      val nnz = a.nvals
+      def modes(name: String, confKey: String)(run: => (Long, Long)): Unit = {
+        val (rB, bSec) = timed(run)
+        spark.conf.set(confKey, "false")
+        val (rS, sSec) = timed(run)
+        spark.conf.unset(confKey)
+        require(rB == rS, s"$name modes disagree: $rB vs $rS")
+        println(f"""{"tier":"loopbcast","algo":"$name","edges":$nEdges,"nnz":$nnz,"n":${a.nrows},"bcast_sec":$bSec%.2f,"sharded_sec":$sSec%.2f,"ratio":${sSec / bSec}%.2f,"checksum":${rB._2}}""")
+      }
+      def sums(df: DataFrame): (Long, Long) = {
+        // coalesce: an empty result (e.g. an empty k-core) sums to NULL
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(col("i") * col("v")), lit(0L))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      modes("lpa", "spark.graft.lpa.broadcast")(
+        sums(graft.algo.LabelProp.communities(a, 7).df))
+      modes("mis", "spark.graft.mis.broadcast")(
+        sums(graft.algo.Mis.mis(a).df))
+      // k = half the mean degree: a non-trivial core survives (k at the
+      // mean degree peeled the synthetic graph to EMPTY)
+      modes("kcore", "spark.graft.kcore.broadcast")(
+        sums(graft.algo.KCore.kcore(a, 8L).df))
+      a.df.unpersist(true)
+    }
     // Planted-hub walk tier (SPARK_GRAFT_HUBWALK=<edges>, round-10
     // item 1): a 10⁵-degree hub planted on the synthetic graph. Under
     // the round-9 per-vertex row_number window the hub's whole edge
