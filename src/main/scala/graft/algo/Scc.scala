@@ -72,6 +72,15 @@ object Scc {
       .freshCheckpoint(true)
     var stRdd = Iterate.checkpointRdd(st)
     var remaining = st.count()
+    // Broadcast mode below the guard (the §17o-§17q family, keyed on
+    // the ACTUAL vertex count just counted): label fragments broadcast
+    // into the propagation joins so the edge set never re-clusters.
+    // spark.graft.scc.broadcast=false forces the sharded plan.
+    val bcast = remaining <= graft.core.Grb.BroadcastGuard &&
+      scala.util.Try(
+        raw.sparkSession.conf.get("spark.graft.scc.broadcast").toBoolean)
+        .getOrElse(true)
+    def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var outer = 0
     var innerTotal = 0
     while (remaining > 0 && outer < maxOuter) {
@@ -80,12 +89,33 @@ object Scc {
       // Finalized vertices' SCCs are complete, so their edges can never
       // matter again — the set only shrinks across outer rounds.
       val ae = edges
-        .join(act.select(col("n").as("u"), col("bf").as("ubf"), col("bb").as("ubb")), Seq("u"))
-        .join(act.select(col("n").as("v"), col("bf"), col("bb")), Seq("v"))
+        .join(hint(act.select(col("n").as("u"), col("bf").as("ubf"), col("bb").as("ubb"))), Seq("u"))
+        .join(hint(act.select(col("n").as("v"), col("bf"), col("bb"))), Seq("v"))
         .filter(col("ubf") === col("bf") && col("ubb") === col("bb"))
         .select(col("u"), col("v"))
         .freshCheckpoint(true)
       val aeRdd = Iterate.checkpointRdd(ae)
+      // Orientation handling per mode (round-14). BROADCAST mode: the
+      // label fragments are hinted into both propagation joins, so the
+      // checkpointed ae streams in place whatever its clustering — no
+      // extra caches (a first cut added them here too and measured a
+      // ~1 s/draw pessimization at bench scale: two materializations
+      // bought nothing the hints weren't already buying). SHARDED mode
+      // (above the guard — label frames too big for ANY broadcast,
+      // including AQE's runtime conversion that covers the small case):
+      // the inner loop propagates BOTH directions per round, and a
+      // single-orientation ae would re-cluster O(nnz) on the other
+      // direction EVERY inner round. The Hits CSR/CSC trade — two
+      // cached repartitions paid once per outer round — caps per-round
+      // traffic at the vertex-sized label exchange + agg partials.
+      val shardCaches = if (bcast) Nil else {
+        val aeU = ae.repartition(width, col("u")).cache()
+        val aeV = ae.repartition(width, col("v")).cache()
+        aeU.count(); aeV.count()
+        Seq(aeU, aeV)
+      }
+      val ufBase = if (bcast) ae else shardCaches.head
+      val ubBase = if (bcast) ae else shardCaches(1)
       // inner: synchronous min-label rounds for f (over in-edges) and
       // b (over out-edges) simultaneously, to joint fixpoint
       var fb = act.select(col("n"), col("n").as("f"), col("n").as("b"))
@@ -94,9 +124,9 @@ object Scc {
       var change = true
       var inner = 0
       while (change && inner < maxInner) {
-        val uf = ae.join(fb.select(col("n").as("u"), col("f").as("fu")), Seq("u"))
+        val uf = ufBase.join(hint(fb.select(col("n").as("u"), col("f").as("fu"))), Seq("u"))
           .groupBy(col("v").as("nf")).agg(min(col("fu")).as("mf"))
-        val ub = ae.join(fb.select(col("n").as("v"), col("b").as("bv")), Seq("v"))
+        val ub = ubBase.join(hint(fb.select(col("n").as("v"), col("b").as("bv"))), Seq("v"))
           .groupBy(col("u").as("nb")).agg(min(col("bv")).as("mb"))
         // one checkpoint job per round carrying the change flag (the
         // vectorLoopStable cmp-frame pattern, two values instead of one)
@@ -130,6 +160,7 @@ object Scc {
       remaining = nextSt.filter(!col("done")).count()
       stRdd.foreach(_.unpersist(false))
       fbRdd.foreach(_.unpersist(false))
+      shardCaches.foreach(_.unpersist(false))
       aeRdd.foreach(_.unpersist(false))
       stRdd = Iterate.checkpointRdd(nextSt)
       st = nextSt

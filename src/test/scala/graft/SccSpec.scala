@@ -82,6 +82,17 @@ class SccSpec extends SparkSpec {
     assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("SCC sharded mode (the above-guard 100TB path) matches broadcast mode") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L))
+    val want = sccOf(edges)
+    val key = "spark.graft.scc.broadcast"
+    try {
+      spark.conf.set(key, "false")
+      assert(sccOf(edges) == want)
+    } finally spark.conf.unset(key)
+  }
+
   test("SCC matches a driver-side Tarjan replay on random digraphs") {
     val rnd = new scala.util.Random(43)
     for (trial <- 1 to 4) {
