@@ -33,12 +33,19 @@ object Queries {
     s.read.parquet(s"$dir/$t.parquet")
 
   // ---- shared COO builders ----------------------------------------
-  /** lineitem as a sparse matrix: order × part → total quantity */
-  private def liMat(s: SparkSession, dir: String): GrbMatrix =
+  /** lineitem as a sparse matrix: order × part → total quantity.
+    * `cluster` pre-clusters the raw COO on the key the consuming
+    * operator will aggregate/join on (GrbMatrix.fromDF clusterBy —
+    * guide §2.4), so the dedup aggregate and the consumer share one
+    * exchange: "i" for rowwise reduces and mxv outputs, "j" for
+    * colwise reduces, vxm outputs and mxm's left contraction.
+    */
+  private def liMat(s: SparkSession, dir: String,
+      cluster: Seq[String] = Nil): GrbMatrix =
     GrbMatrix.fromDF(
       pq(s, dir, "lineitem").select(col("l_orderkey").as("i"),
         col("l_partkey").as("j"), col("l_quantity").cast(LongType).as("v")),
-      dupAgg = Some(c => sum(c)))
+      dupAgg = Some(c => sum(c)), clusterBy = cluster)
 
   private val liMatSql =
     "m AS (SELECT l_orderkey AS i, l_partkey AS j, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2)"
@@ -827,18 +834,21 @@ object Queries {
       v.apply(Ops.sqrt).selectOp(_ > 5.0).df
     }),
 
-    // mxv over plus_times (§2.5)
+    // mxv over plus_times (§2.5); matrix pre-clustered on i — the
+    // broadcast-vector join preserves it, so the output row aggregate
+    // re-uses the dedup exchange (2 Exchanges → 1)
     "q_mxv" -> ((s, dir) => {
-      val m = liMat(s, dir)
+      val m = liMat(s, dir, Seq("i"))
       val p = GrbVector.fromDF(pq(s, dir, "part")
         .select(col("p_partkey").as("i"), cents(col("p_retailprice")).as("v")))
       val n = math.max(m.ncols, p.size) // grow-only alignment (metadata)
       m.resize(m.nrows, n).mxv(p.resize(n), Ops.plusTimes).df
     }),
 
-    // vxm (§2.5)
+    // vxm (§2.5); matrix pre-clustered on j (the output key — the
+    // product groups by m.j), same one-exchange shape as q_mxv
     "q_vxm" -> ((s, dir) => {
-      val m = liMat(s, dir)
+      val m = liMat(s, dir, Seq("j"))
       val o = GrbVector.fromDF(pq(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("i"), lit(1L).as("v")))
@@ -846,13 +856,15 @@ object Queries {
       o.resize(n).vxm(m.resize(n, m.ncols), Ops.plusTimes, broadcastSelf = false).df
     }),
 
-    // mxm over plus_times (§2.5)
+    // mxm over plus_times (§2.5); each operand pre-clustered on its
+    // CONTRACTION key (m.j ⋈ m2.i), so the dedup aggregates and the
+    // hinted sort-merge join share one exchange per side (5 → 3)
     "q_mxm" -> ((s, dir) => {
-      val m = liMat(s, dir)
+      val m = liMat(s, dir, Seq("j"))
       val m2 = GrbMatrix.fromDF(
         pq(s, dir, "lineitem").select(col("l_partkey").as("i"),
           col("l_suppkey").as("j"), col("l_quantity").cast(LongType).as("v")),
-        nrows = m.ncols, dupAgg = Some(c => sum(c)))
+        nrows = m.ncols, dupAgg = Some(c => sum(c)), clusterBy = Seq("i"))
       m.mxm(m2, Ops.plusTimes).df
     }),
 
@@ -873,6 +885,13 @@ object Queries {
     }),
 
     // reduce_rowwise over the max monoid (§2.6)
+    // NOT pre-clustered (round-14 ABBA): for a pure reduce the old
+    // two-stage shape (map-side partial dedup → (i,j) exchange →
+    // partial rowwise → tiny i exchange) consistently beat the
+    // one-exchange complete-aggregate plan (0.73/0.85 vs 0.99/1.10 s
+    // mins, B's worst under A's best in both cells) — the second
+    // exchange carries ~14k pre-aggregated rows, so removing it saves
+    // nothing, while the complete agg gives up the map-side combine.
     "q_reduce_rowwise" -> ((s, dir) => liMat(s, dir).reduceRowwise(Ops.maxMonoid).df),
 
     // whole-collection reduce → scalar (§2.6)
@@ -992,11 +1011,11 @@ object Queries {
     // positional semiring: per output cell, min of the contracted
     // index (min_secondi; §2.2 positional ops / verdict row 20)
     "q_positional_mxm" -> ((s, dir) => {
-      val m = liMat(s, dir)
+      val m = liMat(s, dir, Seq("j"))
       val m2 = GrbMatrix.fromDF(
         pq(s, dir, "lineitem").select(col("l_partkey").as("i"),
           col("l_suppkey").as("j"), col("l_quantity").cast(LongType).as("v")),
-        nrows = m.ncols, dupAgg = Some(c => sum(c)))
+        nrows = m.ncols, dupAgg = Some(c => sum(c)), clusterBy = Seq("i"))
       m.mxm(m2, Ops.minSecondi).df
     }),
 
@@ -1555,6 +1574,9 @@ object Queries {
 
     // bitwise monoid reduction (grblas monoid.bor): per-row OR of the
     // quantity bits
+    // q_bitwise / q_agg_argmax / q_reduce_colwise follow the
+    // q_reduce_rowwise ABBA verdict above: reduce-only consumers keep
+    // the two-stage partial/final shape
     "q_bitwise" -> ((s, dir) => liMat(s, dir).reduceRowwise(Ops.borMonoid).df),
 
     // user-defined op: register by name, resolve, apply (§2.8 row 49)

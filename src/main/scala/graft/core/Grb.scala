@@ -871,7 +871,31 @@ final class GrbMatrix(val df: DataFrame, val nrows: Long, val ncols: Long,
     val prod = mask.fold(prod0)(m => m.filter(prod0, KEYS))
     val agged = sr.add.agg(col("_p"))
     val aggC = if (sr.add.preserve) Grb.castToType(agged, prod0.schema("_p").dataType) else agged
-    val out = prod.groupBy("i", "j").agg(aggC.as("v"))
+    // Packed-key product aggregate: (i, j) packs into ONE non-negative
+    // long i·ncols + j whenever the output shape fits int64, so the
+    // partial aggregate — the engine's hottest loop, it hashes every
+    // product row — keys on a single 8-byte column instead of two,
+    // and the product exchange carries 16-byte rows instead of 24.
+    // Unpack is exact integer arithmetic (DIV / %), never a double
+    // round-trip: floor(_ij / nc) through a double would corrupt keys
+    // past 2^53, which a 100 TB shape reaches. Same groups (the pack
+    // is bijective on the index domain), same aggregate, same output
+    // schema; spark.graft.mxm.packedAgg=false restores the two-column
+    // aggregate for A/Bs. MASKED products stay on (i, j): the mask's
+    // semi-join clusters the product stream by (i, j) and the final
+    // aggregate reuses that exchange — packing there ADDED an
+    // exchange (q_triangle 13 → 14, measured in the round-14 plan
+    // probe) instead of narrowing one.
+    val nc = other.ncols
+    val packable = mask.isEmpty &&
+      nc > 0 && nrows > 0 && nrows <= Long.MaxValue / nc &&
+      Grb.flag(df.sparkSession, "spark.graft.mxm.packedAgg", default = true)
+    val out =
+      if (packable)
+        prod.select((col("i") * nc + col("j")).as("_ij"), col("_p"))
+          .groupBy("_ij").agg(aggC.as("v"))
+          .select(expr(s"_ij DIV ${nc}L").as("i"), (col("_ij") % nc).as("j"), col("v"))
+      else prod.groupBy("i", "j").agg(aggC.as("v"))
     val pd = Grb.srDeclared(dtype, declared, other.dtype, other.declared, sr, out)
     new GrbMatrix(Grb.uintGuard(out, pd), nrows, other.ncols, pd)
   }
@@ -1216,10 +1240,30 @@ object GrbMatrix {
   }
 
   def fromDF(df0: DataFrame, nrows: Long = -1L, ncols: Long = -1L,
-      dupAgg: Option[Column => Column] = None): GrbMatrix = {
+      dupAgg: Option[Column => Column] = None,
+      clusterBy: Seq[String] = Nil): GrbMatrix = {
+    // Pre-cluster the raw COO on the column the CONSUMER will key on
+    // (guide §2.4: operations keyed the same way share one exchange):
+    // the dedup aggregate satisfies its distribution from this single
+    // exchange (subset rule — hash(j) clusters (i, j)), and the
+    // downstream contraction join / rowwise reduce then reuses the
+    // SAME partitioning instead of re-exchanging the deduped frame —
+    // q_mxm drops from 5 Exchanges to 3, mxv/rowwise-reduce from 2 to
+    // 1. Caller-declared, because only the caller knows the consumer's
+    // key. Trade-off, recorded: the RAW rows ride the one exchange
+    // instead of the dedup output riding a second one — a win unless
+    // the dup factor is large (lineitem's (i,j) dup factor is ~1.07;
+    // a caller with heavily duplicated COO input should keep the
+    // map-side dedup and not declare clusterBy).
+    // spark.graft.precluster=false ignores the declarations (A/B hook).
+    val base =
+      if (clusterBy.nonEmpty &&
+          Grb.flag(df0.sparkSession, "spark.graft.precluster", default = true))
+        df0.repartition(clusterBy.map(col): _*)
+      else df0
     val df = dupAgg match {
-      case Some(agg) => df0.groupBy("i", "j").agg(agg(col("v")).as("v"))
-      case None      => df0.select(col("i"), col("j"), col("v"))
+      case Some(agg) => base.groupBy("i", "j").agg(agg(col("v")).as("v"))
+      case None      => base.select(col("i"), col("j"), col("v"))
     }
     val (nr, nc) =
       if (nrows >= 0 && ncols >= 0) (nrows, ncols)
@@ -1248,6 +1292,13 @@ object Grb {
     * beyond it AQE still broadcasts at runtime when stats allow
     */
   val BroadcastGuard: Long = 32L * 1000 * 1000
+
+  /** conf-gated plan toggle (the spark.graft.* escape-hatch family):
+    * absent or malformed conf → the measured default
+    */
+  private[graft] def flag(spark: SparkSession, key: String,
+      default: Boolean): Boolean =
+    scala.util.Try(spark.conf.get(key).toBoolean).getOrElse(default)
 
   /** True when `d`'s output column `key` derives (through the analyzed
     * plan's alias/cast lineage) from a bucket column of a bucketed

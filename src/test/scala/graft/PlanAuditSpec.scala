@@ -520,6 +520,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p.take(400))
   }
 
+  test("pre-clustered operands share one exchange per side with the contraction join") {
+    // round-14: fromDF(clusterBy = contraction key) keys the dedup
+    // aggregate's exchange on the join key, so the hinted sort-merge
+    // join reuses it (guide §2.4) — per side ONE shuffle instead of
+    // two. Total shuffle exchanges: 2 operand repartitions + the
+    // product aggregate = 3 (q_mxm dropped 5 → 3 in the r14 plans).
+    val aRaw = spark.range(40).selectExpr(
+      "id % 8 AS i", "id % 5 AS j", "1L AS v")
+    val bRaw = spark.range(35).selectExpr(
+      "id % 5 AS i", "id % 7 AS j", "1L AS v")
+    val a = GrbMatrix.fromDF(aRaw, 8L, 5L,
+      dupAgg = Some(c => sum(c)), clusterBy = Seq("j"))
+    val b = GrbMatrix.fromDF(bRaw, 5L, 7L,
+      dupAgg = Some(c => sum(c)), clusterBy = Seq("i"))
+    val p = plan(a.mxm(b, Ops.plusTimes).df)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 3, s"expected 3 shuffle exchanges, got $shuffles:\n${p.take(1200)}")
+    assert(p.contains("SortMergeJoin"), p.take(400))
+  }
+
+  test("unmasked product aggregate keys on the packed index; mask and overflow fall back") {
+    val (a, b) = tinyPair
+    // packed: the aggregate groups by one long (_ij), unpack restores
+    // (i, j) with integer DIV/% — never a double round-trip
+    val packedPlan = plan(a.mxm(b, Ops.plusTimes).df)
+    assert(packedPlan.contains("_ij"), packedPlan.take(600))
+    // conf off → the two-column aggregate returns
+    spark.conf.set("spark.graft.mxm.packedAgg", "false")
+    try {
+      val off = plan(a.mxm(b, Ops.plusTimes).df)
+      assert(!off.contains("_ij"), off.take(600))
+    } finally spark.conf.unset("spark.graft.mxm.packedAgg")
+    // a shape whose i*ncols+j cannot fit int64 falls back (the guard
+    // is nrows <= Long.MaxValue / ncols)
+    val wideB = new GrbMatrix(b.df, 5L, Long.MaxValue / 4L)
+    val wideA = new GrbMatrix(a.df, 8L, 5L)
+    val wide = plan(wideA.mxm(wideB, Ops.plusTimes).df)
+    assert(!wide.contains("_ij"), wide.take(600))
+    // masked products keep (i, j): the mask semi-join's clustering is
+    // what the final aggregate reuses (packing ADDED an exchange there)
+    val mask = Mask.structural(
+      GrbMatrix.fromValues(spark, Seq((0L, 0L, 1L: Any)), GrbType.INT64, 8L, 7L).df)
+    val masked = plan(a.mxm(b, Ops.plusTimes, Some(mask)).df)
+    assert(!masked.contains("_ij"), masked.take(600))
+  }
+
+  test("packed and two-column product aggregates agree cell-for-cell") {
+    val (a, b) = tinyPair
+    val packed = a.mxm(b, Ops.plusTimes).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    spark.conf.set("spark.graft.mxm.packedAgg", "false")
+    try {
+      val old = a.mxm(b, Ops.plusTimes).df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+      assert(packed.toSeq == old.toSeq)
+    } finally spark.conf.unset("spark.graft.mxm.packedAgg")
+  }
+
   test("joining AGAINST a bucketed table does not lift the guard") {
     // a derived operand that merely consulted some bucketed relation
     // (here: semi-joined against one on an unrelated key) is not
