@@ -291,14 +291,32 @@ object Bench {
       // WAITED, a different diagnosis more reps would only repeat),
       // take up to MaxEscalations more. SPARK_GRAFT_REPS stays an
       // absolute override for controlled A/Bs.
+      // Round-15 (VERDICT r14 item 2): the r14 escalation rule was
+      // ASYMMETRIC — only rows in the HealthyRecord map could escalate,
+      // so an unanchored multi-second row (p_dup_span class) could
+      // record one bad-window rep as a 0.65× "regression" while its
+      // anchored neighbors retried. Escalation is now UNIFORM: any row
+      // whose best rep is ≥ 1 s escalates while EITHER (a) its best is
+      // >1.5× its committed healthy record (anchored rows only), OR
+      // (b) its two best reps still disagree by >25% (every row — an
+      // uncorroborated minimum is a window/JIT draw, not a settled
+      // cost). Both arms keep the cpu/s ≥ 3 guard: a rep that mostly
+      // WAITED (scheduler/IO starvation) has a diagnosis more reps
+      // would only repeat. MaxEscalations still bounds the added wall.
       var runs = runs1
       if (!repsOverridden) {
         var extra = 0
-        def unsettled: Boolean = HealthyRecord.get(name).exists { rec =>
+        def unsettled: Boolean = {
           val ok = runs.filter(_.err.isEmpty)
           ok.nonEmpty && {
             val best = ok.minBy(_.sec)
-            best.sec > 1.5 * rec && best.sec > 0 && best.cpuS / best.sec >= 3.0
+            val computing = best.sec > 0 && best.cpuS / best.sec >= 3.0
+            val anchorMiss = HealthyRecord.get(name)
+              .exists(rec => best.sec > 1.5 * rec)
+            val secs = ok.map(_.sec).sorted
+            val uncorroborated = best.sec >= 1.0 &&
+              (secs.size < 2 || secs(1) > 1.25 * secs(0))
+            computing && (anchorMiss || uncorroborated)
           }
         }
         while (extra < MaxEscalations && unsettled) {
@@ -372,7 +390,7 @@ object Bench {
     // not compared apples-to-oranges against single-rep rounds 1-4
     val windowAgg = s""""gc_total":${fmt(gcTotal)},"psi_io_total":${fmt(psiIoTotal)},"bw_min_mbs":${fmt(bwMin)},"bw_med_mbs":${fmt(bwMed)},"window_class":${jq(windowClass)}"""
     val mk = (qs: String, extra: String) =>
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,$windowAgg,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest; a single-rep query at >=1s gets an adaptive 2nd rep since r13; since r14 a heavy row whose best rep is >1.5x its committed healthy record at cpu/s>=3 escalates up to 2 extra reps, so per-rep ARRAY LENGTHS vary across draws - align on values, not rep index) since r5; spread/gc/psi_*/bw/cpu/bw_post/prep = per-rep arrays for every query since r13 (gc=JVM pause s, psi=PSI some-stall s over the timed region, bw/bw_post=MB/s fixed-work copy probe bracketing the rep, cpu=process CPU s over the timed region, prep=untimed per-rep preparation s since r14); window_class=bw_med banded healthy>=8000/mid>=4000/low; r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra,$windowAgg,"failed":${failed.mkString("{", ",", "}")},"flaky":${flakyAll.mkString("{", ",", "}")},"method":"min-of-reps(3:heavy,2:headline,1:rest; a single-rep query at >=1s gets an adaptive 2nd rep since r13; since r15 escalation is UNIFORM: any row with best>=1s at cpu/s>=3 takes up to 2 extra reps while its two best reps disagree >25% OR (anchored rows) its best is >1.5x the committed healthy record, so per-rep ARRAY LENGTHS vary across draws - align on values, not rep index) since r5; spread/gc/psi_*/bw/cpu/bw_post/prep = per-rep arrays for every query since r13 (gc=JVM pause s, psi=PSI some-stall s over the timed region, bw/bw_post=MB/s fixed-work copy probe bracketing the rep, cpu=process CPU s over the timed region, prep=untimed per-rep preparation s since r14); window_class=bw_med banded healthy>=8000/mid>=4000/low; r1-r4 were single-rep","n":${results.size},"sf":"$sfDir"}"""
     // BENCH_SELF.json is the FULL-CATALOG record; a filtered probe run
     // (SPARK_GRAFT_ONLY) must never clobber it — probes land in
     // BENCH_probe.json instead (round-10 advice: a 1-query ABBA once

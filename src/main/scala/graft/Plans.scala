@@ -21,8 +21,12 @@ object Plans {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "after")
-    val outDir = Paths.get("/root/repo/plans",
-      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "r14"))
+    // plans root resolves relative to the working directory (override
+    // with SPARK_GRAFT_PLAN_ROOT) — the r14 dumper hardcoded
+    // /root/repo/plans and broke for any other checkout (ADVICE r14)
+    val outDir = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_ROOT", "plans"),
+      sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "r15"))
     Files.createDirectories(outDir)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val base = SparkSession.builder()
@@ -43,8 +47,14 @@ object Plans {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try {
+          // NonFatal only, and LOUD: a silently-swallowed prepare
+          // failure would dump a plan against un-prepared state and
+          // mislead a before/after comparison (ADVICE r14); fatal
+          // errors (OOM, linkage) propagate
           try SparkEntry.prepares.get(name).foreach(_(spark, sfDir))
-          catch { case _: Throwable => }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[plans] $name prepare FAILED (plan may be wrong-shape): $e") }
           val df = fn(spark, sfDir)
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)

@@ -64,10 +64,13 @@ object Bfs {
     while (n > 0 && k < maxIter) {
       k += 1
       val cand = hop.mxv(new GrbVector(frontier, a.nrows), Ops.minPlus).df
-      val next = cand.join(res.select(col("i")), Seq("i"), "left_anti")
-        .freshCheckpoint(true)
+      // frontier size rides the checkpoint job as an observed metric
+      // (Iterate.checkpointWithProbe) — no per-round count job
+      val (next, probeRow) = Iterate.checkpointWithProbe(
+        cand.join(res.select(col("i")), Seq("i"), "left_anti"),
+        count(lit(1)).as("n"))
       val nextRdd = Iterate.checkpointRdd(next)
-      n = next.count()
+      n = probeRow.getLong(0)
       if (n > 0) {
         val nextRes = res.unionByName(next).freshCheckpoint(true)
         prevRes.foreach(_.unpersist(false))
@@ -125,11 +128,12 @@ object Bfs {
         frontier.select(col("s").as("i"), col("i").as("j"), lit(1L).as("v")),
         a.nrows, a.nrows)
       val prod = f.mxm(hop, Ops.plusPair).df
-      val next = prod.select(col("i").as("s"), col("j").as("i"))
-        .join(res.select(col("s"), col("i")), Seq("s", "i"), "left_anti")
-        .freshCheckpoint(true)
+      val (next, probeRow) = Iterate.checkpointWithProbe(
+        prod.select(col("i").as("s"), col("j").as("i"))
+          .join(res.select(col("s"), col("i")), Seq("s", "i"), "left_anti"),
+        count(lit(1)).as("n"))
       val nextRdd = Iterate.checkpointRdd(next)
-      n = next.count()
+      n = probeRow.getLong(0)
       if (n > 0) {
         val nextRes = res.unionByName(
           next.select(col("s"), col("i"), lit(k).as("d"))).freshCheckpoint(true)

@@ -62,20 +62,22 @@ object Coloring {
     // through broadcast-exchange reuse instead of recomputing. Above
     // Grb.BroadcastGuard the sharded plan is unchanged;
     // spark.graft.coloring.broadcast=false forces it.
-    val bcast = a.nrows <= Grb.BroadcastGuard &&
-      scala.util.Try(spark.conf.get("spark.graft.coloring.broadcast").toBoolean)
-        .getOrElse(true)
+    val bcast = a.nrows <= Grb.broadcastGuard(spark) &&
+      Grb.flag(spark, "spark.graft.coloring.broadcast", default = true)
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     Iterate.withLoopWidth(spark, nnz) { width =>
     val adj = raw.repartition(width, col(if (bcast) "i" else "j")).cache()
     adj.count() // materialize before freeing the sizing pass's cache
     raw.unpersist(false)
-    // single state frame: (n, color) with color NULL while active
-    var state: DataFrame = adj.select(col("i").as("n")).distinct()
-      .withColumn("color", lit(null).cast("long"))
-      .freshCheckpoint(true)
+    // single state frame: (n, color) with color NULL while active;
+    // the active count rides each checkpoint job as an observed metric
+    // (Iterate.checkpointWithProbe) instead of a per-round count job
+    val activeProbe = count(when(col("color").isNull, 1)).as("active")
+    var (state, probe0) = Iterate.checkpointWithProbe(
+      adj.select(col("i").as("n")).distinct()
+        .withColumn("color", lit(null).cast("long")), activeProbe)
     var prev = Iterate.checkpointRdd(state)
-    var n = state.filter(col("color").isNull).count()
+    var n = probe0.getLong(0)
     var iter = 0
     while (n > 0 && iter < maxIter) {
       val act = state.filter(col("color").isNull).select(col("n"))
@@ -103,14 +105,15 @@ object Coloring {
         used.select(col("n").as("un"), col("color").as("uc")),
         col("n") === col("un") && col("cc") === col("uc"), "left_anti")
         .groupBy("n").agg(min(col("cc")).as("color"))
-      val nextState = state.join(newc.select(col("n").as("wn"), col("color").as("wc")),
-        col("n") === col("wn"), "left")
-        .select(col("n"), coalesce(col("color"), col("wc")).as("color"))
-        .freshCheckpoint(true)
+      val (nextState, probeRow) = Iterate.checkpointWithProbe(
+        state.join(newc.select(col("n").as("wn"), col("color").as("wc")),
+          col("n") === col("wn"), "left")
+          .select(col("n"), coalesce(col("color"), col("wc")).as("color")),
+        activeProbe)
       prev.foreach(_.unpersist(false))
       prev = Iterate.checkpointRdd(nextState)
       state = nextState
-      n = state.filter(col("color").isNull).count()
+      n = probeRow.getLong(0)
       iter += 1
     }
     adj.unpersist(false)

@@ -111,8 +111,8 @@ object FastSV {
     // is the first thing an operator needs when a CC job runs long,
     // and it is invisible from the outside (one SQL execution per
     // round, no stage names). Off by default; costs one conf read.
-    val logRounds = scala.util.Try(
-      spark.conf.get("spark.graft.cc.logRounds").toBoolean).getOrElse(false)
+    val logRounds =
+      Grb.flag(spark, "spark.graft.cc.logRounds", default = false)
     // previous round's checkpoint blocks (freed once superseded)
     var prevF: Option[org.apache.spark.rdd.RDD[_]] = None
     var prevCmp: Option[org.apache.spark.rdd.RDD[_]] = None
@@ -154,14 +154,16 @@ object FastSV {
       // before f does.
       val idx = f.df.select(col("i").as("pos"), col("v").cast("long").as("idx"))
       val gathered = f.extract(Ix.Dist(idx), sizeHint = n).df
-      val cmp = gathered
+      // the change count is observed during the checkpoint job itself
+      // (Iterate.checkpointWithProbe) — no per-round isEmpty action
+      // over the materialized blocks
+      val (cmp, probeRow) = Iterate.checkpointWithProbe(gathered
         .join(gp.df.select(col("i"), col("v").as("_ov")), Seq("i"), "left")
         .select(col("i"), col("v"),
-          (col("_ov").isNull || col("v") =!= col("_ov")).as("_chg"))
-        .freshCheckpoint(true)
+          (col("_ov").isNull || col("v") =!= col("_ov")).as("_chg")),
+        count(when(col("_chg"), 1)).as("chg"))
       gp = new GrbVector(cmp.select(col("i"), col("v")), n)
-      // limit-1 scan over the just-checkpointed blocks — no shuffle
-      change = !cmp.filter(col("_chg")).isEmpty
+      change = probeRow.getLong(0) > 0
       // this round's f/cmp are materialized and lineage-free; the
       // previous round's blocks can never be referenced again. Freeing
       // them here bounds the loop's storage at O(n) instead of

@@ -1,6 +1,5 @@
 package graft.algo
 
-import Iterate.FreshOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core._
@@ -18,30 +17,48 @@ import graft.core._
   * (same fixpoint direction: both converge on the principal
   * eigenvector of AᵀA/AAᵀ up to scale), in exact integer arithmetic:
   * score′ = (score · 10⁶) DIV max(score). Every round is integer,
-  * the max attach is a lazy broadcast ≤1-row scalar (applyRightScalar
-  * — no driver materialization in the loop body), and a fixed round
-  * count makes the whole run bit-for-bit SQL-replayable.
+  * the max is observed during the product's own checkpoint job
+  * (Iterate.checkpointWithProbe), and a fixed round count makes the
+  * whole run bit-for-bit SQL-replayable.
   *
-  * Scale shape: the adjacency is cached ONCE and reused by both
-  * orientations (vxm contracts on i, mxv on j — each round's two
-  * products shuffle only the current O(n) score vector, never the
-  * adjacency); each round is two equi-joins + two hash aggs
-  * (map-side partials) + two broadcast scalar attaches + one reduce
-  * per normalize, O(nnz) per round. Per-round state eagerly
-  * localCheckpoint'ed, superseded blocks freed (the Iterate
-  * discipline). Overflow bound: a pre-normalize sum is ≤ deg_max·10⁶
-  * and the scale multiply keeps every intermediate ≤ deg_max·10¹² —
-  * int64-safe while deg_max < 9·10⁶; documented, not silently
-  * saturated.
+  * Scale shape (round-15 surgery; the r14 profile showed 122 stages /
+  * 10 rounds with stage-wall 2.48 s of 5.7 s wall — per-round driver
+  * fixed cost, not data work):
+  *  - BROADCAST MODE below Grb.BroadcastGuard (the LPA §17o family):
+  *    the score vectors broadcast into the product joins, so the
+  *    joins no longer demand contraction-key clustering — each
+  *    orientation is cached partitioned by its product's OUTPUT key
+  *    instead (vxm outputs j, mxv outputs i), the broadcast-hash
+  *    join preserves that partitioning, and BOTH per-round product
+  *    aggregates plan exchange-free.
+  *  - SHARDED MODE above the guard: orientations keyed by the
+  *    contraction keys exactly as before (vxm contracts on i, mxv on
+  *    j) — the O(nnz) adjacency must never re-shuffle per round, and
+  *    only the O(n) score vector rides each product's agg exchange.
+  *  - The per-round normalize's max bound is an OBSERVED METRIC of
+  *    the product's checkpoint job (CollectMetrics) instead of a
+  *    broadcast scalar subquery: the old plan re-aggregated the
+  *    checkpointed product and built a 1-row broadcast exchange per
+  *    normalize (2 extra stage-jobs per round); now the max arrives
+  *    with the checkpoint for free and the normalize is a pure
+  *    projection. Exact integer max — bit-identical results.
+  * Per-round state eagerly checkpointed, superseded blocks freed
+  * (the Iterate discipline). Overflow bound: a pre-normalize sum is
+  * ≤ deg_max·10⁶ and the scale multiply keeps every intermediate
+  * ≤ deg_max·10¹² — int64-safe while deg_max < 9·10⁶; documented,
+  * not silently saturated.
   */
 object Hits {
 
-  /** one normalize step: v′ = (v · scale) DIV max(v), the max bound
-    * as a LAZY broadcast scalar so the loop body stays one plan
+  /** one normalize step: v′ = (v · scale) DIV mx, the max bound as a
+    * LITERAL observed from the checkpoint job (empty vector → empty
+    * result, matching the old empty-scalar crossJoin semantics)
     */
-  private def normalize(v: GrbVector, scale: Long): GrbVector =
-    v.applyRight(Ops.times, lit(scale))
-      .applyRightScalar(Ops.floordiv, v.reduce(Ops.maxMonoid))
+  private def normalize(v: GrbVector, scale: Long,
+      mx: org.apache.spark.sql.Row): GrbVector =
+    if (mx.isNullAt(0)) new GrbVector(v.df.filter(lit(false)), v.size)
+    else v.applyRight(Ops.times, lit(scale))
+      .applyRight(Ops.floordiv, lit(mx.getLong(0)))
 
   /** @param a      directed adjacency (i → j); values ignored
     * @param rounds fixed iteration count (oracle-replayable)
@@ -62,59 +79,64 @@ object Hits {
     // (Iterate.withLoopWidth scaladoc: the ITERTAIL decomposition)
     val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
     val nnz = raw.count()
+    // zero-exchange product rounds below the guard; sharded CSR/CSC
+    // above it (see the scale-shape scaladoc). Escape hatch mirrors
+    // the lpa/mis/kcore/coloring/scc family.
+    val bcast = a.nrows <= Grb.broadcastGuard(spark) &&
+      Grb.flag(spark, "spark.graft.hits.broadcast", default = true)
     Iterate.withLoopWidth(spark, nnz) { width =>
-    // two cached orientations — CSR/CSC, the standard trade: vxm
-    // contracts on i, mxv on j, and each product must NOT re-shuffle
-    // the O(nnz) adjacency per round. The score vectors broadcast
-    // (≤ BroadcastGuard) so the products join adjacency in place; past
-    // the guard the join falls back to shuffle and these cached
-    // partitionings keep the exchange on the O(n) vector side only
-    // (the PageRank pattern).
-    val adjI = new GrbMatrix(
-      raw.repartition(width, col("i")).cache(), a.nrows, a.ncols)
-    val adjJ = new GrbMatrix(
-      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
-    adjI.df.count(); adjJ.df.count() // materialize, then free the sizing cache
+    // two cached orientations: by the product's OUTPUT key in
+    // broadcast mode (broadcast join preserves the streamed side's
+    // partitioning → the aggregate rides it exchange-free), by the
+    // CONTRACTION key in sharded mode (the adjacency must not
+    // re-shuffle; only the vector side exchanges).
+    val adjVxm = new GrbMatrix(
+      raw.repartition(width, col(if (bcast) "j" else "i")).cache(),
+      a.nrows, a.ncols)
+    val adjMxv = new GrbMatrix(
+      raw.repartition(width, col(if (bcast) "i" else "j")).cache(),
+      a.nrows, a.ncols)
+    adjVxm.df.count(); adjMxv.df.count() // materialize, then free the sizing cache
     raw.unpersist(false)
-    // hub support = vertices with out-edges, starting mass 1 each
+    // hub support = vertices with out-edges, starting mass 1 each;
+    // seeded from whichever orientation is partitioned by i so the
+    // init distinct plans exchange-free in both modes
+    val byI = if (bcast) adjMxv else adjVxm
     var hub = new GrbVector(
-      adjI.df.select(col("i")).distinct().select(col("i"), lit(1L).as("v"))
-        .freshCheckpoint(true), a.nrows)
+      org.apache.spark.sql.graft.FreshCheckpoint(
+        byI.df.select(col("i")).distinct()
+          .select(col("i"), lit(1L).as("v"))), a.nrows)
     var auth: GrbVector = null
-    // checkpoint the RAW O(nnz) products; keep each normalize LAZY
-    // over its checkpoint. The normalize's max bound is a broadcast
-    // subquery, and under AQE a subquery's exchange is NOT reliably
-    // reused across the value side — an un-checkpointed product would
-    // re-run the full 2M-row join once per reference (measured 2-3×
-    // per round). Normalizing a checkpointed scan costs one O(n)
-    // agg instead.
+    // checkpoint the RAW O(nnz) products; each normalize is a LAZY
+    // projection over its checkpoint with the observed max as a
+    // literal — no scalar subquery, no per-normalize broadcast build.
     var prevA: Option[org.apache.spark.rdd.RDD[_]] = None
     var prevH = Iterate.checkpointRdd(hub.df)
     for (r <- 1 to rounds) {
-      val aRaw = new GrbVector(
-        hub.vxm(adjI, Ops.plusTimes, broadcastSelf = true)
-          .df.freshCheckpoint(true), a.nrows)
-      val a1 = normalize(aRaw, scale)
-      val hRaw = new GrbVector(
-        adjJ.mxv(a1, Ops.plusTimes).df.freshCheckpoint(true), a.nrows)
+      val (aCk, aProbe) = Iterate.checkpointWithProbe(
+        hub.vxm(adjVxm, Ops.plusTimes, broadcastSelf = true).df,
+        max(col("v")).as("mx"))
+      val a1 = normalize(new GrbVector(aCk, a.nrows), scale, aProbe)
+      val (hCk, hProbe) = Iterate.checkpointWithProbe(
+        adjMxv.mxv(a1, Ops.plusTimes).df, max(col("v")).as("mx"))
       // previous rounds' blocks can never be referenced again (this
       // round's raws are materialized); the LAST round's stay live —
       // the returned frame reads them
       if (r < rounds) {
         prevA.foreach(_.unpersist(false))
         prevH.foreach(_.unpersist(false))
-        prevA = Iterate.checkpointRdd(aRaw.df)
-        prevH = Iterate.checkpointRdd(hRaw.df)
+        prevA = Iterate.checkpointRdd(aCk)
+        prevH = Iterate.checkpointRdd(hCk)
       }
-      hub = normalize(hRaw, scale)
+      hub = normalize(new GrbVector(hCk, a.nrows), scale, hProbe)
       if (r == rounds) auth = a1
     }
     // the second-to-last round's blocks (skipped above so the final
     // round could still read them during its own materialization)
     prevA.foreach(_.unpersist(false))
     prevH.foreach(_.unpersist(false))
-    adjI.df.unpersist(false)
-    adjJ.df.unpersist(false)
+    adjVxm.df.unpersist(false)
+    adjMxv.df.unpersist(false)
     hub.df.select(col("i"), col("v").as("_h"))
       .join(auth.df.select(col("i"), col("v").as("_a")), Seq("i"), "full_outer")
       .select(col("i"), coalesce(col("_h"), lit(0L)).as("hub_ppm"),

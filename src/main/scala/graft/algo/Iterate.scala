@@ -59,6 +59,41 @@ object Iterate {
     loop(init, maxIter)(step)(converged)(v =>
       new GrbVector(v.df.freshCheckpoint(true), v.size))
 
+  /** Eager [[FreshOps.freshCheckpoint]] whose materialization job ALSO
+    * evaluates the given aggregate `probe` columns over the
+    * checkpointed rows, via `Dataset.observe` (CollectMetrics): the
+    * loop's convergence/count probe rides the checkpoint job instead
+    * of paying its own driver round-trip per round. Before this, every
+    * data-driven loop ran one extra action per round over the
+    * just-materialized blocks — a `count()` (two stages: partial agg +
+    * single-partition exchange) or an `isEmpty` (executeTake, which on
+    * the stable FINAL round scans every partition in sequential
+    * escalating waves). The observe aggregate is computed by the
+    * materialization tasks themselves and read off the executed plan's
+    * accumulators after the job — zero extra jobs, zero extra scans
+    * (guide §2: per-round fixed cost scales with rounds; VERDICT r14
+    * item 1 "hoist the convergence probe into the gather job").
+    *
+    * The CollectMetrics node passes rows through unchanged and
+    * preserves the child's output partitioning, so the checkpointed
+    * frame keeps its clustering (the broadcast-mode loops' zero-
+    * exchange rounds depend on it — spec-pinned in PlanAuditSpec).
+    *
+    * @return (checkpointed frame, probe row — one column per probe
+    *         aggregate, initial aggregate values when the frame is
+    *         empty, e.g. count = 0)
+    */
+  def checkpointWithProbe(df: DataFrame,
+      probe: org.apache.spark.sql.Column,
+      more: org.apache.spark.sql.Column*): (DataFrame, org.apache.spark.sql.Row) = {
+    // fixed name is safe: checkpointed frames are LogicalRDD scans, so
+    // a round's plan carries exactly one CollectMetrics node
+    val name = "graft_probe"
+    val (out, metrics) = org.apache.spark.sql.graft.FreshCheckpoint
+      .withObserved(df.observe(name, probe, more: _*))
+    (out, metrics(name))
+  }
+
   /** the localCheckpoint block-RDD behind a checkpointed frame (lazy
     * and eager checkpoints both wrap a LogicalRDD). Used to free
     * superseded rounds' blocks — without this an iteration pins
@@ -96,13 +131,16 @@ object Iterate {
     var prev: Option[org.apache.spark.rdd.RDD[_]] = None
     while (change && iter < maxIter) {
       val next = step(f, iter)
-      val cmp = next.df
+      // the change flag doubles as the convergence probe: its count is
+      // observed during the checkpoint job itself (checkpointWithProbe
+      // — no per-round isEmpty action over the materialized blocks)
+      val (cmp, probeRow) = checkpointWithProbe(next.df
         .join(f.df.select(col("i"), col("v").as("_ov")), Seq("i"), "left")
         .select(col("i"), col("v"),
-          (col("_ov").isNull || col("v") =!= col("_ov")).as("_chg"))
-        .freshCheckpoint(true)
+          (col("_ov").isNull || col("v") =!= col("_ov")).as("_chg")),
+        count(when(col("_chg"), 1)).as("chg"))
       f = new GrbVector(cmp.select(col("i"), col("v")), next.size)
-      change = !cmp.filter(col("_chg")).isEmpty
+      change = probeRow.getLong(0) > 0
       // this round's state is materialized and lineage-free; the
       // previous round's blocks can never be referenced again
       prev.foreach(_.unpersist(false))

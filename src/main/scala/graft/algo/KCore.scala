@@ -66,9 +66,8 @@ object KCore {
     // pattern): survivor-vector joins broadcast, adjacency cached by
     // i — see coreDegree below. Above the guard the sharded j-cache
     // plan is unchanged; spark.graft.kcore.broadcast=false forces it.
-    val bcast = a.nrows <= Grb.BroadcastGuard &&
-      scala.util.Try(spark.conf.get("spark.graft.kcore.broadcast").toBoolean)
-        .getOrElse(true)
+    val bcast = a.nrows <= Grb.broadcastGuard(spark) &&
+      Grb.flag(spark, "spark.graft.kcore.broadcast", default = true)
     def hint(df: org.apache.spark.sql.DataFrame) =
       if (bcast) org.apache.spark.sql.functions.broadcast(df) else df
     Iterate.withLoopWidth(spark, nnz) { width =>
@@ -93,11 +92,13 @@ object KCore {
     def coreDegree(s: GrbVector): GrbVector =
       A.mxv(s, Ops.plusPair,
         mask = Some(Mask.structural(hint(s.df))), broadcastVec = bcast)
-    var s = new GrbVector(
-      A.df.select(col("i"), lit(1L).as("v")).distinct()
-        .freshCheckpoint(true), a.nrows)
+    // survivor counts ride each checkpoint job as an observed metric
+    // (Iterate.checkpointWithProbe) instead of a per-round count job
+    val (s0, sProbe0) = Iterate.checkpointWithProbe(
+      A.df.select(col("i"), lit(1L).as("v")).distinct(), count(lit(1)).as("n"))
+    var s = new GrbVector(s0, a.nrows)
     var prev = Iterate.checkpointRdd(s.df)
-    var n = s.df.count()
+    var n = sProbe0.getLong(0)
     // survivor count at the last edge-set materialization: peels
     // front-load their shrink (measured on the bench graph: 63% of
     // nnz dies in round 1, then a long near-stable tail), so when the
@@ -152,10 +153,11 @@ object KCore {
     while (!stable && iter < maxIter && n > 0) {
       val t0 = System.nanoTime()
       taskMs.set(0L)
-      val next = new GrbVector(
+      val (nextDf, probeRow) = Iterate.checkpointWithProbe(
         coreDegree(s).selectOp(_ >= k).df
-          .select(col("i"), lit(1L).as("v")).freshCheckpoint(true), a.nrows)
-      val n2 = next.df.count()
+          .select(col("i"), lit(1L).as("v")), count(lit(1)).as("n"))
+      val next = new GrbVector(nextDf, a.nrows)
+      val n2 = probeRow.getLong(0)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       stable = n2 == n
       prev.foreach(_.unpersist(false))

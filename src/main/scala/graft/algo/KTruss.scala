@@ -34,10 +34,11 @@ object KTruss {
     if (a.nrows != a.ncols) GraphblasException.dimensionMismatch(
       s"ktruss adjacency must be square: ${a.nrows}x${a.ncols}")
     require(k >= 3L, s"ktruss needs k >= 3, got $k")
-    var e: DataFrame = a.df.select(col("i"), col("j"))
-      .filter(col("i") =!= col("j")).freshCheckpoint(true)
+    var (e: DataFrame, eProbe0) = Iterate.checkpointWithProbe(
+      a.df.select(col("i"), col("j")).filter(col("i") =!= col("j")),
+      count(lit(1)).as("n"))
     var prev = Iterate.checkpointRdd(e)
-    var n = e.count()
+    var n = eProbe0.getLong(0)
     // rounds × block fan-out is the fixed cost — run the peel at the
     // loop width (Iterate.withLoopWidth); the support mxm's product
     // rows stay bounded by wedge counts on the surviving edge set
@@ -49,9 +50,11 @@ object KTruss {
       iter += 1
       val em = new GrbMatrix(e.withColumn("v", lit(1L)), a.nrows, a.ncols)
       val c = em.mxm(em, Ops.plusPair, mask = Some(Mask.structural(em.df)))
-      val s = c.df.filter(col("v") >= k - 2).freshCheckpoint(true)
+      // surviving-edge count rides the checkpoint job (observed metric)
+      val (s, probeRow) = Iterate.checkpointWithProbe(
+        c.df.filter(col("v") >= k - 2), count(lit(1)).as("n"))
       val sRdd = Iterate.checkpointRdd(s)
-      val n2 = s.count()
+      val n2 = probeRow.getLong(0)
       prev.foreach(_.unpersist(false))
       prev = sRdd
       sup = s

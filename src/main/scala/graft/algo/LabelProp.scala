@@ -66,9 +66,8 @@ object LabelProp {
     // bytes dominate and per-executor label replication would cost
     // more than the exchanges it saves. spark.graft.lpa.broadcast
     // (default true) is the escape hatch for the guard's gray zone.
-    val bcast = a.nrows <= Grb.BroadcastGuard &&
-      scala.util.Try(spark.conf.get("spark.graft.lpa.broadcast").toBoolean)
-        .getOrElse(true)
+    val bcast = a.nrows <= Grb.broadcastGuard(spark) &&
+      Grb.flag(spark, "spark.graft.lpa.broadcast", default = true)
     Iterate.withLoopWidth(spark, nnz) { width =>
       // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
       // §17g): same mechanism as FastSV — many rounds of few-MB

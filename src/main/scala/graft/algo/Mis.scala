@@ -62,9 +62,8 @@ object Mis {
     // below is unchanged — at n ≫ guard per-executor replication of
     // the active set costs more than the vertex-sized exchanges it
     // saves. spark.graft.mis.broadcast=false forces the sharded plan.
-    val bcast = a.nrows <= Grb.BroadcastGuard &&
-      scala.util.Try(spark.conf.get("spark.graft.mis.broadcast").toBoolean)
-        .getOrElse(true)
+    val bcast = a.nrows <= Grb.broadcastGuard(spark) &&
+      Grb.flag(spark, "spark.graft.mis.broadcast", default = true)
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     Iterate.withLoopWidth(spark, nnz) { width =>
     // Whole-stage codegen OFF for the loop (round-14, PERF_NOTES
@@ -77,12 +76,14 @@ object Mis {
     val adj = raw.repartition(width, col(if (bcast) "i" else "j")).cache()
     adj.count() // materialize before freeing the sizing pass's cache
     raw.unpersist(false)
-    var act: DataFrame = adj.select(col("i").as("n")).distinct()
-      .freshCheckpoint(true)
+    // the active count rides each checkpoint job as an observed metric
+    // (Iterate.checkpointWithProbe) instead of a per-round count job
+    var (act, probe0) = Iterate.checkpointWithProbe(
+      adj.select(col("i").as("n")).distinct(), count(lit(1)).as("n"))
     var mis: DataFrame = act.filter(lit(false)).freshCheckpoint(true)
     var prevAct = Iterate.checkpointRdd(act)
     var prevMis = Iterate.checkpointRdd(mis)
-    var n = act.count()
+    var n = probe0.getLong(0)
     var iter = 0
     while (n > 0 && iter < maxIter) {
       val actB = act.select(col("n").as("nb"), pkey(col("n")).as("bpk"))
@@ -109,8 +110,9 @@ object Mis {
         .join(hint(sel.select(col("n").as("s"))),
           col("j") === col("s"), "leftsemi")
         .select(col("i").as("n"))
-      val nextAct = act.join(hint(sel), Seq("n"), "left_anti")
-        .join(hint(newOut), Seq("n"), "left_anti").freshCheckpoint(true)
+      val (nextAct, probeRow) = Iterate.checkpointWithProbe(
+        act.join(hint(sel), Seq("n"), "left_anti")
+          .join(hint(newOut), Seq("n"), "left_anti"), count(lit(1)).as("n"))
       val nextMis = mis.unionByName(sel).freshCheckpoint(true)
       prevAct.foreach(_.unpersist(false))
       prevMis.foreach(_.unpersist(false))
@@ -119,7 +121,7 @@ object Mis {
       prevMis = Iterate.checkpointRdd(nextMis)
       act = nextAct
       mis = nextMis
-      n = act.count()
+      n = probeRow.getLong(0)
       iter += 1
     }
     adj.unpersist(false)

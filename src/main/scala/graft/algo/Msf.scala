@@ -81,16 +81,18 @@ object Msf {
         .filter(col("la") =!= col("lb"))
       // per-component lightest incident edge; DISTINCT because both
       // endpoints' components may pick the same edge
-      val sel = cross.select(col("la").as("c"), col("pk"))
+      val sel0 = cross.select(col("la").as("c"), col("pk"))
         .unionByName(cross.select(col("lb").as("c"), col("pk")))
         .groupBy(col("c")).agg(min(col("pk")).as("pk"))
         .select(col("pk")).distinct()
         .select(shiftright(col("pk"), ShiftW).as("w"),
           shiftright(col("pk"), ShiftA).bitwiseAND(lit(MaskId)).as("a"),
           col("pk").bitwiseAND(lit(MaskId)).as("b"))
-        .freshCheckpoint(true)
+      // picked-edge count rides the checkpoint job (observed metric)
+      val (sel, selProbe) = Iterate.checkpointWithProbe(
+        sel0, count(lit(1)).as("n"))
       val selRdd = Iterate.checkpointRdd(sel)
-      if (sel.isEmpty) {
+      if (selProbe.getLong(0) == 0L) {
         selRdd.foreach(_.unpersist(false))
         live = false
       } else {

@@ -48,9 +48,24 @@ object PageRank {
     // block fan-out; size the loop by nnz instead
     val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
     val nnz = raw.count()
+    // ZERO-EXCHANGE ROUNDS below the broadcast guard (round-15; the
+    // LPA §17o family reaches the value-iteration tier): the rank
+    // vector broadcasts into the mxv join, so the join no longer
+    // demands j-clustering — the adjacency caches partitioned by I
+    // (the product's OUTPUT key), the broadcast-hash join preserves
+    // that partitioning, and the per-vertex sum, the degree reduce,
+    // AND the contrib ewise-join (deg by i × the i-partitioned
+    // checkpoint, which round-15 FreshCheckpoint now carries) all
+    // plan exchange-free. Above the guard the sharded plan is
+    // unchanged: adjacency by j, only the O(n) rank vector rides the
+    // two per-round exchanges — the right 100 TB shape, where
+    // per-executor rank replication would dominate.
+    val bcast = a.nrows <= Grb.broadcastGuard(spark) &&
+      Grb.flag(spark, "spark.graft.pagerank.broadcast", default = true)
     Iterate.withLoopWidth(spark, nnz) { width =>
     val ones = new GrbMatrix(
-      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col(if (bcast) "i" else "j")).cache(),
+      a.nrows, a.ncols)
     val deg = new GrbVector(
       Iterate.truncate(ones.reduceRowwise(Ops.plusMonoid).df).cache(), a.nrows)
     val nNodes = deg.nvals // 1-row driver action, reused every round
@@ -60,7 +75,7 @@ object PageRank {
       deg.df.select(col("i"), lit(scale / nNodes).as("v")), a.nrows)
     val out = Iterate.vectorLoop(init, rounds) { (r, _) =>
       val contrib = r.ewiseMult(deg, Ops.floordiv)
-      ones.mxv(contrib, Ops.plusTimes, broadcastVec = false)
+      ones.mxv(contrib, Ops.plusTimes, broadcastVec = bcast)
         .applyRight(Ops.times, lit(dampNum))
         .applyRight(Ops.floordiv, lit(dampDen))
         .applyRight(Ops.plus, lit(base))
@@ -98,9 +113,15 @@ object PageRank {
     val spark = a.df.sparkSession
     val raw = a.df.select(col("i"), col("j"), lit(1L).as("v")).cache()
     val nnz = raw.count()
+    // broadcast mode mirrors [[ranks]] — and pays off even more here:
+    // the PPR vector is SPARSE (round k's support is the k-hop ball),
+    // so the per-round broadcast is a fraction of the vertex set
+    val bcast = a.nrows <= Grb.broadcastGuard(spark) &&
+      Grb.flag(spark, "spark.graft.pagerank.broadcast", default = true)
     Iterate.withLoopWidth(spark, nnz) { width =>
     val ones = new GrbMatrix(
-      raw.repartition(width, col("j")).cache(), a.nrows, a.ncols)
+      raw.repartition(width, col(if (bcast) "i" else "j")).cache(),
+      a.nrows, a.ncols)
     val deg = new GrbVector(
       Iterate.truncate(ones.reduceRowwise(Ops.plusMonoid).df).cache(), a.nrows)
     deg.nvals // materializes deg and with it ones
@@ -114,7 +135,7 @@ object PageRank {
       spark.range(1).select(lit(seed).as("i"), lit(base).as("v")), a.nrows)
     val out = Iterate.vectorLoop(init, rounds) { (r, _) =>
       val contrib = r.ewiseMult(deg, Ops.floordiv)
-      ones.mxv(contrib, Ops.plusTimes, broadcastVec = false)
+      ones.mxv(contrib, Ops.plusTimes, broadcastVec = bcast)
         .applyRight(Ops.times, lit(dampNum))
         .applyRight(Ops.floordiv, lit(dampDen))
         .ewiseAdd(teleport, Ops.plus)

@@ -180,11 +180,21 @@ object RandomWalk {
     // per-step checkpoints all stay live until the caller drops the
     // result (unlike the fixpoint loops, which free old rounds)
     val parts = scala.collection.mutable.ListBuffer[DataFrame](pos)
+    // Broadcast mode below the guard (round-15; the §17o family): the
+    // walker frame (≤ one row per vertex) broadcasts into the move
+    // join, so the cached (v, idx) layout streams in place and no
+    // per-step exchange of the walker frame remains — the walk step
+    // becomes a map-side join over the cached adjacency. Above the
+    // guard the walker frame rides the one per-step exchange exactly
+    // as before (broadcasting a 100 TB walker set is the wrong trade).
+    val bcast = a.nrows <= Grb.broadcastGuard(a.df.sparkSession) &&
+      Grb.flag(a.df.sparkSession, "spark.graft.walks.broadcast", default = true)
     for (t <- 1 to steps) {
       val drawn = pos
         .withColumn("_ix", pmod(graft.pipeline.TextDedup.hash32(
           concat_ws("_", col("start"), col("cur"), lit(t))), col("curDeg")))
-      val nxt = drawn
+      val drawnSide = if (bcast) broadcast(drawn) else drawn
+      val nxt = drawnSide
         .join(indexed.select(col("v").as("cur"), col("idx").as("_ix"),
           col("nbr"), col("nbrDeg")), Seq("cur", "_ix"))
         .select(col("start"), lit(t.toLong).as("step"),

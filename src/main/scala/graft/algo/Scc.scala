@@ -67,19 +67,21 @@ object Scc {
     val nodes = edges.select(col("u").as("n"))
       .unionByName(edges.select(col("v").as("n"))).distinct()
     // state: block key (bf, bb), finalized flag, scc label
-    var st = nodes.select(col("n"), lit(0L).as("bf"), lit(0L).as("bb"),
-        lit(false).as("done"), lit(null).cast(LongType).as("scc"))
-      .freshCheckpoint(true)
+    // every vertex starts not-done, so the initial remaining-count is
+    // the plain row count, observed during the checkpoint job
+    var (st, stProbe0) = Iterate.checkpointWithProbe(
+      nodes.select(col("n"), lit(0L).as("bf"), lit(0L).as("bb"),
+        lit(false).as("done"), lit(null).cast(LongType).as("scc")),
+      count(lit(1)).as("remaining"))
     var stRdd = Iterate.checkpointRdd(st)
-    var remaining = st.count()
+    var remaining = stProbe0.getLong(0)
     // Broadcast mode below the guard (the §17o-§17q family, keyed on
     // the ACTUAL vertex count just counted): label fragments broadcast
     // into the propagation joins so the edge set never re-clusters.
     // spark.graft.scc.broadcast=false forces the sharded plan.
-    val bcast = remaining <= graft.core.Grb.BroadcastGuard &&
-      scala.util.Try(
-        raw.sparkSession.conf.get("spark.graft.scc.broadcast").toBoolean)
-        .getOrElse(true)
+    val bcast = remaining <= graft.core.Grb.broadcastGuard(raw.sparkSession) &&
+      graft.core.Grb.flag(raw.sparkSession, "spark.graft.scc.broadcast",
+        default = true)
     def hint(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     var outer = 0
     var innerTotal = 0
@@ -129,17 +131,19 @@ object Scc {
         val ub = ubBase.join(hint(fb.select(col("n").as("v"), col("b").as("bv"))), Seq("v"))
           .groupBy(col("u").as("nb")).agg(min(col("bv")).as("mb"))
         // one checkpoint job per round carrying the change flag (the
-        // vectorLoopStable cmp-frame pattern, two values instead of one)
-        val next = fb
+        // vectorLoopStable cmp-frame pattern, two values instead of
+        // one); the change count is observed during the checkpoint job
+        // itself (Iterate.checkpointWithProbe — no per-round isEmpty)
+        val (next, probeRow) = Iterate.checkpointWithProbe(fb
           .join(uf, col("n") === col("nf"), "left")
           .join(ub, col("n") === col("nb"), "left")
           .select(col("n"),
             least(col("f"), coalesce(col("mf"), col("f"))).as("f"),
             least(col("b"), coalesce(col("mb"), col("b"))).as("b"),
             (coalesce(col("mf"), col("f")) < col("f") ||
-              coalesce(col("mb"), col("b")) < col("b")).as("_chg"))
-          .freshCheckpoint(true)
-        change = !next.filter(col("_chg")).isEmpty
+              coalesce(col("mb"), col("b")) < col("b")).as("_chg")),
+          count(when(col("_chg"), 1)).as("chg"))
+        change = probeRow.getLong(0) > 0
         fbRdd.foreach(_.unpersist(false))
         fbRdd = Iterate.checkpointRdd(next)
         fb = next.select("n", "f", "b")
@@ -148,16 +152,16 @@ object Scc {
       innerTotal += inner
       // finalize f==b (guaranteed non-empty: each block's min vertex),
       // refine survivors' block to (f, b)
-      val nextSt = st
+      val (nextSt, stProbe) = Iterate.checkpointWithProbe(st
         .join(fb.select(col("n"), col("f"), col("b")), Seq("n"), "left")
         .select(col("n"),
           coalesce(col("f"), col("bf")).as("bf"),
           coalesce(col("b"), col("bb")).as("bb"),
           (col("done") || col("f") === col("b")).as("done"),
           when(col("done"), col("scc"))
-            .otherwise(when(col("f") === col("b"), col("f"))).as("scc"))
-        .freshCheckpoint(true)
-      remaining = nextSt.filter(!col("done")).count()
+            .otherwise(when(col("f") === col("b"), col("f"))).as("scc")),
+        count(when(!col("done"), 1)).as("remaining"))
+      remaining = stProbe.getLong(0)
       stRdd.foreach(_.unpersist(false))
       fbRdd.foreach(_.unpersist(false))
       shardCaches.foreach(_.unpersist(false))

@@ -59,12 +59,13 @@ object SpCount {
       // the sum of its frontier-neighbours' path counts
       val cand = hop.mxv(f, Ops.plusTimes).df
       // complement mask: only first-touch (= shortest-distance) counts
-      // survive; eager checkpoint — both the count() and the union
-      // below hang off it
-      val next = cand.join(res.select(col("i")), Seq("i"), "left_anti")
-        .freshCheckpoint(true)
+      // survive; frontier size rides the checkpoint job as an observed
+      // metric (Iterate.checkpointWithProbe) — no per-round count job
+      val (next, probeRow) = Iterate.checkpointWithProbe(
+        cand.join(res.select(col("i")), Seq("i"), "left_anti"),
+        count(lit(1)).as("n"))
       val nextRdd = Iterate.checkpointRdd(next)
-      n = next.count()
+      n = probeRow.getLong(0)
       if (n > 0) {
         val nextRes = res.unionByName(
           next.select(col("i"), lit(k).as("d"), col("v").as("sigma")))
@@ -235,11 +236,12 @@ object SpCount {
         frontier.select(col("s").as("i"), col("i").as("j"),
           col("sigma").as("v")), a.nrows, a.nrows)
       val prod = f.mxm(hop, Ops.plusTimes).df
-      val next = prod.select(col("i").as("s"), col("j").as("i"), col("v"))
-        .join(res.select(col("s"), col("i")), Seq("s", "i"), "left_anti")
-        .freshCheckpoint(true)
+      val (next, probeRow) = Iterate.checkpointWithProbe(
+        prod.select(col("i").as("s"), col("j").as("i"), col("v"))
+          .join(res.select(col("s"), col("i")), Seq("s", "i"), "left_anti"),
+        count(lit(1)).as("n"))
       val nextRdd = Iterate.checkpointRdd(next)
-      n = next.count()
+      n = probeRow.getLong(0)
       if (n > 0) {
         val nextRes = res.unionByName(next.select(col("s"), col("i"),
           lit(k).as("d"), col("v").as("sigma"))).freshCheckpoint(true)

@@ -51,7 +51,27 @@ object FreshCheckpoint {
   /** @param eager materialize now (one job), like localCheckpoint(true);
     *              false marks the RDD and lets the next job materialize
     */
-  def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
+  def apply(df: DataFrame, eager: Boolean = true): DataFrame =
+    build(df, eager)._1
+
+  /** Eager [[apply]] that ALSO returns the `Dataset.observe`
+    * (CollectMetrics) rows gathered during the SAME materialization
+    * job, keyed by observation name — the hook that lets an iterative
+    * loop's convergence probe ride the checkpoint job instead of
+    * paying its own per-round driver round-trip (an executeTake /
+    * count over the just-written blocks; the stable final round's
+    * isEmpty scans EVERY partition in sequential escalating waves).
+    * The metrics are read straight off the executed plan's
+    * accumulators after the materialization count returns
+    * (CollectMetricsExec.collect descends into AQE / cached
+    * subtrees), so there is no listener race and no extra job. The
+    * caller attaches the probe with `df.observe(name, aggCols...)`
+    * before checkpointing.
+    */
+  def withObserved(df: DataFrame): (DataFrame, Map[String, Row]) =
+    build(df, eager = true)
+
+  private def build(df: DataFrame, eager: Boolean): (DataFrame, Map[String, Row]) = {
     val ds = df.asInstanceOf[Dataset[Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
@@ -67,11 +87,37 @@ object FreshCheckpoint {
       SQLExecution.withNewExecutionId(qe, Some("freshCheckpoint")) {
         internalRdd.count()
       }
+    // observed metrics (only meaningful after an eager materialization:
+    // the accumulators are filled by the job's own tasks)
+    val observed =
+      if (eager)
+        org.apache.spark.sql.execution.CollectMetricsExec.collect(physical)
+      else Map.empty[String, Row]
     // PartitioningCollection can nest exponentially through deep
     // joins; keep the first leaf (the fromDataset rule)
     @scala.annotation.tailrec
     def firstLeaf(p: Partitioning): Partitioning = p match {
       case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case other => other
+    }
+    // Round-15: read the partitioning from the FINAL physical plan.
+    // AdaptiveSparkPlanExec is a leaf node whose outputPartitioning is
+    // UnknownPartitioning, so any AQE-wrapped plan (= any plan with an
+    // exchange, broadcast included) silently dropped its clustering at
+    // the checkpoint — every loop round's cmp/state join then
+    // re-exchanged the vertex-sized frame it had just written with a
+    // known hash layout. After execute() the final plan exists and its
+    // outputPartitioning describes the materialized RDD truthfully
+    // (AQE-coalesced shuffles report CoalescedHashPartitioning, which
+    // still satisfies the downstream ClusteredDistribution). The same
+    // unwrap looks through CollectMetrics (the withObserved probe).
+    @scala.annotation.tailrec
+    def partitioningSource(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        partitioningSource(a.finalPhysicalPlan)
+      case c: org.apache.spark.sql.execution.CollectMetricsExec =>
+        partitioningSource(c.child)
       case other => other
     }
     // capped stats: cheap to read — every loop leaf below is itself a
@@ -82,10 +128,11 @@ object FreshCheckpoint {
     val src = qe.optimizedPlan.stats.sizeInBytes
     val originStats =
       if (src < default) Some(Statistics(sizeInBytes = src)) else None
+    val partSrc = partitioningSource(physical)
     val logical = LogicalRDD(
       ds.logicalPlan.output, internalRdd,
-      firstLeaf(physical.outputPartitioning),
-      physical.outputOrdering, ds.isStreaming)(spark, originStats, None)
-    Dataset.ofRows(spark, logical)
+      firstLeaf(partSrc.outputPartitioning),
+      partSrc.outputOrdering, ds.isStreaming)(spark, originStats, None)
+    (Dataset.ofRows(spark, logical), observed)
   }
 }

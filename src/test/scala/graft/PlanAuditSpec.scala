@@ -426,15 +426,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(!jobs.isEmpty && !jobs.contains("MISSING"),
         s"freshCheckpoint job missing an SQL execution id: $jobs")
     } finally spark.sparkContext.removeSparkListener(lst)
-    // partitioning parity with the standard checkpoint: under AQE the
-    // executed plan reports UnknownPartitioning either way (verified
-    // against Dataset.localCheckpoint), so fresh loses nothing
+    // Round-15: freshCheckpoint now reads partitioning from the FINAL
+    // AQE physical plan (AdaptiveSparkPlanExec is a leaf reporting
+    // UnknownPartitioning — the standard localCheckpoint drops the
+    // clustering there), so a hash-clustered frame KEEPS its layout
+    // through the checkpoint and downstream joins/aggs on the same
+    // key plan exchange-free. Pin: fresh reports a hash clustering on
+    // i where the standard checkpoint reports Unknown.
     val viaFresh = base.repartition(col("i")).freshCheckpoint(true)
       .queryExecution.executedPlan.outputPartitioning
     val viaStd = base.repartition(col("i")).localCheckpoint(true)
       .queryExecution.executedPlan.outputPartitioning
-    assert(viaFresh.toString == viaStd.toString,
-      s"fresh=$viaFresh std=$viaStd")
+    assert(viaFresh.toString.toLowerCase.contains("hashpartitioning(i#"),
+      s"fresh lost the clustering: $viaFresh")
+    assert(viaStd.toString.contains("UnknownPartitioning"),
+      s"standard checkpoint unexpectedly learned partitioning: $viaStd")
   }
 
   test("masked mxm pushes the mask before the aggregate") {

@@ -1,0 +1,96 @@
+package graft
+
+import graft.algo.Iterate
+import graft.core.Grb
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins for the optimization round's harness/engine rules:
+  * the prepares-hook domain guard (VERDICT r14 item 8), the byte-
+  * derived broadcast guard (item 4), the checkpoint-probe contract
+  * (item 1), and the Grb.flag parse contract (ADVICE r14).
+  */
+class ProbeAndGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prepares hook domain stays ⊆ {q_mxm_bucketed} — declared work " +
+      "must never move out of the timed region") {
+    // The untimed per-query prepare exists for exactly one case: a
+    // query whose DECLARED semantics is a computation over
+    // pre-existing bucketed tables (q_mxm_bucketed), where the table
+    // write is ingest-time cost a deployment pays once. Any other
+    // entry would move part of a query's declared work out of the
+    // bench timer — that is gaming, not optimization. Widening this
+    // set requires the same justification q_mxm_bucketed had: the
+    // prepared state must be the query's declared INPUT, not an
+    // intermediate of its computation.
+    assert(SparkEntry.prepares.keySet == Set("q_mxm_bucketed"))
+  }
+
+  test("broadcastGuard derives from the byte budget (default 512 MiB / " +
+      "32 B per row) and honors the conf override") {
+    val key = "spark.graft.broadcast.maxBytes"
+    spark.conf.unset(key)
+    assert(Grb.broadcastGuard(spark) == 512L * 1024 * 1024 / Grb.BroadcastRowBytes)
+    try {
+      spark.conf.set(key, "1024")
+      assert(Grb.broadcastGuard(spark) == 1024L / Grb.BroadcastRowBytes)
+      spark.conf.set(key, "not-a-number") // malformed → default budget
+      assert(Grb.broadcastGuard(spark) == 512L * 1024 * 1024 / Grb.BroadcastRowBytes)
+    } finally spark.conf.unset(key)
+  }
+
+  test("checkpointWithProbe: probe aggregates are observed during the " +
+      "materialization job and match a direct evaluation") {
+    val df = spark.range(100)
+      .select(col("id").as("i"), (col("id") % 7).as("v"))
+    val (out, probe) = Iterate.checkpointWithProbe(df,
+      count(when(col("v") === 0, 1)).as("zeros"), max(col("v")).as("mx"))
+    assert(probe.getLong(0) == 15L) // 0,7,...,98
+    assert(probe.getLong(1) == 6L)
+    // the checkpointed frame is the same data, lineage-free
+    assert(out.count() == 100L)
+    assert(Iterate.checkpointRdd(out).nonEmpty)
+  }
+
+  test("checkpointWithProbe: empty frame yields initial aggregate " +
+      "values (count 0, max null) and keeps the child's partitioning") {
+    val df = spark.range(10)
+      .select(col("id").as("i"), col("id").as("v")).filter(lit(false))
+    val (out, probe) = Iterate.checkpointWithProbe(df,
+      count(lit(1)).as("n"), max(col("v")).as("mx"))
+    assert(probe.getLong(0) == 0L)
+    assert(probe.isNullAt(1))
+    assert(out.count() == 0L)
+    // partitioning survives the CollectMetrics node + checkpoint: a
+    // hash-clustered frame keeps its distribution, so a downstream
+    // groupBy on the same key plans exchange-free (the zero-exchange
+    // loop rounds depend on this)
+    val clustered = spark.range(1000)
+      .select((col("id") % 50).as("i"), col("id").as("v"))
+      .repartition(4, col("i"))
+    val (ck, _) = Iterate.checkpointWithProbe(clustered, count(lit(1)).as("n"))
+    val agg = ck.groupBy("i").agg(sum(col("v")))
+    val exchanges = agg.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"expected zero exchanges over the checkpointed clustering:\n$agg")
+  }
+
+  test("Grb.flag accepts 1/0/on/off/yes/no and falls back to the " +
+      "default on malformed values") {
+    val key = "spark.graft.test.flag"
+    try {
+      for ((v, want) <- Seq("true" -> true, "1" -> true, "on" -> true,
+          "YES" -> true, "false" -> false, "0" -> false, "Off" -> false,
+          "no" -> false)) {
+        spark.conf.set(key, v)
+        assert(Grb.flag(spark, key, default = !want) == want, s"value '$v'")
+      }
+      spark.conf.set(key, "certainly")
+      assert(Grb.flag(spark, key, default = true))
+      assert(!Grb.flag(spark, key, default = false))
+      spark.conf.unset(key)
+      assert(Grb.flag(spark, key, default = true))
+    } finally spark.conf.unset(key)
+  }
+}
