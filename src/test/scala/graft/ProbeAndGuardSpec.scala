@@ -76,6 +76,23 @@ class ProbeAndGuardSpec extends SparkSpec {
       s"expected zero exchanges over the checkpointed clustering:\n$agg")
   }
 
+  test("HITS broadcast mode: the gather over the final round plans " +
+      "with zero shuffle exchanges") {
+    // Below the broadcast guard each product's orientation is cached
+    // by its OUTPUT key and the score vectors broadcast into the
+    // joins, so every round aggregate — and the final hub⋈auth gather
+    // over the i-partitioned checkpoints — plans without a shuffle.
+    // (The r14 shape carried 12 Exchanges in the gather frame alone:
+    // plans/r15/q_hits_before.txt vs _after.txt.)
+    val e0 = spark.range(30).select(col("id").as("i"),
+      ((col("id") + 1L) % 30).as("j"), lit(1L).as("v"))
+    val df = graft.algo.Hits.scores(
+      graft.core.GrbMatrix.fromDF(e0, 30, 30), rounds = 2)
+    val shuffles = df.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 0, s"expected zero shuffles in the HITS gather:\n$df")
+  }
+
   test("Grb.flag accepts 1/0/on/off/yes/no and falls back to the " +
       "default on malformed values") {
     val key = "spark.graft.test.flag"
