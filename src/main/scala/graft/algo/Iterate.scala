@@ -85,12 +85,19 @@ object Iterate {
     */
   def checkpointWithProbe(df: DataFrame,
       probe: org.apache.spark.sql.Column,
+      more: org.apache.spark.sql.Column*): (DataFrame, org.apache.spark.sql.Row) =
+    checkpointWithProbeOpt(df, keepPartitioning = true, probe, more: _*)
+
+  /** [[checkpointWithProbe]] with the partitioning carry opt-out —
+    * see FreshCheckpoint.withObserved */
+  def checkpointWithProbeOpt(df: DataFrame, keepPartitioning: Boolean,
+      probe: org.apache.spark.sql.Column,
       more: org.apache.spark.sql.Column*): (DataFrame, org.apache.spark.sql.Row) = {
     // fixed name is safe: checkpointed frames are LogicalRDD scans, so
     // a round's plan carries exactly one CollectMetrics node
     val name = "graft_probe"
     val (out, metrics) = org.apache.spark.sql.graft.FreshCheckpoint
-      .withObserved(df.observe(name, probe, more: _*))
+      .withObserved(df.observe(name, probe, more: _*), keepPartitioning)
     (out, metrics(name))
   }
 

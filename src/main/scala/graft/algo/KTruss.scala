@@ -50,9 +50,15 @@ object KTruss {
       iter += 1
       val em = new GrbMatrix(e.withColumn("v", lit(1L)), a.nrows, a.ncols)
       val c = em.mxm(em, Ops.plusPair, mask = Some(Mask.structural(em.df)))
-      // surviving-edge count rides the checkpoint job (observed metric)
-      val (s, probeRow) = Iterate.checkpointWithProbe(
-        c.df.filter(col("v") >= k - 2), count(lit(1)).as("n"))
+      // surviving-edge count rides the checkpoint job (observed
+      // metric). keepPartitioning=false: carrying the support frame's
+      // (i,j) clustering into the next round's masked product changed
+      // the mask-join plan and measured ~1.5x WORSE on the bench graph
+      // (4.2 vs 2.7 s single-rep A/B) — the masked family is
+      // deliberately Catalyst-chosen (mxm scaladoc), so the loop state
+      // stays partitioning-free as in r14.
+      val (s, probeRow) = Iterate.checkpointWithProbeOpt(
+        c.df.filter(col("v") >= k - 2), false, count(lit(1)).as("n"))
       val sRdd = Iterate.checkpointRdd(s)
       val n2 = probeRow.getLong(0)
       prev.foreach(_.unpersist(false))

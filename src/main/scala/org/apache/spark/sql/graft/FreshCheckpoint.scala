@@ -52,7 +52,7 @@ object FreshCheckpoint {
     *              false marks the RDD and lets the next job materialize
     */
   def apply(df: DataFrame, eager: Boolean = true): DataFrame =
-    build(df, eager)._1
+    build(df, eager, keepPartitioning = true)._1
 
   /** Eager [[apply]] that ALSO returns the `Dataset.observe`
     * (CollectMetrics) rows gathered during the SAME materialization
@@ -68,10 +68,12 @@ object FreshCheckpoint {
     * caller attaches the probe with `df.observe(name, aggCols...)`
     * before checkpointing.
     */
-  def withObserved(df: DataFrame): (DataFrame, Map[String, Row]) =
-    build(df, eager = true)
+  def withObserved(df: DataFrame,
+      keepPartitioning: Boolean = true): (DataFrame, Map[String, Row]) =
+    build(df, eager = true, keepPartitioning)
 
-  private def build(df: DataFrame, eager: Boolean): (DataFrame, Map[String, Row]) = {
+  private def build(df: DataFrame, eager: Boolean,
+      keepPartitioning: Boolean): (DataFrame, Map[String, Row]) = {
     val ds = df.asInstanceOf[Dataset[Row]]
     val spark = ds.sparkSession
     val qe = ds.queryExecution
@@ -128,11 +130,18 @@ object FreshCheckpoint {
     val src = qe.optimizedPlan.stats.sizeInBytes
     val originStats =
       if (src < default) Some(Statistics(sizeInBytes = src)) else None
+    // keepPartitioning=false restores the pre-round-15 behavior
+    // (UnknownPartitioning through AQE tops) for the one caller whose
+    // downstream plan measured WORSE with the carried clustering: the
+    // KTruss masked-product loop, where the next round's Catalyst-
+    // chosen mask plan beats the clustering-reusing one (see KTruss).
     val partSrc = partitioningSource(physical)
     val logical = LogicalRDD(
       ds.logicalPlan.output, internalRdd,
-      firstLeaf(partSrc.outputPartitioning),
-      partSrc.outputOrdering, ds.isStreaming)(spark, originStats, None)
+      if (keepPartitioning) firstLeaf(partSrc.outputPartitioning)
+      else firstLeaf(physical.outputPartitioning),
+      if (keepPartitioning) partSrc.outputOrdering
+      else physical.outputOrdering, ds.isStreaming)(spark, originStats, None)
     (Dataset.ofRows(spark, logical), observed)
   }
 }
